@@ -1,0 +1,68 @@
+"""Fixture catalog: the driver-provisioned parquet tables (TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``.  Reads are plain
+``spark.read.parquet`` so Catalyst gets vectorized scans, predicate pushdown
+and column pruning for free — at 100 TB these would be partitioned/bucketed
+table locations instead of single files, with identical calling code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_NS_PER_DAY = 86_400 * 1_000_000_000
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects outright; read it as raw int64 nanos and rebuild a
+    TIMESTAMP_NTZ arithmetically (epoch + day-time interval), which is
+    timezone-independent and matches DuckDB's naive-timestamp read exactly
+    (both truncate ns -> µs)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") != "bigint":  # already a real timestamp
+        return df
+    days = (F.col("ts") / F.lit(_NS_PER_DAY)).cast("long")
+    micros_in_day = ((F.col("ts") % F.lit(_NS_PER_DAY)) / 1000).cast("long")
+    secs = (micros_in_day.cast("decimal(20,0)") / F.lit(1_000_000).cast("decimal(8,0)")).cast(
+        "decimal(18,6)"
+    )
+    ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_dt_interval(
+        days, F.lit(0), F.lit(0), secs
+    )
+    return df.withColumn("ts", ntz)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

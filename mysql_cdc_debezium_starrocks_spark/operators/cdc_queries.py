@@ -1,0 +1,84 @@
+"""Oracle-checked queries over the CDC pipeline (SURVEY.md §2.1, §2.10).
+
+``cdc_apply`` runs the FULL wire path — JSON envelope serialization (both
+shapes), tombstones, decimal-as-string, epoch-millis timestamps, parse,
+unwrap, last-write-wins keyed apply with delete handling — and the oracle
+mirrors only the *semantics* (latest non-deleted version per key), proving the
+wire round-trip is lossless.
+
+Covers reference behaviors S6/S7/S8, P6/P7, T4/T5 and the verification
+queries of test-pipeline.sh:35-40 / README.md:91-92.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc.apply import materialize_orders
+from ..cdc.generator import synth_order_events_json
+
+# The oracle derives the same event log relationally: base insert, update for
+# key%5==0 (status UPDATED, +10.00 exact decimal), delete for key%7==0.
+_ORACLE_LIVE = """
+WITH ev AS (
+  SELECT o_orderkey*3 AS _seq, o_orderkey AS order_key, o_custkey AS cust_key,
+         o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(10,2)) AS total_price,
+         o_orderdate AS order_ts, o_orderpriority AS priority,
+         'false' AS __deleted
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey*3+1, o_orderkey, o_custkey, 'UPDATED',
+         CAST(CAST(o_totalprice AS DECIMAL(10,2)) + CAST('10.00' AS DECIMAL(10,2)) AS DECIMAL(10,2)),
+         o_orderdate, o_orderpriority, 'false'
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey*3+2, o_orderkey, NULL, NULL, NULL, NULL, NULL, 'true'
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY order_key ORDER BY _seq DESC) AS rn
+    FROM ev
+  ) t WHERE rn = 1
+)
+SELECT order_key, cust_key, status, total_price, order_ts, priority
+FROM latest WHERE __deleted <> 'true'
+"""
+
+
+def _live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return materialize_orders(synth_order_events_json(spark, sf_dir))
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full materialized live table after applying the CDC log."""
+    return _live(spark, sf_dir)
+
+
+def cdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:91-92 verification query: newest 5 rows by key."""
+    return _live(spark, sf_dir).orderBy(F.col("order_key").desc()).limit(5)
+
+
+def cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """test-pipeline.sh:38-40 COUNT verification, grouped by status."""
+    return (
+        _live(spark, sf_dir)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES = {
+    "cdc_apply": cdc_apply,
+    "cdc_topk": cdc_topk,
+    "cdc_counts": cdc_counts,
+}
+
+ORACLE = {
+    "cdc_apply": _ORACLE_LIVE,
+    "cdc_topk": f"SELECT * FROM ({_ORACLE_LIVE}) t ORDER BY order_key DESC LIMIT 5",
+    "cdc_counts": f"SELECT status, count(*) AS n FROM ({_ORACLE_LIVE}) t GROUP BY status",
+}
