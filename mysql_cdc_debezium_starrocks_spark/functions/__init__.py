@@ -1,0 +1,70 @@
+"""Engine scalar-function helpers shared across operators.
+
+The centerpiece is a **portable 32-bit hash** computable bit-identically in
+Spark (JVM, codegen'd built-ins — no Python UDF) and in ANSI-ish SQL (the
+DuckDB oracle):
+
+    spark:  conv(substr(md5(seed || ':' || x), 1, 8), 16, 10)::long
+    duckdb: ('0x' || substr(md5(seed || ':' || x), 1, 8))::BIGINT
+
+Both take the first 8 hex chars of the md5 digest as an unsigned 32-bit int,
+so every MinHash / SimHash / LSH operator built on it is exactly
+oracle-checkable — the correctness gate covers the whole sketch pipeline, not
+just counts.  Seeding is by string prefix, giving an unbounded portable hash
+family h_seed(x).
+
+Scale note: md5 on short strings is a few hundred ns JVM-side and the
+expressions stay inside whole-stage codegen; no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def phash32(col: Column | str, seed: str = "h") -> Column:
+    """Portable 32-bit hash (Spark side). ``col`` is stringified first."""
+    c = F.col(col) if isinstance(col, str) else col
+    payload = F.concat(F.lit(f"{seed}:"), c.cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def phash32_sql(expr: str, seed: str = "h") -> str:
+    """The same hash as a DuckDB SQL fragment. ``expr`` must be VARCHAR."""
+    return f"(('0x' || substr(md5('{seed}:' || ({expr})), 1, 8))::BIGINT)"
+
+
+def words(col: Column | str) -> Column:
+    """Lower-cased whitespace tokens with empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: F.length(x) > 0)
+
+
+WORDS_SQL = "list_filter(str_split_regex(lower({expr}), '\\s+'), x -> len(x) > 0)"
+
+
+def word_shingles(wcol: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles ('a b c' strings) from a token array.
+
+    Guarded for short docs (< k tokens -> empty array) because Spark's
+    ``sequence(0, n)`` flips to a descending range when n < 0.
+    """
+    idx = F.sequence(F.lit(0), F.size(wcol) - k)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(wcol, i + j + 1) for j in range(k)]
+    )
+    return F.when(
+        F.size(wcol) >= k, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles_sql(wcol: str = "w", k: int = 3) -> str:
+    """DuckDB equivalent of :func:`word_shingles` over an in-scope list column
+    (1-indexed lists).  Use inside a CTE that has already computed ``w``."""
+    gram = " || ' ' || ".join(f"{wcol}[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({wcol}) >= {k} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({wcol}) - {k - 1}), i -> {gram})) "
+        f"ELSE [] END"
+    )

@@ -1,2 +1,449 @@
-QUERIES = {}
-ORACLE = {}
+"""Deduplication operators over the ``documents`` / ``embeddings`` fixtures.
+
+Training-data-pipeline dedup suite (build-plan step 8): exact hash dedup,
+MinHash+LSH near-dup candidate generation with exact-Jaccard verification,
+SimHash fingerprints with banded Hamming pairing, exact n-gram Jaccard, and
+embedding-cosine near-dup pairs.
+
+Everything is built on the portable md5-derived 32-bit hash family
+(``functions.phash32``), so the DuckDB oracle reproduces each sketch
+bit-for-bit — the correctness gate covers the full sketch math, not just row
+counts.  No Python UDFs anywhere: sketches are array-expression pipelines
+(split/transform/aggregate) that stay in whole-stage codegen.
+
+Scale design (100 TB):
+- exact dedup: hash-groupBy = one shuffle on a 32-byte digest, partial-agg
+  friendly; the canonical-id choice (min doc_id) is associative.
+- MinHash LSH: per-doc signature is map-only; candidate generation explodes
+  each doc into BANDS rows and shuffles on (band, band_hash) — the classic
+  band-bucket join whose output is ~|near-dup pairs|, never O(n^2).
+- SimHash: banded by 8-bit chunks, same bucket-join shape.
+- embedding cosine here is the small-side brute-force variant; the scale
+  path is the LSH-bucketed join in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import (
+    WORDS_SQL,
+    phash32,
+    phash32_sql,
+    word_shingles,
+    word_shingles_sql,
+    words,
+)
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_MIN = 0.5
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+HAMMING_MAX = 3
+COSINE_MIN = 0.40
+
+_WORDS_SQL = WORDS_SQL.format(expr="text")
+
+
+# --- exact dedup --------------------------------------------------------------
+
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus summary: exact-dup volume by content digest."""
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_redundant"),
+    )
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups: canonical (min) doc_id + copy count, groups > 1."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("canonical_doc_id", "n_copies")
+    )
+
+
+# --- MinHash + LSH near-dup ---------------------------------------------------
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", word_shingles(words(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+# Universal-hash family over the single md5 base hash: h_i(x) = (a_i*h + b_i)
+# mod P.  One md5 per shingle instead of NUM_HASHES of them (12x cheaper);
+# constants are fixed odd multipliers < 2^30 so a_i*h fits in a signed 64-bit
+# long on both engines.
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+MINHASH_A = [769_113_277, 873_190_339, 502_930_681, 606_901_979,
+             915_221_771, 305_556_421, 104_729_657, 217_645_199,
+             413_158_523, 640_651_987, 741_201_253, 986_437_811]
+MINHASH_B = [524_287_093, 936_172_081, 112_272_535, 819_226_657,
+             430_867_993, 274_876_129, 768_614_311, 582_917_569,
+             155_189_249, 672_287_461, 989_712_907, 363_247_393]
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 32-bit shingle hashes per doc — the minhash/Jaccard substrate."""
+    sh = _doc_shingles(spark, sf_dir)
+    hashes = F.array_distinct(
+        F.transform(F.col("sh"), lambda s: phash32(s, "shg"))
+    )
+    return sh.select("doc_id", hashes.alias("hs"))
+
+
+def _uhash(i: int):
+    """Single-arg lambda for transform(); arity matters — a second (default)
+    parameter would make Spark pass the element index into it."""
+    return lambda h: (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(
+        MINHASH_P
+    )
+
+
+def _minhash_sig(hs_df: DataFrame) -> DataFrame:
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _uhash(i)))
+            for i in range(NUM_HASHES)
+        ]
+    )
+    return hs_df.select("doc_id", "hs", sig.alias("sig"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash banding for candidates, exact Jaccard verify.
+
+    Pipeline: shingle -> hash once -> 12-way universal-hash minhash signature
+    -> 4 bands of 3 -> bucket-join on (band, band-hash) -> exact Jaccard on
+    the hashed shingle sets -> keep pairs >= 0.5.  The only shuffles are the
+    band bucket-join and the final distinct; candidate volume is
+    data-dependent, never O(n^2).  Jaccard is computed on the 32-bit shingle
+    hashes (identical on both engines, so oracle-exact).
+    """
+    # Materialize the signature table once: both sides of the self-join (and
+    # the Jaccard verify) reuse it instead of recomputing the shingle+hash
+    # subtree per branch.  At 100 TB this is "write the signature table to
+    # storage"; in-session it's an in-memory persist (~1.5 KB/doc).
+    sigs = _minhash_sig(_doc_shingle_hashes(spark, sf_dir)).persist()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                phash32(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[b * ROWS_PER_BAND + r]
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    ),
+                    f"band{b}",
+                ).alias("bhash"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    exploded = sigs.select(
+        "doc_id", "hs", F.explode(bands).alias("bd")
+    ).select("doc_id", "hs", "bd.band", "bd.bhash")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.hs").alias("sha"),
+            F.col("b.hs").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sha", "shb")) / F.size(F.array_union("sha", "shb"))
+    return (
+        cand.select(
+            "doc_a", "doc_b", F.round(jac, 4).cast("decimal(7,4)").alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on sampled id pairs (the verify primitive alone)."""
+    sh = _doc_shingles(spark, sf_dir)
+    a = sh.filter(F.col("doc_id") % 25 == 0).alias("a")
+    b = sh.alias("b")
+    pair = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return pair.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).cast("decimal(7,4)").alias("jaccard"),
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the word multiset, via explode + one groupBy.
+
+    bit_k(doc) = 1 iff sum over words of (+1 if bit k of h(word) else -1) > 0.
+    The explode/groupBy shape gets map-side partial aggregation; at scale it
+    is one shuffle on doc_id.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    h = phash32(F.col("word"), "sh")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    sums = w.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash fingerprint (oracle checks the full sketch)."""
+    return _simhash(spark, sf_dir)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x8-bit band blocking, Hamming-verified."""
+    sim = _simhash(spark, sf_dir).persist()  # reused by both join sides
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * j)
+                .bitwiseAND(F.lit(255))
+                .alias("byte"),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    ex = sim.select("doc_id", "simhash", F.explode(bands).alias("bd")).select(
+        "doc_id", "simhash", "bd.band", "bd.byte"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.95, brute-force all-pairs.
+
+    Correctness baseline for the LSH-bucketed scale path in similarity.py —
+    at 100 TB you never run this shape; here it doubles as the oracle anchor.
+    Norms are precomputed once per side before the self-join.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )  # NOTE: deliberately NOT persisted — caching here forces the range
+    # nested-loop join to scan the InMemoryRelation per pair and is ~14x
+    # slower than recomputing the cheap norm projection inside codegen.
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).cast("decimal(9,6)").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_MIN)
+    )
+
+
+# --- oracles ------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+docs AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+sh AS (SELECT doc_id, {word_shingles_sql('w')} AS sh FROM docs
+       WHERE len({word_shingles_sql('w')}) > 0)
+"""
+
+_HASHED_SHINGLES_CTE = f"""
+{_SHINGLES_CTE},
+hsh AS (SELECT doc_id,
+               list_distinct(list_transform(sh, s -> {phash32_sql('s', 'shg')})) AS hs
+        FROM sh)
+"""
+
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+    for i in range(NUM_HASHES)
+) + "]"
+
+_BANDS_SQL = ", ".join(
+    "({b}, {h})".format(
+        b=b,
+        h=phash32_sql(
+            " || '|' || ".join(
+                f"sig[{b * ROWS_PER_BAND + r + 1}]::VARCHAR"
+                for r in range(ROWS_PER_BAND)
+            ),
+            f"band{b}",
+        ),
+    )
+    for b in range(BANDS)
+)
+
+_SIMHASH_CTE = f"""
+docs AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+wx AS (SELECT doc_id, unnest(w) AS word FROM docs),
+hs AS (SELECT doc_id, {phash32_sql('word', 'sh')} AS h FROM wx),
+bitsums AS (
+  SELECT doc_id,
+         {", ".join(f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}" for k in range(SIMHASH_BITS))}
+  FROM hs GROUP BY doc_id
+),
+simh AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM bitsums
+)
+"""
+
+ORACLE = {
+    "dedup_exact_stats": """
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_distinct,
+               count(*) - count(DISTINCT md5(text)) AS n_redundant
+        FROM documents
+    """,
+    "dedup_exact_groups": """
+        SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_HASHED_SHINGLES_CTE},
+        sig AS (SELECT doc_id, hs, {_MINHASH_SIG_SQL} AS sig FROM hsh),
+        bands AS (
+          SELECT doc_id, hs, b.band, b.bhash
+          FROM sig, LATERAL (VALUES {_BANDS_SQL}) AS b(band, bhash)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.hs AS sha, b.hs AS shb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(round(len(list_intersect(sha, shb))::DOUBLE
+                    / len(list_distinct(list_concat(sha, shb))), 4) AS DECIMAL(7,4)) AS jaccard
+        FROM cand
+        WHERE CAST(round(len(list_intersect(sha, shb))::DOUBLE
+                    / len(list_distinct(list_concat(sha, shb))), 4) AS DECIMAL(7,4)) >= {JACCARD_MIN}
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS DECIMAL(7,4)) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 25 = 0
+    """,
+    "dedup_simhash": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT doc_id, simhash FROM simh
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH {_SIMHASH_CTE},
+        ex AS (
+          SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+          FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.simhash AS ha, b.simhash AS hb
+          FROM ex a JOIN ex b
+            ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (
+          SELECT vec_id, embedding AS v,
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                      x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) AS norm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(round(
+                 list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)
+                 / (a.norm * b.norm), 6) AS DECIMAL(9,6)) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE CAST(round(
+                 list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)
+                 / (a.norm * b.norm), 6) AS DECIMAL(9,6)) >= {COSINE_MIN}
+    """,
+}
+
+QUERIES = {
+    "dedup_exact_stats": dedup_exact_stats,
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}

@@ -1,2 +1,237 @@
-QUERIES = {}
-ORACLE = {}
+"""Text-analysis operators over the ``documents`` fixture.
+
+Training-data-pipeline text suite (build-plan step 8): quality scoring,
+n-gram-heuristic language ID, token counting (whitespace + regex + BPE-ish
+estimate), and rolling-hash document fingerprinting.
+
+All pure column expressions (split / regexp / aggregate) — no Python UDFs, no
+shuffle except the final aggregations.  Every query has an exact DuckDB
+oracle; double-valued ratios are rounded and cast to DECIMAL on both engines.
+
+Scale: each operator is map-only per document (then an optional partial-agg
+reduction), so it parallelizes over input splits untouched at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import WORDS_SQL, phash32, phash32_sql, words
+
+_W = WORDS_SQL.format(expr="text")
+
+# Tiny stopword profiles for the language-ID heuristic.  Vocabulary chosen to
+# overlap the fixture's synthetic word soup for 'en'; the де/fr profiles give
+# the argmax a real decision to make.  Deterministic tie-break: score desc,
+# then language name asc.
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+}
+
+STOPWORDS = sorted({w for p in LANG_PROFILES.values() for w in p})
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality stats: token counts, word-length, stopword ratio,
+    uniqueness ratio, and a composite quality score.
+
+    The score mirrors common pretraining-corpus filters (Gopher-style rules):
+    penalize too-short docs, low uniqueness, and stopword-free word soup.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    avg_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    ) / n_words
+    uniq_ratio = n_uniq / n_words
+    stop_ratio = n_stop / n_words
+    score = (
+        F.when(n_words >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(uniq_ratio, F.lit(0.5)) * 0.6
+        + F.least(stop_ratio, F.lit(0.2)) * 1.5
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_uniq.alias("n_uniq"),
+        n_stop.alias("n_stop"),
+        F.round(avg_len, 4).cast("decimal(10,4)").alias("avg_word_len"),
+        F.round(uniq_ratio, 4).cast("decimal(7,4)").alias("uniq_ratio"),
+        F.round(stop_ratio, 4).cast("decimal(7,4)").alias("stop_ratio"),
+        F.round(score, 4).cast("decimal(7,4)").alias("quality"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: argmax over per-language hit ratios.
+
+    Greatest-struct argmax keeps it one pass; tie-break is (score desc, lang
+    asc) encoded by negating the lang ordering via greatest on (score, lang
+    reversed) — we instead compare structs explicitly for determinism.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    scored = d.select("doc_id", F.col("lang").alias("lang_actual"), w.alias("w"), n_words.alias("nw"))
+
+    def _hits(prof):  # closure, NOT a default-arg lambda: transform/filter
+        return lambda x: x.isin(*prof)  # inspect arity, 2 params would get the index
+
+    score_cols = {
+        lang: (F.size(F.filter(F.col("w"), _hits(prof))) / F.col("nw"))
+        for lang, prof in LANG_PROFILES.items()
+    }
+    # argmax with deterministic tie-break: compare (score, lang) structs where
+    # a *smaller* lang string wins ties -> use greatest on (score, negated rank)
+    langs = sorted(LANG_PROFILES)  # ['de','en','fr']
+    best = None
+    for lang in langs:
+        cand = F.struct(
+            F.round(score_cols[lang], 6).alias("s"),
+            F.lit(-langs.index(lang)).alias("r"),
+            F.lit(lang).alias("lang"),
+        )
+        best = cand if best is None else F.when(
+            (cand["s"] > best["s"]), cand
+        ).otherwise(best)
+    return scored.select(
+        "doc_id",
+        "lang_actual",
+        best["lang"].alias("lang_pred"),
+        best["s"].cast("decimal(9,6)").alias("lang_score"),
+    )
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics per source: whitespace tokens, word-regex tokens, and
+    a BPE-ish ceil(chars/4) estimate — the standard quick token budget."""
+    d = load(spark, sf_dir, "documents")
+    ws_tokens = F.size(words(F.col("text")))
+    re_tokens = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[^A-Za-z0-9']+"), lambda x: F.length(x) > 0
+        )
+    )
+    bpe_est = F.ceil(F.length("text") / 4)
+    return (
+        d.select("source", ws_tokens.alias("t_ws"), re_tokens.alias("t_re"), bpe_est.alias("t_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t_ws").alias("tokens_ws"),
+            F.sum("t_re").alias("tokens_regex"),
+            F.sum("t_bpe").alias("tokens_bpe_est"),
+        )
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: content digest + min/max hash over 8-char
+    grams of the normalized text (the rolling-hash dedup primitive)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    k = 8
+    idx = F.sequence(F.lit(1), F.length(norm) - (k - 1))
+    return d.select(
+        "doc_id",
+        phash32(norm, "doc").alias("doc_hash"),
+        F.array_min(
+            F.transform(idx, lambda i: phash32(norm.substr(i, F.lit(k)), "gram"))
+        ).alias("min_gram_hash"),
+        F.array_max(
+            F.transform(idx, lambda i: phash32(norm.substr(i, F.lit(k)), "gram"))
+        ).alias("max_gram_hash"),
+    )
+
+
+_QUALITY_EXPRS = """
+  len(w) AS n_words,
+  len(list_distinct(w)) AS n_uniq,
+  len(list_filter(w, x -> list_contains({stops}, x))) AS n_stop
+""".format(stops="[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]")
+
+ORACLE = {
+    "text_quality": f"""
+        WITH d AS (SELECT doc_id, {_W} AS w FROM documents),
+        s AS (SELECT doc_id, {_QUALITY_EXPRS},
+                     list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a,b) -> a+b) AS sum_len
+              FROM d)
+        SELECT doc_id, n_words, n_uniq, n_stop,
+               CAST(round(sum_len::DOUBLE / n_words, 4) AS DECIMAL(10,4)) AS avg_word_len,
+               CAST(round(n_uniq::DOUBLE / n_words, 4) AS DECIMAL(7,4)) AS uniq_ratio,
+               CAST(round(n_stop::DOUBLE / n_words, 4) AS DECIMAL(7,4)) AS stop_ratio,
+               CAST(round(
+                 (CASE WHEN n_words >= 20 THEN 0.4 ELSE 0.0 END)
+                 + least(n_uniq::DOUBLE / n_words, 0.5) * 0.6
+                 + least(n_stop::DOUBLE / n_words, 0.2) * 1.5, 4) AS DECIMAL(7,4)) AS quality
+        FROM s
+    """,
+    "text_langid": None,  # filled below (needs profile expansion)
+    "text_token_count": f"""
+        WITH d AS (
+          SELECT source,
+                 len({_W}) AS t_ws,
+                 len(list_filter(str_split_regex(text, '[^A-Za-z0-9'']+'), x -> len(x) > 0)) AS t_re,
+                 CAST(ceil(len(text) / 4.0) AS BIGINT) AS t_bpe
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               sum(t_ws) AS tokens_ws, sum(t_re) AS tokens_regex,
+               sum(t_bpe) AS tokens_bpe_est
+        FROM d GROUP BY source
+    """,
+    "text_fingerprint": f"""
+        WITH d AS (
+          SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+          FROM documents),
+        g AS (
+          SELECT doc_id, norm,
+                 list_transform(generate_series(1, len(norm) - 7),
+                                i -> {phash32_sql("substr(norm, i, 8)", "gram")}) AS gh
+          FROM d)
+        SELECT doc_id,
+               {phash32_sql("norm", "doc")} AS doc_hash,
+               list_min(gh) AS min_gram_hash,
+               list_max(gh) AS max_gram_hash
+        FROM g
+    """,
+}
+
+_SCORES_SQL = {
+    lang: (
+        "round(len(list_filter(w, x -> list_contains(["
+        + ", ".join(f"'{t}'" for t in prof)
+        + "], x)))::DOUBLE / len(w), 6)"
+    )
+    for lang, prof in LANG_PROFILES.items()
+}
+_LANGS = sorted(LANG_PROFILES)
+
+# Mirrors the Spark strictly-greater fold: first language (sorted order) wins
+# ties, so lang_pred = the earliest l with s_l = max and no earlier lang at max.
+ORACLE["text_langid"] = f"""
+    WITH d AS (SELECT doc_id, lang AS lang_actual, {_W} AS w FROM documents),
+    scored AS (
+      SELECT doc_id, lang_actual,
+             {", ".join(f"{_SCORES_SQL[l]} AS s_{l}" for l in _LANGS)}
+      FROM d)
+    SELECT doc_id, lang_actual,
+           CASE
+             {"".join("WHEN " + " AND ".join([f"s_{l} = m"] + [f"s_{p} < m" for p in _LANGS[:i]]) + f" THEN '{l}' " for i, l in enumerate(_LANGS))}
+           END AS lang_pred,
+           CAST(m AS DECIMAL(9,6)) AS lang_score
+    FROM (SELECT *, greatest({", ".join(f"s_{l}" for l in _LANGS)}) AS m FROM scored) t
+"""
+
+QUERIES = {
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
