@@ -24,6 +24,14 @@ def all_oracle():
 
 
 def _modules():
-    from . import cdc_queries, relational, dedup, similarity, text, multimodal
+    from . import (
+        cdc_queries,
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
-    return (cdc_queries, relational, dedup, similarity, text, multimodal)
+    return (cdc_queries, relational, dedup, similarity, text, multimodal, events)

@@ -1,0 +1,167 @@
+"""Event-stream analytics over the ``events`` fixture (batch form).
+
+The streaming-native versions (readStream + watermark) live in
+``streaming/``; these are the same computations expressed on the bounded
+table so they are DuckDB-oracle-checkable — per SURVEY.md §2.10 the
+reference's pipeline is arrival-ordered with no event-time windowing, so
+windows/sessions here are the parity-plus surface (A5/T7 rates + the
+training-pipeline event ops).
+
+- tumbling-window aggregation (``events_windowed``): F.window == the
+  streaming operator; oracle uses date_trunc.
+- sessionization (``events_sessionize``): gap-based sessions via the
+  classic lag + cumulative-sum-of-boundaries window trick.
+- JSON property extraction (``events_json_props``): the fixture's ``props``
+  column is a JSON string; regexp extraction keeps the oracle portable.
+- throughput rates (``events_rate``): benchmark.sh-style rows/s per bucket
+  (reference: benchmark.sh:245-246 rate arithmetic).
+
+Scale: windowed agg is one shuffle on (window, type); sessionize shuffles
+once on user_id — both partial-agg/window-exchange shapes that survive
+1000 executors.  All timestamps are NTZ (UTC session), epoch math in ms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+
+SESSION_GAP_MIN = 30
+
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + decimal value stats."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user: lag -> boundary flag -> running
+    sum = session id; then two aggregations for per-user session stats."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    boundary = F.when(
+        (F.col("ms") - F.lag("ms", 1).over(w)) > gap_ms, 1
+    ).otherwise(0)
+    sessions = e.withColumn("boundary", boundary).withColumn(
+        "session_id", F.sum("boundary").over(w)
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ms") - F.min("ms")) / 1000).cast("decimal(18,3)").alias("dur_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("dur_s").alias("max_session_dur_s"),
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + grouped stats (S7/F9 on the events table)."""
+    e = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-10-minute ingest rate (rows/s) — benchmark.sh's rate arithmetic."""
+    e = load(spark, sf_dir, "events")
+    bucket = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(bucket.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "n",
+            F.round(F.col("n") / 600.0, 4).cast("decimal(18,4)").alias("rows_per_sec"),
+        )
+    )
+
+
+ORACLE = {
+    "events_windowed": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": f"""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        ),
+        flagged AS (
+          SELECT user_id, event_id, ms,
+                 CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+                      > {SESSION_GAP_MIN * 60 * 1000} THEN 1 ELSE 0 END AS boundary
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, ms,
+                 sum(boundary) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        ),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 CAST((max(ms) - min(ms)) / 1000.0 AS DECIMAL(18,3)) AS dur_s
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id, count(*) AS n_sessions, sum(n_events) AS total_events,
+               max(n_events) AS max_session_events,
+               max(dur_s) AS max_session_dur_s
+        FROM per_session GROUP BY user_id
+    """,
+    "events_json_props": """
+        SELECT event_type, count(*) AS n,
+               sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+              FROM events) t
+        GROUP BY event_type
+    """,
+    "events_rate": """
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+               count(*) AS n,
+               CAST(round(count(*) / 600.0, 4) AS DECIMAL(18,4)) AS rows_per_sec
+        FROM events GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "events_windowed": events_windowed,
+    "events_sessionize": events_sessionize,
+    "events_json_props": events_json_props,
+    "events_rate": events_rate,
+}

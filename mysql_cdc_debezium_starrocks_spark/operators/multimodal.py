@@ -1,2 +1,158 @@
-QUERIES = {}
-ORACLE = {}
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(``decode_image`` raises ``NotImplementedError``), but everything Spark-side
+that a 100 TB multimodal pipeline needs is real and tested:
+
+- binary columns flow through parquet scan -> projection (``mm_binary_meta``);
+- Arrow-batched ``mapInPandas`` feature extraction with an explicit output
+  schema (``mm_fake_features``) — the deterministic stand-in computes the
+  same bytes-level features a decoder would hand back, so the DuckDB oracle
+  can verify the full UDF path (batch slicing, schema, row alignment);
+- frame sampling that EXPANDS rows (one doc -> many frames), the shape of
+  video-frame extraction (``mm_frame_sample``).
+
+The fixture has no binary column, so payloads are derived as utf-8 bytes of
+``documents.text`` — ASCII by construction, hence byte == char and the oracle
+can mirror byte math with string functions.
+
+Scale notes: mapInPandas processes Arrow record batches (10k rows default) —
+decode cost is per-batch vectorizable and the operator is map-only; for real
+media, feed ``spark.sql.execution.arrow.maxRecordsPerBatch`` small enough
+that batch_bytes = rows x blob_size fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 4  # sample every 4th frame
+CHECKSUM_MOD = 9973
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode hook — requires an image codec, absent in this container.
+
+    A deployment would plug pillow/opencv here; the engine's plumbing
+    (mm_fake_features / mm_frame_sample) is codec-agnostic.
+    """
+    raise NotImplementedError(
+        "image decode needs a codec library (pillow/opencv) not present in "
+        "this environment; use mm_fake_features for the tested byte path"
+    )
+
+
+def _with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — pure projection."""
+    b = _with_blob(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.length("blob").alias("n_bytes"),
+        F.lower(F.hex(F.substring("blob", 1, 8))).alias("header_hex"),
+        F.md5("blob").alias("content_md5"),
+    )
+
+
+def mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    Deterministic stand-in for a decoder: byte length, first/last byte
+    values, and a mod-checksum over all bytes.  Exercises the real UDF
+    surface — batch iteration, explicit schema, pandas vectorization.
+    """
+    b = _with_blob(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "first_byte": blobs.map(lambda x: x[0]).astype("int32"),
+                    "last_byte": blobs.map(lambda x: x[-1]).astype("int32"),
+                    "checksum": blobs.map(
+                        lambda x: sum(x) % CHECKSUM_MOD
+                    ).astype("int64"),
+                }
+            )
+
+    schema = (
+        "doc_id long, n_bytes long, first_byte int, last_byte int, checksum long"
+    )
+    return b.mapInPandas(extract, schema)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (row-expanding mapInPandas): chop the payload into
+    16-byte frames, keep every 4th, fingerprint each — video-frame shape."""
+    b = _with_blob(spark, sf_dir)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = len(blob) // FRAME_BYTES
+                for fi in range(0, n_frames, FRAME_STRIDE):
+                    chunk = blob[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_md5": pd.Series(digests, dtype="object")}
+            )
+
+    return b.mapInPandas(frames, "doc_id long, frame_idx int, frame_md5 string")
+
+
+ORACLE = {
+    # text is ASCII so encode(text) bytes == chars; DuckDB mirrors byte math
+    # with string ops.
+    "mm_binary_meta": """
+        SELECT doc_id,
+               CAST(len(text) AS INTEGER) AS n_bytes,
+               lower(hex(substr(text, 1, 8))) AS header_hex,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+    "mm_fake_features": f"""
+        SELECT doc_id,
+               len(text)::BIGINT AS n_bytes,
+               CAST(unicode(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+               CAST(unicode(substr(text, len(text), 1)) AS INTEGER) AS last_byte,
+               (list_reduce(list_prepend(0, list_transform(
+                    generate_series(1, len(text)), i -> unicode(substr(text, i, 1)))),
+                    (a, b) -> a + b) % {CHECKSUM_MOD})::BIGINT AS checksum
+        FROM documents
+    """,
+    "mm_frame_sample": f"""
+        SELECT doc_id,
+               CAST(fi AS INTEGER) AS frame_idx,
+               md5(substr(text, fi * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+        FROM documents,
+             LATERAL unnest(generate_series(0, len(text) // {FRAME_BYTES} - 1, {FRAME_STRIDE})) AS t(fi)
+        WHERE len(text) >= {FRAME_BYTES}
+    """,
+}
+
+QUERIES = {
+    "mm_binary_meta": mm_binary_meta,
+    "mm_fake_features": mm_fake_features,
+    "mm_frame_sample": mm_frame_sample,
+}
