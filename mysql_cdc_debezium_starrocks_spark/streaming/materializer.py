@@ -1,0 +1,152 @@
+"""Streaming CDC materializer: the Spark-native Routine Load + PK table.
+
+Replaces the reference's Kafka -> StarRocks Routine Load -> PRIMARY KEY table
+path (reference: create-routine-load.sh:15-48, create-starrocks-tables.sh:17-44,
+docs/ARCHITECTURE.md:107-129) with Structured Streaming:
+
+    readStream (file dir / kafka / rate)          # S1/S4/S5
+      -> filter(value IS NOT NULL)                # tombstones, P6
+      -> from_json both envelope shapes           # S6/S7
+      -> foreachBatch keyed merge                 # S8/T4
+           dedup batch by (key, max _seq)         #   last-write-wins
+           union with current state, re-dedup     #   idempotent re-merge
+           honor __deleted='true' as removal      # T5 (fixed vs reference)
+           write parquet state, atomic swap       #   PK-table analog
+
+Delivery semantics: checkpointed source offsets + idempotent keyed merge =
+effectively-once visible state (T6), exactly the reference's claim.
+
+Scale notes:
+- the merge shuffles on the PK (mirrors DISTRIBUTED BY HASH(pk) BUCKETS n,
+  reference: create-starrocks-tables.sh:26); bucket count is configurable.
+- state is rewritten per batch here (parquet has no row-level update); at
+  100 TB the same foreachBatch body targets a MERGE-capable table format
+  (Delta/Iceberg) or partition-pruned rewrite — the dataflow is identical.
+- ``max_events_per_trigger`` maps the reference's ``max_batch_rows`` (T1);
+  trigger interval maps ``max_batch_interval``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..cdc.apply import latest_by_key, parse_envelope
+from ..cdc.schemas import ORDER_EVENT_ENVELOPE
+
+
+@dataclass
+class CdcLoadConfig:
+    """One continuous load job (== one Routine Load definition)."""
+
+    name: str
+    source_dir: str              # JSON event-log directory (file source)
+    state_dir: str               # materialized PK-table location (parquet)
+    checkpoint_dir: str          # offset/commit WAL (T3)
+    key: str = "order_key"
+    envelope: StructType = field(default_factory=lambda: ORDER_EVENT_ENVELOPE)
+    seq_col: str = "_seq"
+    deleted_col: str = "__deleted"
+    trigger_seconds: int | None = None   # None -> availableNow (drain & stop)
+    max_files_per_trigger: int | None = None  # micro-batch sizing (T1)
+    buckets: int = 4             # PK hash buckets (reference: BUCKETS 4)
+
+
+def _state_path(cfg: CdcLoadConfig) -> str:
+    return os.path.join(cfg.state_dir, "current")
+
+
+def read_state(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
+    """Current materialized table (empty-schema-safe)."""
+    path = _state_path(cfg)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # no state yet
+
+
+def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> None:
+    """Keyed last-write-wins merge of one micro-batch into the state table.
+
+    Idempotent: replaying a batch re-reduces to the same state because the
+    reduction key is (pk, max seq) — the reference's PK-table apply
+    semantics (docs/ARCHITECTURE.md:120-129) including delete handling.
+    """
+    parsed = parse_envelope(batch, cfg.envelope, seq_col=cfg.seq_col)
+
+    # dead-letter rows whose payload didn't yield a key (malformed JSON) —
+    # the analog of Routine Load's parse-error pause/skip (T8,
+    # reference: docs/TROUBLESHOOTING.md:54-67) but non-blocking: quarantine
+    # and continue instead of pausing the job.
+    bad = parsed.filter(F.col(cfg.key).isNull())
+    if not bad.isEmpty():
+        bad.write.mode("append").parquet(os.path.join(cfg.state_dir, "_dead_letter"))
+    parsed = parsed.filter(F.col(cfg.key).isNotNull())
+
+    latest = latest_by_key(parsed, cfg.key, cfg.seq_col)
+
+    current = read_state(spark, cfg)
+    if current is not None:
+        merged = current.unionByName(latest, allowMissingColumns=True)
+        latest = latest_by_key(merged, cfg.key, cfg.seq_col)
+
+    live = latest.filter(
+        F.col(cfg.deleted_col).isNull()
+        | (F.col(cfg.deleted_col) != F.lit("true"))
+    )
+
+    # hash-bucketed layout on the PK, then atomic swap (parquet-safe upsert)
+    tmp = os.path.join(cfg.state_dir, "_staging")
+    live.repartition(cfg.buckets, F.col(cfg.key)).write.mode("overwrite").parquet(tmp)
+    final = _state_path(cfg)
+    staged = spark.read.parquet(tmp)
+    staged.write.mode("overwrite").parquet(final)
+
+
+def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
+    """CREATE ROUTINE LOAD analog: build and start the named StreamingQuery."""
+    reader = (
+        spark.readStream.schema("`_seq` LONG, value STRING")
+        .option("maxFilesPerTrigger", cfg.max_files_per_trigger or 10)
+    )
+    events = reader.json(cfg.source_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_batch(spark, cfg, batch_df)
+
+    writer = (
+        events.writeStream.queryName(cfg.name)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .foreachBatch(apply_batch)
+    )
+    if cfg.trigger_seconds is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+    return writer.start()
+
+
+def kafka_stream(spark: SparkSession, bootstrap: str, topics: str, starting: str = "earliest") -> DataFrame:
+    """Kafka source builder (S4/S5) — the production ingress.
+
+    Not exercisable in this container (no broker); the returned plan is the
+    documented deployment path: value bytes -> string -> the same
+    parse_envelope/merge pipeline, with kafka offset as the sequence column.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting)
+        .load()
+        .select(
+            F.col("offset").alias("_seq"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )

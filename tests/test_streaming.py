@@ -1,0 +1,151 @@
+"""Streaming materializer E2E: the asserted version of test-pipeline.sh.
+
+The reference smoke (test-pipeline.sh:12-40) inserts/updates/deletes and
+eyeballs SELECTs; here the same sequence is streamed through the engine and
+the materialized state is asserted — including delete propagation (the case
+the committed reference config silently drops, SURVEY.md §2.10 T5) and
+checkpoint resume (T3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_debezium_starrocks_spark.streaming import (
+    CdcLoadConfig,
+    LoadJobManager,
+    read_state,
+)
+
+
+def _write_events(path: str, fname: str, events: list[dict | None]) -> None:
+    """One JSON event per line; None -> tombstone row (null value)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, fname), "w") as f:
+        for i, e in enumerate(events):
+            if e is None:
+                f.write(json.dumps({"_seq": 10_000 + i, "value": None}) + "\n")
+            else:
+                seq = e.pop("_seq")
+                f.write(json.dumps({"_seq": seq, "value": json.dumps(e)}) + "\n")
+
+
+def _cfg(tmp_path, name="t_orders", **kw) -> CdcLoadConfig:
+    return CdcLoadConfig(
+        name=name,
+        source_dir=str(tmp_path / "events"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **kw,
+    )
+
+
+SEED = [
+    # the 3 seed orders of mysql/init/01-init.sql:21-24, envelope shape 1
+    {"_seq": 1, "payload": {"order_key": 1, "cust_key": 11, "status": "pending",
+                            "total_price": "99.99", "__deleted": "false"}},
+    {"_seq": 2, "payload": {"order_key": 2, "cust_key": 12, "status": "shipped",
+                            "total_price": "149.50", "__deleted": "false"}},
+    # bare-payload shape (create-routine-load.sh:21 style)
+    {"_seq": 3, "order_key": 3, "cust_key": 13, "status": "pending",
+     "total_price": "75.25", "__deleted": "false"},
+]
+
+
+def test_streaming_insert_update_delete(spark, tmp_path):
+    """test-pipeline.sh sequence: snapshot + insert + update + delete."""
+    events_dir = str(tmp_path / "events")
+    _write_events(events_dir, "batch1.json", [dict(e) for e in SEED])
+    _write_events(events_dir, "batch2.json", [
+        # INSERT (test-pipeline.sh:13-15)
+        {"_seq": 4, "payload": {"order_key": 4, "cust_key": 14, "status": "new",
+                                "total_price": "200.00", "__deleted": "false"}},
+        # UPDATE order 1 (test-pipeline.sh:18-19)
+        {"_seq": 5, "order_key": 1, "cust_key": 11, "status": "completed",
+         "total_price": "99.99", "__deleted": "false"},
+        # DELETE order 2 (test-pipeline.sh:22-23) — must actually remove
+        {"_seq": 6, "payload": {"order_key": 2, "__deleted": "true"}},
+        None,  # kafka tombstone (drop.tombstones=false) must not crash
+    ])
+
+    cfg = _cfg(tmp_path)
+    mgr = LoadJobManager(spark)
+    q = mgr.create(cfg)
+    q.awaitTermination(120)
+
+    state = read_state(spark, cfg)
+    rows = {r.order_key: r for r in state.collect()}
+    assert set(rows) == {1, 3, 4}, "delete of key 2 must propagate"
+    assert rows[1].status == "completed"
+    assert rows[1].total_price == "99.99"
+    assert rows[4].status == "new"
+
+    # SHOW ROUTINE LOAD analog reports the finished job
+    [job] = mgr.show()
+    assert job["JobName"] == "t_orders"
+    assert job["Statistic"]["batchId"] is not None
+
+
+def test_streaming_resume_from_checkpoint(spark, tmp_path):
+    """RESUME semantics (T3): new events after a stop are picked up, old
+    offsets are not reprocessed (idempotent state either way)."""
+    events_dir = str(tmp_path / "events")
+    _write_events(events_dir, "b1.json", [dict(e) for e in SEED])
+
+    cfg = _cfg(tmp_path, name="t_resume")
+    mgr = LoadJobManager(spark)
+    mgr.create(cfg)
+    mgr.await_all(120)
+    assert read_state(spark, cfg).count() == 3
+
+    # stop happened (availableNow drained); add a delete + an insert, resume
+    _write_events(events_dir, "b2.json", [
+        {"_seq": 7, "payload": {"order_key": 3, "__deleted": "true"}},
+        {"_seq": 8, "payload": {"order_key": 9, "cust_key": 19, "status": "new",
+                                "total_price": "1.00", "__deleted": "false"}},
+    ])
+    mgr.resume("t_resume")
+    mgr.await_all(120)
+
+    state = read_state(spark, cfg)
+    assert {r.order_key for r in state.collect()} == {1, 2, 9}
+
+
+def test_streaming_dead_letter_quarantine(spark, tmp_path):
+    """Malformed payloads are quarantined, not fatal (T8 error-pause analog)."""
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    with open(os.path.join(events_dir, "bad.json"), "w") as f:
+        f.write(json.dumps({"_seq": 1, "value": "{not json at all"}) + "\n")
+        f.write(json.dumps({"_seq": 2, "value": json.dumps(
+            {"order_key": 5, "cust_key": 15, "status": "ok",
+             "total_price": "5.00", "__deleted": "false"})}) + "\n")
+
+    cfg = _cfg(tmp_path, name="t_dlq")
+    LoadJobManager(spark).create(cfg).awaitTermination(120)
+
+    state = read_state(spark, cfg)
+    assert [r.order_key for r in state.collect()] == [5]
+    dlq = spark.read.parquet(str(tmp_path / "state" / "_dead_letter"))
+    assert dlq.count() == 1
+
+
+def test_streaming_upsert_within_batch_order(spark, tmp_path):
+    """Last-write-wins must respect _seq inside a single micro-batch."""
+    events_dir = str(tmp_path / "events")
+    _write_events(events_dir, "b.json", [
+        {"_seq": 30, "payload": {"order_key": 1, "cust_key": 1, "status": "late",
+                                 "total_price": "3.00", "__deleted": "false"}},
+        {"_seq": 10, "payload": {"order_key": 1, "cust_key": 1, "status": "early",
+                                 "total_price": "1.00", "__deleted": "false"}},
+        {"_seq": 20, "payload": {"order_key": 1, "cust_key": 1, "status": "mid",
+                                 "total_price": "2.00", "__deleted": "false"}},
+    ])
+    cfg = _cfg(tmp_path, name="t_order", max_files_per_trigger=1)
+    LoadJobManager(spark).create(cfg).awaitTermination(120)
+    [row] = read_state(spark, cfg).collect()
+    assert row.status == "late" and row.total_price == "3.00"
