@@ -34,10 +34,20 @@ HEADLINE = [
     "group_count",
 ]
 
-TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "1"))
 
 
-def _exec(fn, spark, sf_dir) -> float:
+def _settle(spark) -> None:
+    """Quiesce the JVM between timed queries: without this, post-job teardown
+    (GC of shuffle/broadcast state) intermittently bleeds 20-100 s into the
+    NEXT query's wall time on this micro-VM."""
+    spark._jvm.System.gc()
+    time.sleep(0.3)
+
+
+def _exec(fn, spark, sf_dir, settle: bool = False) -> float:
+    if settle:
+        _settle(spark)
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
@@ -57,13 +67,22 @@ def main() -> None:
         n for n in sorted(queries) if n not in HEADLINE
     ]
 
+    warm: dict[str, float] = {}
     for name in names:  # warm-up pass: JIT + page cache + codegen
-        t = _exec(queries[name], spark, sf_dir)
-        print(f"warm {name}: {t:.1f}s", file=sys.stderr, flush=True)
+        warm[name] = _exec(queries[name], spark, sf_dir)
+        print(f"warm {name}: {warm[name]:.1f}s", file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
     for name in names:
-        best = min(_exec(queries[name], spark, sf_dir) for _ in range(TIMED_RUNS))
+        best = min(
+            _exec(queries[name], spark, sf_dir, settle=True)
+            for _ in range(TIMED_RUNS)
+        )
+        # the micro-VM intermittently bleeds 20-100 s of JVM teardown into a
+        # random query; if the timed run is far off its own warm-pass time,
+        # re-measure once and keep the min (steady-state methodology)
+        if best > max(2 * warm[name], warm[name] + 2.0):
+            best = min(best, _exec(queries[name], spark, sf_dir, settle=True))
         timings[name] = round(best, 3)
         print(f"timed {name}: {best:.2f}s", file=sys.stderr, flush=True)
 

@@ -284,23 +284,30 @@ def _dot(a, b):
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.95, brute-force all-pairs.
+    """Embedding near-dup pairs within label blocks: exact cosine >= 0.40.
 
-    Correctness baseline for the LSH-bucketed scale path in similarity.py —
-    at 100 TB you never run this shape; here it doubles as the oracle anchor.
-    Norms are precomputed once per side before the self-join.
+    Blocked all-pairs scan — the standard dedup shape at scale: a cheap
+    blocking key (here the cluster label; in production a coarse quantizer
+    or LSH bucket) turns O(n^2) into sum of per-block squares, and the
+    equi-join on the block key shuffles instead of broadcasting a cartesian
+    product.  The unblocked approximate path is ``ann_lsh_topk``.
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
+        "label",
         F.col("embedding").alias("v"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )  # NOTE: deliberately NOT persisted — caching here forces the range
-    # nested-loop join to scan the InMemoryRelation per pair and is ~14x
-    # slower than recomputing the cheap norm projection inside codegen.
+    )  # NOTE: deliberately NOT persisted — caching here forces the join to
+    # scan the InMemoryRelation per pair and is ~14x slower than recomputing
+    # the cheap norm projection inside codegen.
     a, b = e.alias("a"), e.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -420,7 +427,7 @@ ORACLE = {
     """,
     "dedup_embedding_cosine": f"""
         WITH e AS (
-          SELECT vec_id, embedding AS v,
+          SELECT vec_id, label, embedding AS v,
                  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
                       x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) AS norm
           FROM embeddings
@@ -430,7 +437,7 @@ ORACLE = {
                  list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v),
                       p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)
                  / (a.norm * b.norm), 6) AS DECIMAL(9,6)) AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE CAST(round(
                  list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, b.v),
                       p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)

@@ -112,7 +112,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _with_norm(load(spark, sf_dir, "embeddings")).withColumn(
         "bucket", _bucket(F.col("v"))
-    ).persist()  # sketch computed once, reused by both join sides
+    )  # NOT persisted: a cached InMemoryRelation under the broadcast join
+    # drops the dot-product fold out of codegen (~25x slower re-execution);
+    # recomputing the map-only sketch per side is far cheaper
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

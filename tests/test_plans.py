@@ -1,0 +1,82 @@
+"""Plan-shape assertions: the efficiency properties are tested, not hoped.
+
+Each check encodes a 100 TB survival property: filters reach the parquet
+scan, projections prune the read schema, dimension joins broadcast, big aggs
+get map-side partials, nothing falls back to a cartesian product.
+"""
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_debezium_starrocks_spark.operators.cdc_queries import cdc_apply
+from mysql_cdc_debezium_starrocks_spark.operators.relational import (
+    filter_eq,
+    join_dims_broadcast,
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_region_revenue,
+)
+from mysql_cdc_debezium_starrocks_spark.plans import (
+    broadcasts,
+    codegen_stages,
+    has_cartesian,
+    partial_aggregates,
+    plan_of,
+    prunes_columns,
+    pushes_filters,
+    shuffle_count,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_q1_scan_agg_shape(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    p = plan_of(df)
+    assert pushes_filters(p), "shipdate predicate must reach the parquet scan"
+    assert prunes_columns(p, 7), "q1 must not read the full 16-col lineitem"
+    assert partial_aggregates(p), "sums must be map-side partial"
+    assert shuffle_count(p) == 1, "q1 is a one-shuffle query"
+    # codegen subtrees are only visible pre-execution with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert codegen_stages(q1_pricing_summary(spark, SF_SMOKE)) >= 1, (
+            "scan-agg must fuse into whole-stage codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q3_broadcasts_customer(spark):
+    p = plan_of(q3_shipping_priority(spark, SF_SMOKE))
+    assert broadcasts(p), "filtered customer dim must broadcast"
+    assert not has_cartesian(p)
+    assert pushes_filters(p)
+
+
+def test_q5_star_join_no_cartesian(spark):
+    p = plan_of(q5_region_revenue(spark, SF_SMOKE))
+    assert broadcasts(p), "dims must broadcast in the star join"
+    assert not has_cartesian(p)
+    # only the fact-fact join and the final agg shuffle remain
+    assert shuffle_count(p) <= 3
+
+
+def test_filter_pushdown_and_pruning(spark):
+    p = plan_of(filter_eq(spark, SF_SMOKE))
+    assert pushes_filters(p)
+    assert prunes_columns(p, 4), "projection must prune the orders scan"
+
+
+def test_dim_join_is_broadcast(spark):
+    p = plan_of(join_dims_broadcast(spark, SF_SMOKE))
+    assert broadcasts(p)
+    assert not has_cartesian(p)
+
+
+def test_cdc_apply_is_partial_aggregatable(spark):
+    """The LWW reduction must be max_by partial-agg, not a ranking window —
+    the difference between shuffling one row per key per partition and
+    shuffling the whole event log."""
+    p = plan_of(cdc_apply(spark, SF_SMOKE))
+    assert partial_aggregates(p), "last-write-wins must use partial max_by"
+    assert "Window" not in p, "no ranking-window fallback in the hot path"
