@@ -47,16 +47,20 @@ WORDS_SQL = "list_filter(str_split_regex(lower({expr}), '\\s+'), x -> len(x) > 0
 def word_shingles(wcol: Column, k: int = 3) -> Column:
     """Distinct k-word shingles ('a b c' strings) from a token array.
 
-    Guarded for short docs (< k tokens -> empty array) because Spark's
-    ``sequence(0, n)`` flips to a descending range when n < 0.
+    Built as zip_with over k shifted slices rather than
+    ``transform(sequence, i -> element_at(w, i+j))``: an outer-array
+    reference inside a HOF lambda is re-evaluated PER ELEMENT (no
+    common-subexpression elimination in interpreted HOFs), which made the
+    index formulation O(|words|^2) per document.  Slices evaluate their
+    input once per row; short docs (< k tokens) yield empty slices, so no
+    guard is needed.
     """
-    idx = F.sequence(F.lit(0), F.size(wcol) - k)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(wcol, i + j + 1) for j in range(k)]
-    )
-    return F.when(
-        F.size(wcol) >= k, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
+    n = F.greatest(F.size(wcol) - (k - 1), F.lit(0))
+    parts = [F.slice(wcol, F.lit(j + 1), n) for j in range(k)]
+    zipped = parts[k - 1]
+    for j in range(k - 2, -1, -1):
+        zipped = F.zip_with(parts[j], zipped, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(zipped)
 
 
 def word_shingles_sql(wcol: str = "w", k: int = 3) -> str:

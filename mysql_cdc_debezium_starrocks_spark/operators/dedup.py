@@ -191,7 +191,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on sampled id pairs (the verify primitive alone)."""
     sh = _doc_shingles(spark, sf_dir)
     a = sh.filter(F.col("doc_id") % 25 == 0).alias("a")
-    b = sh.alias("b")
+    # b.doc_id = a.doc_id + 1 implies b.doc_id % 25 == 1: push that filter so
+    # the b side shingles only 1/25th of the corpus instead of all of it
+    b = sh.filter(F.col("doc_id") % 25 == 1).alias("b")
     pair = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
     jac = F.size(F.array_intersect("a.sh", "b.sh")) / F.size(
         F.array_union("a.sh", "b.sh")

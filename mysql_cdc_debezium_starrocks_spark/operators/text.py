@@ -138,16 +138,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     k = 8
-    idx = F.sequence(F.lit(1), F.length(norm) - (k - 1))
-    return d.select(
+    # 8-char grams as zip_with over shifted char slices: referencing `norm`
+    # inside a transform lambda would re-run the regexp per element (see
+    # functions.word_shingles); slices evaluate the char split once per row.
+    chars = F.split(norm, "")
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    parts = [F.slice(chars, F.lit(j + 1), n) for j in range(k)]
+    gram = parts[k - 1]
+    for j in range(k - 2, -1, -1):
+        gram = F.zip_with(parts[j], gram, lambda a, b: F.concat(a, b))
+    gh = F.transform(gram, lambda g: phash32(g, "gram"))
+    grams = d.select("doc_id", norm.alias("norm"), gh.alias("gh"))
+    return grams.select(
         "doc_id",
-        phash32(norm, "doc").alias("doc_hash"),
-        F.array_min(
-            F.transform(idx, lambda i: phash32(norm.substr(i, F.lit(k)), "gram"))
-        ).alias("min_gram_hash"),
-        F.array_max(
-            F.transform(idx, lambda i: phash32(norm.substr(i, F.lit(k)), "gram"))
-        ).alias("max_gram_hash"),
+        phash32(F.col("norm"), "doc").alias("doc_hash"),
+        F.array_min("gh").alias("min_gram_hash"),
+        F.array_max("gh").alias("max_gram_hash"),
     )
 
 
