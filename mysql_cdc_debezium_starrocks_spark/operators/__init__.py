@@ -31,7 +31,8 @@ def _modules():
         multimodal,
         relational,
         similarity,
+        temporal,
         text,
     )
 
-    return (cdc_queries, relational, dedup, similarity, text, multimodal, events)
+    return (cdc_queries, relational, dedup, similarity, text, multimodal, events, temporal)

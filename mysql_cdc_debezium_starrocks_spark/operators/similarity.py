@@ -33,6 +33,15 @@ N_PLANES = 8
 LSH_TOPK = 3
 DIM = 64
 
+# IVF index parameters: centroids are a deterministic 1/CENT_MOD sample of the
+# corpus itself (vec_id % CENT_MOD == CENT_RES) -- no iterative k-means needed
+# for a deterministic, oracle-reproducible index; swap in k-means centroids in
+# production without changing the query plan.
+CENT_MOD = 25
+CENT_RES = 7
+NPROBE = 2
+IVF_TOPK = 3
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -142,6 +151,69 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-3: assign every vector to its
+    nearest centroid cell, probe each query's NPROBE nearest cells, exact
+    cosine only on cell candidates.
+
+    Scale shape: centroid scoring is map-only (broadcast centroids into the
+    codegen'd fold); cell assignment is ONE partial-aggregatable shuffle on
+    vec_id (``max_by`` combines map-side, so the wire carries one row per
+    vector, not one per vector x centroid); the probe side is queries x
+    NPROBE rows -> broadcast; candidate volume ~ n * NPROBE / n_cells per
+    query instead of n.  This is the standard IVF cost model — at 100 TB the
+    corpus is scanned once and only candidate cells are re-ranked.
+    """
+    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") % CENT_MOD == CENT_RES).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", "cent_id", ccos.alias("ccos")
+    )
+    # nearest cell per vector: max cosine, ties -> smallest cent_id
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cell"),
+        F.first("v").alias("v"),
+        F.first("norm").alias("norm"),
+    )
+    qscored = scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+    pw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
+    probes = (
+        qscored.withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+    ).cast("decimal(9,6)")
+    cand = assign.join(
+        F.broadcast(probes),
+        (assign["cell"] == probes["cell"]) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
 _DOT_SQL = (
     "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
     "p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
@@ -203,9 +275,44 @@ ORACLE = {
                     ORDER BY cosine DESC, vec_id) AS rank FROM cand) t
         WHERE rank <= {LSH_TOPK}
     """,
+    "ann_ivf_topk": f"""
+        WITH {_NORM_CTE},
+        cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+                  WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+        scored AS (
+          SELECT e.vec_id, e.v, e.norm, c.cent_id,
+                 {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
+          FROM e CROSS JOIN cents c
+        ),
+        assign AS (
+          SELECT vec_id, v, norm, cent_id AS cell
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cent_id) AS rnk FROM scored) t
+          WHERE rnk = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cent_id) AS prank FROM scored
+                WHERE vec_id % {QUERY_MOD} = 0) t
+          WHERE prank <= {NPROBE}
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id,
+                 CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
+                      AS DECIMAL(9,6)) AS cosine
+          FROM assign a JOIN probes p
+            ON a.cell = p.cell AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id, cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS rank FROM cand) t
+        WHERE rank <= {IVF_TOPK}
+    """,
 }
 
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }

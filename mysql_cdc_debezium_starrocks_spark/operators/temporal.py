@@ -1,0 +1,175 @@
+"""Temporal joins over the ``events`` fixture: as-of and range (band) joins.
+
+The reference pipeline is arrival-ordered (SURVEY.md §2.10) and its SQL never
+joins on time, but any consumer of CDC-materialized event tables immediately
+needs these two operators, and Spark has no built-in for either:
+
+- **as-of join** (``join_asof``): for each left row, the single most recent
+  right row at-or-before its timestamp, per key.  Implemented as the
+  union-and-carry-forward pattern — tag both sides, union, and let
+  ``last(..., ignorenulls=True)`` over a (key, time)-ordered running window
+  carry the latest right-side values onto each left row.  This is ONE shuffle
+  on the join key + one sort, independent of time-range width — the scalable
+  shape.  The naive alternative (inequality join + argmax) explodes to
+  |L|x|R| per key before pruning and dies at 100 TB.
+- **range/band join** (``join_range``): left rows matched to the interval
+  [lo, hi) of an *irregular* bands dimension.  The bands side is tiny, so the
+  right plan is broadcast nested-loop with the range predicate — the big side
+  streams through once, no shuffle.  (For regular-width bands you'd compute
+  the bucket arithmetically instead; the operator exists for the irregular
+  case.)
+
+Both are oracle-checked: DuckDB LATERAL reproduces as-of deterministically,
+and a plain inequality join reproduces the band join.  Timestamps are
+compared at microsecond precision on both engines (events.parquet is
+TIMESTAMP(NANOS); Spark truncates ns->us on read, the oracle casts
+``ts::TIMESTAMP`` to match — see catalog._load_events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+
+RIGHT_TYPE = "purchase"  # the as-of right side: latest purchase per user
+
+# Irregular value bands (width varies 1 -> 400): the case where a range join
+# is genuinely needed because no closed-form bucket function exists.
+BANDS = [(0, 0.0, 1.0), (1, 1.0, 5.0), (2, 5.0, 20.0), (3, 20.0, 100.0), (4, 100.0, 500.0)]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    order: str,
+    value_cols: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """Generic as-of join: latest ``right`` row with right.ts <= left.ts per key.
+
+    Ties on ``ts`` admit the right row (at-or-before); ties among right rows
+    at the same instant resolve to the greatest ``order`` value, so the
+    result is deterministic.  One shuffle on ``key``; state is O(1) per row
+    during the sort — survives arbitrarily long histories.
+    """
+    rt = right.select(key, ts, order, *value_cols).withColumn("_side", F.lit(0))
+    lt = left.withColumn("_side", F.lit(1))
+    ltypes, rtypes = dict(lt.dtypes), dict(rt.dtypes)
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(ltypes[c]))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None).cast(rtypes[c]))
+    u = rt.unionByName(lt.select(rt.columns))
+    # Right rows sort before left rows at equal ts (_side 0 < 1) => inclusive
+    # at-or-before; `order` ascending => last() picks the max-order right row.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side", order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def carry(c: str) -> Column:
+        return F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
+
+    carried = [carry(c).alias(f"{prefix}{c}") for c in (ts, *value_cols)]
+    return u.select(*left.columns, *carried, "_side").filter(F.col("_side") == 1).drop("_side")
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each non-purchase event joined to the user's most recent purchase
+    at-or-before it (purchase_ts/purchase_value NULL if none yet)."""
+    e = load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != RIGHT_TYPE).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    right = e.filter(F.col("event_type") == RIGHT_TYPE)
+    out = asof_join(
+        left, right, key="user_id", ts="ts", order="event_id", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("r_ts").alias("purchase_ts"),
+        F.col("r_value").alias("purchase_value"),
+    )
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: events matched to irregular value bands, then per-band stats.
+
+    Plan: broadcast(bands) nested-loop on the range predicate — the events
+    side streams through map-only; the final groupBy is on 5 keys.
+    """
+    e = load(spark, sf_dir, "events")
+    # JVM-side literal dimension (inline of a literal struct array):
+    # createDataFrame(list) would plan a Python-RDD scan that forks Python
+    # workers on every execution (~5 s of pure overhead for 5 rows)
+    bands = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band_id"),
+                        F.lit(lo).alias("lo"),
+                        F.lit(hi).alias("hi"),
+                    )
+                    for b, lo, hi in BANDS
+                ]
+            )
+        )
+    )
+    joined = e.join(
+        F.broadcast(bands), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return (
+        joined.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select("band_id", "lo", "hi", "n", "sum_value")
+    )
+
+
+_BANDS_SQL = "(VALUES " + ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in BANDS) + ")"
+
+ORACLE = {
+    "join_asof": f"""
+        WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+          FROM events
+        ),
+        l AS (SELECT event_id, user_id, ts, event_type FROM ev
+              WHERE event_type <> '{RIGHT_TYPE}')
+        SELECT l.event_id, l.user_id, l.ts, l.event_type,
+               p.ts AS purchase_ts, p.value AS purchase_value
+        FROM l LEFT JOIN LATERAL (
+          SELECT r.ts, r.value FROM ev r
+          WHERE r.event_type = '{RIGHT_TYPE}'
+            AND r.user_id = l.user_id AND r.ts <= l.ts
+          ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+        ) p ON true
+    """,
+    "join_range": f"""
+        SELECT b.band_id, b.lo, b.hi, count(*) AS n,
+               sum(CAST(e.value AS DECIMAL(18,2))) AS sum_value
+        FROM events e
+        JOIN {_BANDS_SQL} b(band_id, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY 1, 2, 3
+    """,
+}
+
+QUERIES = {
+    "join_asof": join_asof,
+    "join_range": join_range,
+}

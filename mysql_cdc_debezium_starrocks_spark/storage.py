@@ -1,0 +1,84 @@
+"""Physical-layout tools: bucketed persistence and skew-resistant joins.
+
+The reference's target distributes every PK table as ``DISTRIBUTED BY
+HASH(pk) BUCKETS 4`` with a persistent index (create-starrocks-tables.sh:26-29)
+so upserts and PK joins never re-shuffle.  Spark's equivalent is bucketed
+tables: ``bucketBy(n, key)`` persists the hash-partitioned layout, and any
+later equi-join or aggregation on the bucket key reads it shuffle-free
+(SortMergeJoin with zero Exchange when both sides share the bucket spec).
+
+At 100 TB this is the difference between re-shuffling the fact table on every
+query and shuffling it once at write time — the single biggest lever the
+engine has for repeated-join workloads.
+
+``salted_join`` is the complementary runtime tool: when one join key carries
+a disproportionate share of rows (hot key), AQE's skew splitting handles
+sort-merge spills, but a broadcast-incompatible hot key can still pin one
+task.  Salting splits each hot key into ``salts`` sub-keys by replicating the
+small side — turning one straggler task into ``salts`` parallel ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 4,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by ``key``.
+
+    Mirrors the reference's ``DISTRIBUTED BY HASH(pk) BUCKETS n``; ``sort``
+    adds per-bucket ordering so bucket-joins skip the sort step too.
+    """
+    w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-spec bucketed tables on their bucket key.
+
+    With matching bucket counts Catalyst plans a SortMergeJoin with no
+    Exchange on either side (asserted in tests/test_storage.py).
+    """
+    return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: split every big-side key into ``salts``
+    sub-keys; replicate the small side across all salts.
+
+    Only ``inner`` and ``left`` are sound (the replicated small side would
+    duplicate unmatched right rows under right/full).  The salt assignment
+    uses ``rand(seed)`` — which salt a row lands on is irrelevant to
+    correctness because the small side exists under every salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if set(big.columns) & set(small.columns) - {key}:
+        overlap = set(big.columns) & set(small.columns) - {key}
+        raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    bs = big.withColumn("_salt", F.floor(F.rand(seed) * salts).cast("int"))
+    ss = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return bs.join(ss, [key, "_salt"], how).drop("_salt")

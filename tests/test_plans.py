@@ -15,6 +15,8 @@ from mysql_cdc_debezium_starrocks_spark.operators.relational import (
     q3_shipping_priority,
     q5_region_revenue,
 )
+from mysql_cdc_debezium_starrocks_spark.operators.similarity import ann_ivf_topk
+from mysql_cdc_debezium_starrocks_spark.operators.temporal import join_asof, join_range
 from mysql_cdc_debezium_starrocks_spark.plans import (
     broadcasts,
     codegen_stages,
@@ -80,3 +82,30 @@ def test_cdc_apply_is_partial_aggregatable(spark):
     p = plan_of(cdc_apply(spark, SF_SMOKE))
     assert partial_aggregates(p), "last-write-wins must use partial max_by"
     assert "Window" not in p, "no ranking-window fallback in the hot path"
+
+
+def test_asof_join_is_union_window_single_shuffle(spark):
+    """The as-of join must be the union-and-carry-forward shape: one shuffle
+    on the key, no inequality join explosion."""
+    p = plan_of(join_asof(spark, SF_SMOKE))
+    assert not has_cartesian(p)
+    assert "BroadcastNestedLoopJoin" not in p, "no pairwise time-range join"
+    assert shuffle_count(p) == 1, p
+
+
+def test_range_join_broadcasts_bands(spark):
+    """Band join: tiny bands side broadcast, events stream through map-only —
+    the only shuffle is the final 5-group aggregation."""
+    p = plan_of(join_range(spark, SF_SMOKE))
+    assert not has_cartesian(p)
+    assert "BroadcastNestedLoopJoin" in p, "range predicate join must broadcast bands"
+    assert shuffle_count(p) == 1, p
+
+
+def test_ivf_assignment_is_partial_agg(spark):
+    """IVF cell assignment must be map-side-combining max_by (one row per
+    vector through the wire), with centroids broadcast."""
+    p = plan_of(ann_ivf_topk(spark, SF_SMOKE))
+    assert partial_aggregates(p), "cell argmax must be partial max_by"
+    assert broadcasts(p)
+    assert not has_cartesian(p)

@@ -1,0 +1,102 @@
+"""Physical-layout tests: bucketed co-located joins and salted skew joins.
+
+These assert the SCALE properties, not just row correctness: a bucketed
+PK-table join must plan with zero shuffle exchanges (the reference's
+``DISTRIBUTED BY HASH`` analog), and a salted join must return exactly the
+rows of the plain join it replaces.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_debezium_starrocks_spark.catalog import load
+from mysql_cdc_debezium_starrocks_spark.plans import plan_of, shuffle_count
+from mysql_cdc_debezium_starrocks_spark.storage import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force sort-merge joins so the bucketed plan shape is observable."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_plans_zero_shuffles(spark, tmp_path, no_broadcast):
+    orders = load(spark, SF_SMOKE, "orders")
+    lineitem = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", 4, path=str(tmp_path / "o"))
+    li = lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(li, "b_lineitem", "o_orderkey", 4, path=str(tmp_path / "l"))
+    try:
+        j = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = plan_of(j)
+        assert shuffle_count(plan) == 0, plan
+        # same result as the direct (shuffling) join
+        direct = orders.join(li, "o_orderkey").count()
+        assert j.count() == direct
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_groupby_avoids_shuffle(spark, tmp_path, no_broadcast):
+    li = (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_quantity")
+    )
+    write_bucketed(li, "b_li_agg", "l_orderkey", 4, path=str(tmp_path / "agg"))
+    try:
+        agg = (
+            spark.table("b_li_agg")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert shuffle_count(plan_of(agg)) == 0, plan_of(agg)
+        assert agg.count() == li.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed big side: 90% of rows under one hot key
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim")
+    )
+    plain = big.join(small, "k").select("k", "payload", "dim")
+    salted = salted_join(big, small, "k", salts=8).select("k", "payload", "dim")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.range(0, 100).select((F.col("id") % 60).alias("k"), F.col("id").alias("p"))
+    small = spark.range(0, 30).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    out = salted_join(big, small, "k", salts=4, how="left")
+    plain = big.join(small, "k", "left")
+    assert out.count() == plain.count()
+    assert out.filter(F.col("d").isNull()).count() == plain.filter(
+        F.col("d").isNull()
+    ).count()
+
+
+def test_salted_join_rejects_unsound_how(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", how="full")
