@@ -33,6 +33,17 @@ def _modules():
         similarity,
         temporal,
         text,
+        tpch,
     )
 
-    return (cdc_queries, relational, dedup, similarity, text, multimodal, events, temporal)
+    return (
+        cdc_queries,
+        relational,
+        tpch,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        events,
+        temporal,
+    )
