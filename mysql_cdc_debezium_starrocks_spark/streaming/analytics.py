@@ -1,0 +1,183 @@
+"""Streaming-native event analytics: watermarked windows, session windows,
+keyed dedup, and a custom stateful operator.
+
+The reference's pipeline is arrival-ordered with no event-time semantics
+(SURVEY.md §2.10 — Routine Load applies whatever arrives,
+create-routine-load.sh:15-48); these operators are the parity-plus streaming
+surface a training-data pipeline needs: bounded-state aggregation under late
+data, native session windows, within-watermark dedup, and an
+``applyInPandasWithState`` example for semantics the built-ins can't express.
+
+Every function takes a *streaming* DataFrame with an event-time column and
+returns a transformed streaming DataFrame — source/sink wiring stays with the
+caller (tests drive a file source with ``availableNow``; production wires
+Kafka via ``materializer.kafka_stream``).
+
+Scale notes:
+- Watermarks bound state: without one, a windowed agg's state grows with the
+  key×window cardinality forever.  Every stateful operator here requires an
+  explicit watermark for exactly that reason.
+- Windowed aggregation is ONE shuffle on (window, key) with map-side partial
+  aggregation — the same shape as the batch `events_windowed`.
+- ``dropDuplicatesWithinWatermark`` keeps one state row per key within the
+  watermark horizon — at 100 TB the horizon, not the corpus, sizes the state
+  store.
+- The stateful op moves Arrow batches (not pickled rows) between JVM and
+  Python, grouped per key; state is one small tuple per key.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    window_length: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data bound (A5/T7).
+
+    Append-mode compatible: a window emits once the watermark passes its end,
+    and rows later than the watermark are dropped instead of growing state.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_length).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native session windows per user (gap-based), the streaming twin of the
+    batch lag+cumsum sessionization in ``operators/events.py``.
+
+    ``session_window`` merges adjacent state as events arrive; the watermark
+    closes sessions whose gap has provably expired.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keyed exactly-once-within-horizon dedup (the streaming analog of the
+    CDC pipeline's idempotent keyed merge, SURVEY.md §2.10 T4/T6).
+
+    State = one row per key inside the watermark horizon; duplicates arriving
+    within the horizon are suppressed, and state is evicted as the watermark
+    advances — bounded regardless of stream length.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+# --- custom stateful operator: applyInPandasWithState ------------------------
+
+_USER_STATS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_USER_STATS_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("last_us", LongType()),  # event-time micros (epoch)
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for one user into running totals.
+
+    Emits one updated row per (user, batch) — the running-counter semantics
+    the built-in windowed aggs can't express (no window: totals over the
+    whole stream so far).
+    """
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if pd.notna(batch_max):
+            last_us = max(last_us, int(pd.Timestamp(batch_max).value // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running totals across the whole stream via
+    ``applyInPandasWithState`` (Arrow-batched, one state tuple per user).
+
+    Update output mode: each micro-batch emits the refreshed totals for the
+    users it touched.  No timeout — user state lives for the stream's
+    lifetime; pass a horizon-bounded variant for unbounded key spaces.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=_USER_STATS_OUTPUT,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,153 @@
+"""Streaming analytics operators: watermarked windows, session windows,
+within-watermark dedup, and the applyInPandasWithState running counters.
+
+Each test drives a file-source stream (one file == one micro-batch, mtimes
+pinned so batch order is deterministic) through ``availableNow`` into a
+memory sink, so emission/late-drop semantics are asserted end-to-end, not
+just plan-checked.  Spark runs a trailing no-data micro-batch, so windows
+closed by the final watermark do emit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from mysql_cdc_debezium_starrocks_spark.streaming.analytics import (
+    dedup_within_watermark,
+    running_user_stats,
+    sessionize,
+    windowed_counts,
+)
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+
+def _write_batches(root, batches):
+    """One JSON-lines file per micro-batch, mtime-ordered."""
+    os.makedirs(root, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(root, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        t = 1_700_000_000 + i * 10
+        os.utime(p, (t, t))
+
+
+def _ev(eid, ts, user=1, etype="click", value=1.0):
+    return {"event_id": eid, "ts": ts, "user_id": user, "event_type": etype, "value": value}
+
+
+def _run(spark, src, transform, mode, name):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_drops_late_rows(spark, tmp_path):
+    """A row older than the watermark is dropped; closed windows emit once
+    in append mode."""
+    src = str(tmp_path / "ev")
+    _write_batches(
+        src,
+        [
+            # batch 0: window [10:00,11:00) gets 2 rows; max ts 11:20 will put
+            # the watermark at 11:10, past [10,11)'s end
+            [_ev(1, "2024-01-01 10:05:00"), _ev(2, "2024-01-01 10:10:00"),
+             _ev(3, "2024-01-01 11:20:00")],
+            # spacer batch: watermark application lags the batch that advanced
+            # it, so give the 11:10 watermark one batch to take effect
+            [_ev(9, "2024-01-01 11:25:00")],
+            # batch 2: the 10:20 row's window end (11:00) <= watermark -> dropped;
+            # 12:30 advances the watermark past both earlier windows
+            [_ev(4, "2024-01-01 10:20:00"), _ev(5, "2024-01-01 12:30:00")],
+        ],
+    )
+    out = _run(
+        spark, src, lambda s: windowed_counts(s, "10 minutes", "1 hour"), "append", "t_win"
+    )
+    got = {(r.window_start.hour, r.n) for r in out.collect()}
+    assert (10, 2) in got, "late 10:20 row must NOT be counted into [10,11)"
+    assert (11, 2) in got
+    assert all(h != 12 for h, _ in got), "[12,13) never closes (watermark 12:20)"
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """A duplicate key arriving within the horizon is suppressed across
+    micro-batches."""
+    src = str(tmp_path / "ev")
+    _write_batches(
+        src,
+        [
+            [_ev(1, "2024-01-01 10:00:00"), _ev(2, "2024-01-01 10:01:00")],
+            [_ev(1, "2024-01-01 10:02:00"), _ev(3, "2024-01-01 10:03:00")],
+        ],
+    )
+    out = _run(
+        spark, src, lambda s: dedup_within_watermark(s, "1 hour"), "append", "t_dedup"
+    )
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3], f"duplicate event_id 1 must appear once, got {ids}"
+
+
+def test_sessionize_gap_windows(spark, tmp_path):
+    """Two sessions for one user split by a > gap quiet period; sessions
+    close once the watermark passes their end."""
+    src = str(tmp_path / "ev")
+    _write_batches(
+        src,
+        [
+            [_ev(1, "2024-01-01 10:00:00"), _ev(2, "2024-01-01 10:10:00"),
+             _ev(3, "2024-01-01 12:00:00")],
+            # far-future row pushes the watermark past both sessions' ends
+            [_ev(4, "2024-01-01 20:00:00", user=2)],
+        ],
+    )
+    out = _run(
+        spark,
+        src,
+        lambda s: sessionize(s, gap="30 minutes", watermark="10 minutes"),
+        "append",
+        "t_sess",
+    )
+    rows = {(r.user_id, r.session_start.hour, r.n_events) for r in out.collect()}
+    assert (1, 10, 2) in rows, "10:00+10:10 must merge into one session"
+    assert (1, 12, 1) in rows, "12:00 must start a new session (gap 30m)"
+    assert all(u != 2 for u, _, _ in rows), "user 2's open session must not emit"
+
+
+def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state between micro-batches."""
+    src = str(tmp_path / "ev")
+    _write_batches(
+        src,
+        [
+            [_ev(1, "2024-01-01 10:00:00", user=1, value=2.0),
+             _ev(2, "2024-01-01 10:01:00", user=1, value=3.0),
+             _ev(3, "2024-01-01 10:02:00", user=2, value=5.0)],
+            [_ev(4, "2024-01-01 10:03:00", user=1, value=4.0)],
+        ],
+    )
+    out = _run(spark, src, running_user_stats, "update", "t_stats")
+    # update mode appends one refreshed row per touched user per batch;
+    # the final state per user is the row with the max n_events
+    final = {}
+    for r in out.collect():
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    assert final[1].n_events == 3 and final[1].total_value == 9.0
+    assert final[2].n_events == 1 and final[2].total_value == 5.0
+    assert final[1].last_ts.minute == 3, "last_ts must track the newest event"
