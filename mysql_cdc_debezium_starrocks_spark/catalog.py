@@ -28,6 +28,22 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, parts: int | None = None
+) -> DataFrame:
+    """Load with the scan spread across all cores.
+
+    The local fixtures are single small parquet files, which read as ONE
+    input partition — any compute-heavy per-row derivation (shingle/sketch
+    folds, gram hashing, vector math) then runs single-threaded.  On a real
+    cluster the same table arrives as many splits and this repartition would
+    be wasted, so use it only for operators whose per-row cost dwarfs one
+    round of shuffle IO; cheap scans keep plain :func:`load`.
+    """
+    df = load(spark, sf_dir, name)
+    return df.repartition(parts or spark.sparkContext.defaultParallelism)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")

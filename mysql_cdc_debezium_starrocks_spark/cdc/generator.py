@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load_spread
 
 UPDATE_MOD = 5
 DELETE_MOD = 7
@@ -37,7 +37,10 @@ TOMBSTONE_MOD = 11
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .schemas import TS_WIRE_FORMAT
 
-    o = load(spark, sf_dir, "orders")
+    # spread: the single-file fixture reads as one partition, and the JSON
+    # serialize/parse round-trip downstream is the most expensive map work
+    # in the whole suite — see catalog.load_spread
+    o = load_spread(spark, sf_dir, "orders")
     return o.select(
         F.col("o_orderkey").alias("order_key"),
         F.col("o_custkey").alias("cust_key"),

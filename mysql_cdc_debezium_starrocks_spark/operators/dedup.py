@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_spread
 from ..functions import (
     WORDS_SQL,
     phash32,
@@ -80,7 +80,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id", word_shingles(words(F.col("text"))).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -215,7 +215,7 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explode/groupBy shape gets map-side partial aggregation; at scale it
     is one shuffle on doc_id.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
     h = phash32(F.col("word"), "sh")
     bit_sums = [
@@ -294,7 +294,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the block key shuffles instead of broadcasting a cartesian
     product.  The unblocked approximate path is ``ann_lsh_topk``.
     """
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").alias("v"),

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load_spread
 
 FRAME_BYTES = 16
 FRAME_STRIDE = 4  # sample every 4th frame
@@ -50,7 +50,7 @@ def decode_image(payload: bytes) -> "object":
 
 
 def _with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select("doc_id", F.encode("text", "utf-8").alias("blob"))
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import load_spread
 from ..functions import phash32, phash32_sql
 
 TOPK = 10
@@ -62,7 +62,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: broadcast(queries) nested-loop with codegen'd fold ->
     per-query ranking window -> rank <= 10.  Corpus scanned once.
     """
-    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -89,17 +89,29 @@ def _bucket(vcol: Column) -> Column:
     """Random-hyperplane LSH bucket: bit p = sign of sum_d s(p,d) * v[d],
     where s(p,d) is a +-1 pseudo-random sign from the portable hash family.
 
-    The plane-d sign lookup is precomputed as a literal array per plane, so
-    the per-vector work is one zip_with fold per plane — map-only, no data
-    exchange; portable to the oracle because the signs are hash-derived.
+    The plane-d sign lookup is precomputed DRIVER-SIDE into plain float
+    literals (hashlib.md5 == Spark md5 == DuckDB md5, so the oracle still
+    reproduces the sketch bit-exactly).  Building the signs as Spark md5
+    expressions instead put 8x64 foldable-but-unfolded-at-analysis md5 trees
+    into the plan TWICE (corpus + query side), and Catalyst analysis of that
+    tree dominated the query (~6 s driver time at any SF); per-vector work is
+    one zip_with fold per plane — map-only, no data exchange.
     """
+    import hashlib
+
     bucket = None
     for p in range(N_PLANES):
         signs = F.array(
             *[
-                F.when(
-                    phash32(F.lit(f"{p}:{d}"), "hp") % 2 == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
+                F.lit(
+                    1.0
+                    if int(
+                        hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:8], 16
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                )
                 for d in range(DIM)
             ]
         )
@@ -119,7 +131,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The equi-join on bucket is the scale path — shuffle keyed on bucket id,
     candidate volume ~ n^2 / 2^planes per bucket instead of n^2.
     """
-    e = _with_norm(load(spark, sf_dir, "embeddings")).withColumn(
+    e = _with_norm(load_spread(spark, sf_dir, "embeddings")).withColumn(
         "bucket", _bucket(F.col("v"))
     )  # NOT persisted: a cached InMemoryRelation under the broadcast join
     # drops the dot-product fold out of codegen (~25x slower re-execution);
@@ -164,7 +176,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query instead of n.  This is the standard IVF cost model — at 100 TB the
     corpus is scanned once and only candidate cells are re-ranked.
     """
-    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") % CENT_MOD == CENT_RES).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),

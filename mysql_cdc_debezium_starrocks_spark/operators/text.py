@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load_spread
 from ..functions import WORDS_SQL, phash32, phash32_sql, words
 
 _W = WORDS_SQL.format(expr="text")
@@ -42,7 +42,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     The score mirrors common pretraining-corpus filters (Gopher-style rules):
     penalize too-short docs, low uniqueness, and stopword-free word soup.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     w = words(F.col("text"))
     n_words = F.size(w)
     n_uniq = F.size(F.array_distinct(w))
@@ -76,7 +76,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     asc) encoded by negating the lang ordering via greatest on (score, lang
     reversed) — we instead compare structs explicitly for determinism.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     w = words(F.col("text"))
     n_words = F.size(w)
     scored = d.select("doc_id", F.col("lang").alias("lang_actual"), w.alias("w"), n_words.alias("nw"))
@@ -112,7 +112,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token statistics per source: whitespace tokens, word-regex tokens, and
     a BPE-ish ceil(chars/4) estimate — the standard quick token budget."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     ws_tokens = F.size(words(F.col("text")))
     re_tokens = F.size(
         F.filter(
@@ -135,7 +135,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: content digest + min/max hash over 8-char
     grams of the normalized text (the rolling-hash dedup primitive)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     k = 8
     # 8-char grams as zip_with over shifted char slices: referencing `norm`
