@@ -30,6 +30,7 @@ def _modules():
         events,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         temporal,
         text,
@@ -39,6 +40,7 @@ def _modules():
     return (
         cdc_queries,
         relational,
+        relational_ext,
         tpch,
         dedup,
         similarity,

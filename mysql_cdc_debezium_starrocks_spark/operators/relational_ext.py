@@ -1,0 +1,248 @@
+"""Extended relational surface: multi-dimensional aggregation (cube /
+grouping sets / pivot), ranking-distribution windows (ntile / percent_rank /
+lead / first-last frames), ordered string aggregation, and calendar
+bucketing.
+
+None of these appear in the reference's SQL (SURVEY.md §2.4-2.5 notes the
+absence) — they complete the query layer to "a user of the reference could
+run every query they run today, and the ones they'd write tomorrow" on the
+same engine.  All built-in expressions (JVM, codegen); every query is
+DuckDB-oracle-checked.
+
+Scale notes: cube/rollup expand the grouping set inside the partial
+aggregate (one shuffle, rows × set-count map-side); pivot with an explicit
+value list is a single conditional-agg pass (never two); window queries
+shuffle once on their partition key.  Determinism discipline: every window
+ordering carries a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+
+
+def _dec(c: str, p: int = 12, s: int = 2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one shuffle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def grouping_sets_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority)) — expressed as the union of the
+    two single-key aggregates, the shape Catalyst expands grouping sets into."""
+    o = load(spark, sf_dir, "orders")
+    by_status = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).select(
+        "o_orderstatus", F.lit(None).cast("string").alias("o_orderpriority"), "n"
+    )
+    by_prio = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(None).cast("string").alias("o_orderstatus"), "o_orderpriority", "n"
+    )
+    return by_status.unionByName(by_prio)
+
+
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot status onto columns per priority.  The explicit value list keeps
+    it a single conditional-agg pass (no extra values-discovery job)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment by price + per-quartile rollup: global ntile needs
+    one total-order sort; the rollup after it is a cheap 4-group agg."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    tiles = o.select(
+        _dec("o_totalprice").alias("price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return tiles.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+
+
+def percent_rank_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank of customer balance within market segment (distribution
+    ranking; one shuffle on the segment key)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).cast("decimal(9,6)").alias("bal_pct_rank"),
+    )
+
+
+def lead_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days until each customer's next order (lead + datediff) — the
+    inter-arrival-time primitive; one shuffle on custkey."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate", 1).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(nxt, F.col("o_orderdate")).alias("days_to_next"),
+    )
+
+
+def first_last_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order value per customer over the full partition frame —
+    via min_by/max_by, the partial-aggregatable formulation (a
+    first_value/last_value window would shuffle every row unreduced)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 3)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min_by(
+                _dec("o_totalprice"), F.struct("o_orderdate", "o_orderkey")
+            ).alias("first_price"),
+            F.max_by(
+                _dec("o_totalprice"), F.struct("o_orderdate", "o_orderkey")
+            ).alias("last_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def string_agg_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: distinct market segments per nation as a
+    sorted CSV (collect_set stays bounded: segment cardinality, not rows)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("c_mktsegment"))
+            ).alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: date_trunc month + exact decimal revenue, the
+    standard reporting rollup (one shuffle on ~84 month keys)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+QUERIES = {
+    "cube_counts": cube_counts,
+    "grouping_sets_union": grouping_sets_union,
+    "pivot_status_matrix": pivot_status_matrix,
+    "ntile_quartiles": ntile_quartiles,
+    "percent_rank_by_segment": percent_rank_by_segment,
+    "lead_reorder_gap": lead_reorder_gap,
+    "first_last_order_span": first_last_order_span,
+    "string_agg_nation_segments": string_agg_nation_segments,
+    "monthly_revenue": monthly_revenue,
+}
+
+ORACLE = {
+    "cube_counts": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "grouping_sets_union": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    "pivot_status_matrix": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "ntile_quartiles": """
+        SELECT quartile, count(*) AS n, min(price) AS min_price,
+               max(price) AS max_price
+        FROM (
+            SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                   CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+                       AS quartile
+            FROM orders
+        ) t GROUP BY quartile
+    """,
+    "percent_rank_by_segment": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(percent_rank() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey), 6) AS DECIMAL(9,6))
+                   AS bal_pct_rank
+        FROM customer WHERE c_custkey % 25 = 0
+    """,
+    "lead_reorder_gap": """
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', o_orderdate,
+                    lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)) AS INTEGER)
+                   AS days_to_next
+        FROM orders WHERE o_custkey % 100 = 7
+    """,
+    "first_last_order_span": """
+        SELECT o_custkey, first_price, last_price, n_orders FROM (
+            SELECT o_custkey,
+                   first_value(price) OVER w AS first_price,
+                   last_value(price)  OVER w AS last_price,
+                   count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+                   row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+                         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+                  FROM orders WHERE o_custkey % 50 = 3)
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        ) t WHERE rn = 1
+    """,
+    "string_agg_nation_segments": """
+        SELECT n_name,
+               array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+                   AS segments,
+               count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "monthly_revenue": """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue
+        FROM orders GROUP BY 1
+    """,
+}
