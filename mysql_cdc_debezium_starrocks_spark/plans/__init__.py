@@ -46,6 +46,16 @@ def prunes_columns(plan: str, max_cols: int, table_hint: str = "") -> bool:
     return True
 
 
+def prunes_partitions(plan: str) -> bool:
+    """At least one scan prunes by directory-partition values at plan time."""
+    return bool(re.search(r"PartitionFilters: \[(?!\])", plan))
+
+
+def dynamic_partition_pruning(plan: str) -> bool:
+    """A scan's partition filter is fed at runtime from the other join side."""
+    return "dynamicpruning" in plan.lower()
+
+
 def broadcasts(plan: str) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 

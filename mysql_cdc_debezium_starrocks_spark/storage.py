@@ -56,6 +56,29 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Persist ``df`` as a directory-partitioned parquet table.
+
+    The 100 TB layout for time-series facts: one directory per partition
+    value means a filter on the partition column prunes whole directories at
+    PLANNING time (zero IO for excluded partitions — ``PartitionFilters`` in
+    the scan, asserted in tests), and a join against a filtered dim prunes
+    them at RUNTIME via dynamic partition pruning.  Complementary to
+    :func:`write_bucketed`: partition on the coarse pruning key (date),
+    bucket within partitions on the join key.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout (partition columns recovered from paths)."""
+    return spark.read.parquet(path)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
