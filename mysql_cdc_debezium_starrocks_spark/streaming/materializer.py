@@ -19,9 +19,16 @@ effectively-once visible state (T6), exactly the reference's claim.
 Scale notes:
 - the merge shuffles on the PK (mirrors DISTRIBUTED BY HASH(pk) BUCKETS n,
   reference: create-starrocks-tables.sh:26); bucket count is configurable.
-- state is rewritten per batch here (parquet has no row-level update); at
-  100 TB the same foreachBatch body targets a MERGE-capable table format
-  (Delta/Iceberg) or partition-pruned rewrite — the dataflow is identical.
+- state is a ``_bucket=i/`` directory-partitioned parquet table (bucket =
+  pmod(hash(pk), n) — the persistent form of the reference's hash
+  distribution), and each micro-batch rewrites ONLY the buckets it touches:
+  the batch's bucket set is collected (≤ n values), the current state is
+  read partition-pruned to those buckets, and the merge result replaces
+  just those directories via dynamic partition overwrite.  Per-batch cost
+  is O(touched buckets), not O(state) — the property that keeps a keyed
+  upsert stream viable when the materialization is 100 TB.  A
+  MERGE-capable table format (Delta/Iceberg) swaps in transparently; the
+  dataflow is identical.
 - ``max_events_per_trigger`` maps the reference's ``max_batch_rows`` (T1);
   trigger interval maps ``max_batch_interval``.
 """
@@ -56,17 +63,39 @@ class CdcLoadConfig:
     buckets: int = 4             # PK hash buckets (reference: BUCKETS 4)
 
 
+_BUCKET_COL = "_bucket"
+
+
 def _state_path(cfg: CdcLoadConfig) -> str:
     return os.path.join(cfg.state_dir, "current")
 
 
-def read_state(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
-    """Current materialized table (empty-schema-safe)."""
-    path = _state_path(cfg)
+def _bucket_of(key: str, buckets: int):
+    return F.pmod(F.hash(F.col(key)), F.lit(buckets)).cast("int")
+
+
+def _read_state_raw(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
+    """State with its ``_bucket`` partition column (internal)."""
     try:
-        return spark.read.parquet(path)
+        return spark.read.parquet(_state_path(cfg))
     except Exception:
         return None  # no state yet
+
+
+def read_state(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
+    """Current materialized table (empty-schema-safe)."""
+    raw = _read_state_raw(spark, cfg)
+    return None if raw is None else raw.drop(_BUCKET_COL)
+
+
+def _delete_dirs(spark: SparkSession, paths: list[str]) -> None:
+    """Remove partition directories via the Hadoop FS API (portable to
+    HDFS/S3 committers, not just the local filesystem)."""
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    for p in paths:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(p)  # noqa: SLF001
+        fs = jp.getFileSystem(hconf)
+        fs.delete(jp, True)
 
 
 def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> None:
@@ -75,6 +104,12 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
     Idempotent: replaying a batch re-reduces to the same state because the
     reduction key is (pk, max seq) — the reference's PK-table apply
     semantics (docs/ARCHITECTURE.md:120-129) including delete handling.
+
+    Incremental: only the hash buckets the batch touches are read (partition
+    pruned) and rewritten (dynamic partition overwrite); untouched bucket
+    directories are left byte-identical.  A bucket whose keys are ALL
+    deleted produces no rows to overwrite with, so its directory is removed
+    explicitly.
     """
     parsed = parse_envelope(batch, cfg.envelope, seq_col=cfg.seq_col)
 
@@ -87,24 +122,54 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
         bad.write.mode("append").parquet(os.path.join(cfg.state_dir, "_dead_letter"))
     parsed = parsed.filter(F.col(cfg.key).isNotNull())
 
-    latest = latest_by_key(parsed, cfg.key, cfg.seq_col)
+    latest = latest_by_key(parsed, cfg.key, cfg.seq_col).withColumn(
+        _BUCKET_COL, _bucket_of(cfg.key, cfg.buckets)
+    )
+    affected = sorted(
+        r[0] for r in latest.select(_BUCKET_COL).distinct().collect()
+    )
+    if not affected:
+        return
 
-    current = read_state(spark, cfg)
+    current = _read_state_raw(spark, cfg)
     if current is not None:
-        merged = current.unionByName(latest, allowMissingColumns=True)
-        latest = latest_by_key(merged, cfg.key, cfg.seq_col)
+        # partition-pruned read: only the touched bucket directories
+        cur_aff = current.filter(F.col(_BUCKET_COL).isin(affected))
+        merged = cur_aff.unionByName(latest, allowMissingColumns=True)
+        latest = latest_by_key(merged, cfg.key, cfg.seq_col).withColumn(
+            _BUCKET_COL, _bucket_of(cfg.key, cfg.buckets)
+        )
 
     live = latest.filter(
         F.col(cfg.deleted_col).isNull()
         | (F.col(cfg.deleted_col) != F.lit("true"))
     )
 
-    # hash-bucketed layout on the PK, then atomic swap (parquet-safe upsert)
-    tmp = os.path.join(cfg.state_dir, "_staging")
-    live.repartition(cfg.buckets, F.col(cfg.key)).write.mode("overwrite").parquet(tmp)
+    # which buckets still hold rows — computed BEFORE the overwrite, because
+    # `live` is lazy and re-executing it afterwards would re-read state files
+    # the write just replaced
+    present = (
+        {r[0] for r in live.select(_BUCKET_COL).distinct().collect()}
+        if current is not None
+        else set(affected)
+    )
+
     final = _state_path(cfg)
-    staged = spark.read.parquet(tmp)
-    staged.write.mode("overwrite").parquet(final)
+    (
+        live.repartition(F.col(_BUCKET_COL))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_BUCKET_COL)
+        .parquet(final)
+    )
+
+    # a fully-deleted bucket emits no rows, so dynamic overwrite left its
+    # old directory in place — drop it
+    emptied = [b for b in affected if b not in present]
+    if emptied:
+        _delete_dirs(
+            spark, [os.path.join(final, f"{_BUCKET_COL}={b}") for b in emptied]
+        )
 
 
 def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):

@@ -149,3 +149,61 @@ def test_streaming_upsert_within_batch_order(spark, tmp_path):
     LoadJobManager(spark).create(cfg).awaitTermination(120)
     [row] = read_state(spark, cfg).collect()
     assert row.status == "late" and row.total_price == "3.00"
+
+
+def test_incremental_merge_touches_only_affected_buckets(spark, tmp_path):
+    """The bucket-partitioned state must be INCREMENTALLY maintained: a
+    micro-batch touching one key rewrites only that key's bucket directory;
+    every other bucket's files stay byte-identical (same names, same
+    mtimes).  This is the O(touched)-not-O(state) property that keeps the
+    upsert stream viable at 100 TB."""
+    import glob
+
+    events_dir = str(tmp_path / "events")
+    # seed 40 keys so every one of the 4 buckets is populated
+    _write_events(events_dir, "b1.json", [
+        {"_seq": k, "payload": {"order_key": k, "cust_key": k, "status": "seed",
+                                "total_price": "1.00", "__deleted": "false"}}
+        for k in range(1, 41)
+    ])
+    cfg = _cfg(tmp_path, name="t_incr")
+    mgr = LoadJobManager(spark)
+    mgr.create(cfg)
+    mgr.await_all(120)
+
+    state_glob = str(tmp_path / "state" / "current" / "_bucket=*" / "*.parquet")
+    before = {p: os.stat(p).st_mtime_ns for p in glob.glob(state_glob)}
+    buckets_before = {p.split("_bucket=")[1].split("/")[0] for p in before}
+    assert len(buckets_before) == 4, "all 4 buckets must be populated"
+
+    # update ONE key
+    _write_events(events_dir, "b2.json", [
+        {"_seq": 100, "payload": {"order_key": 7, "cust_key": 7, "status": "upd",
+                                  "total_price": "2.00", "__deleted": "false"}},
+    ])
+    mgr.resume("t_incr")
+    mgr.await_all(120)
+
+    after = {p: os.stat(p).st_mtime_ns for p in glob.glob(state_glob)}
+    from pyspark.sql import functions as F  # noqa: F811
+    from mysql_cdc_debezium_starrocks_spark.streaming.materializer import _bucket_of
+
+    [touched] = [
+        r[0]
+        for r in spark.range(1)
+        .select(F.lit(7).alias("order_key"))
+        .select(_bucket_of("order_key", 4))
+        .collect()
+    ]
+    untouched_before = {p: t for p, t in before.items() if f"_bucket={touched}/" not in p}
+    untouched_after = {p: t for p, t in after.items() if f"_bucket={touched}/" not in p}
+    assert untouched_before == untouched_after, (
+        "untouched bucket files must be byte-identical (not rewritten)"
+    )
+    # and the touched bucket did change
+    assert {p for p in before if f"_bucket={touched}/" in p} != {
+        p for p in after if f"_bucket={touched}/" in p
+    }
+    # state is still correct
+    rows = {r.order_key: r.status for r in read_state(spark, cfg).collect()}
+    assert len(rows) == 40 and rows[7] == "upd"
