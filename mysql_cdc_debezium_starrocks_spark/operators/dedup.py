@@ -353,6 +353,67 @@ _BANDS_SQL = ", ".join(
     for b in range(BANDS)
 )
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    SimHash near-dup pairs, by iterative min-label propagation.
+
+    The iterative-algorithm pattern on Spark: the driver coordinates
+    rounds, each round is one fully distributed join + partial-aggregated
+    min; ``localCheckpoint`` truncates lineage so the plan does not grow
+    with iterations.  Rounds needed ~ O(log(cluster diameter)) — dup
+    clusters are shallow, so 2-4 rounds in practice.  At 100 TB the same
+    loop runs with the edge list hash-partitioned on src; each round is a
+    co-partitioned join (one shuffle), and convergence is detected with a
+    count of changed labels (cheap: one row per moved node).
+
+    Output: (doc_id, component_id) for every doc in >=1 near-dup pair,
+    component_id = min doc_id of the cluster.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neighbor_min, labels.doc_id == F.col("nid"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
 _SIMHASH_CTE = f"""
 docs AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
 wx AS (SELECT doc_id, unnest(w) AS word FROM docs),
@@ -454,5 +515,38 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_components": dedup_components,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
+
+# Recursive-CTE oracle for connected components: labels propagate one hop
+# per recursion step (set-semantics UNION terminates it); min(label) per
+# node over everything that ever reached it == the component minimum.
+ORACLE["dedup_components"] = f"""
+    WITH RECURSIVE {_SIMHASH_CTE},
+    ex AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+      FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS ha, b.simhash AS hb
+      FROM ex a JOIN ex b
+        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    cc AS (
+      SELECT src AS doc_id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS doc_id, c.label
+      FROM cc c JOIN edges e ON c.doc_id = e.src
+      WHERE c.label < e.dst
+    )
+    SELECT doc_id, min(label) AS component_id FROM cc GROUP BY doc_id
+"""
