@@ -41,7 +41,12 @@ def load_spread(
     round of shuffle IO; cheap scans keep plain :func:`load`.
     """
     df = load(spark, sf_dir, name)
-    return df.repartition(parts or spark.sparkContext.defaultParallelism)
+    target = parts or spark.sparkContext.defaultParallelism
+    # already-split layouts (e.g. bench staging, real clusters) skip the
+    # shuffle: the scan itself is parallel there
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -353,32 +353,25 @@ _BANDS_SQL = ", ".join(
     for b in range(BANDS)
 )
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster canonicalization: connected components over the
-    SimHash near-dup pairs, by iterative min-label propagation.
+# Below this pair count the component step runs as driver-side union-find:
+# the DISTRIBUTED work is the pair generation (the O(n^2)-avoiding sketch
+# join); the surviving pair set is its tiny output, and α(E) union-find on
+# it beats scheduling distributed rounds by orders of magnitude.
+_UNION_FIND_MAX_PAIRS = 2_000_000
+
+
+def _components_distributed(edges: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over a symmetric (src, dst) edge list.
 
     The iterative-algorithm pattern on Spark: the driver coordinates
     rounds, each round is one fully distributed join + partial-aggregated
     min; ``localCheckpoint`` truncates lineage so the plan does not grow
-    with iterations.  Rounds needed ~ O(log(cluster diameter)) — dup
-    clusters are shallow, so 2-4 rounds in practice.  At 100 TB the same
-    loop runs with the edge list hash-partitioned on src; each round is a
+    with iterations.  Rounds needed ~ O(log(cluster diameter)).  At 100 TB
+    this runs with the edge list hash-partitioned on src; each round is a
     co-partitioned join (one shuffle), and convergence is detected with a
-    count of changed labels (cheap: one row per moved node).
-
-    Output: (doc_id, component_id) for every doc in >=1 near-dup pair,
-    component_id = min doc_id of the cluster.
+    count of changed labels.
     """
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .toDF("src", "dst")
-        .persist()
-    )
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -412,6 +405,54 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+def _components_unionfind(spark: SparkSession, pair_rows) -> DataFrame:
+    """Path-compressed union-find on a collected pair list (small-side path)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pair_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min so the root IS the component id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = sorted((x, find(x)) for x in parent)
+    return spark.createDataFrame(rows, "doc_id LONG, component_id LONG")
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    SimHash near-dup pairs; component_id = min doc_id of the cluster.
+
+    Adaptive execution: pair GENERATION is always distributed (the sketch
+    band join that avoids O(n^2)); the component step on the surviving
+    pairs collects + union-finds when the pair set is small (its size is
+    known from the generation pass), and falls back to distributed
+    min-label propagation (:func:`_components_distributed`) above
+    ``_UNION_FIND_MAX_PAIRS``.  The same two-tier shape is how production
+    dedup pipelines run: sketch join at data scale, cluster bookkeeping at
+    pair scale.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    collected = pairs.limit(_UNION_FIND_MAX_PAIRS + 1).collect()
+    if len(collected) <= _UNION_FIND_MAX_PAIRS:
+        return _components_unionfind(spark, [(r[0], r[1]) for r in collected])
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    return _components_distributed(edges)
 
 
 _SIMHASH_CTE = f"""

@@ -31,3 +31,26 @@ def test_query_runs(spark, name):
     df = QUERIES[name](spark, SF_SMOKE)
     assert len(df.columns) == len(set(df.columns)), "duplicate column names"
     assert df.count() >= 0
+
+
+def test_components_distributed_path(spark):
+    """The distributed min-label fallback (used above the union-find pair
+    threshold) must produce the same components as union-find."""
+    from mysql_cdc_debezium_starrocks_spark.operators.dedup import (
+        _components_distributed,
+        _components_unionfind,
+    )
+
+    pairs = [(1, 2), (2, 3), (5, 6), (7, 7), (10, 3)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src LONG, dst LONG")
+    dist = {
+        (r.doc_id, r.component_id)
+        for r in _components_distributed(edges).collect()
+    }
+    uf = {
+        (r.doc_id, r.component_id)
+        for r in _components_unionfind(spark, pairs).collect()
+    }
+    assert dist == uf
+    assert (10, 1) in dist, "10-3-2-1 chain must share component 1"
