@@ -14,6 +14,7 @@ from .materializer import (
     kafka_stream,
     merge_batch,
     read_state,
+    register_live_view,
     start_cdc_load,
 )
 
@@ -24,6 +25,7 @@ __all__ = [
     "kafka_stream",
     "merge_batch",
     "read_state",
+    "register_live_view",
     "running_user_stats",
     "sessionize",
     "start_cdc_load",

@@ -220,6 +220,23 @@ def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
     return writer.start()
 
 
+def register_live_view(
+    spark: SparkSession, cfg: CdcLoadConfig, view_name: str
+) -> None:
+    """Expose the materialized live table to ``spark.sql`` (SURVEY.md §3.2:
+    the reference's analytical-SELECT entry point, test-pipeline.sh:35-40 /
+    README.md:91-92 — ``SELECT * FROM orders`` against StarRocks).
+
+    The view reads the current bucket-partitioned state; re-register after a
+    batch (or use a scheduled refresh) for picky freshness — like the
+    reference, queries see the last *loaded* state, not in-flight events.
+    """
+    state = read_state(spark, cfg)
+    if state is None:
+        raise ValueError(f"no materialized state yet for load job {cfg.name!r}")
+    state.createOrReplaceTempView(view_name)
+
+
 def kafka_stream(spark: SparkSession, bootstrap: str, topics: str, starting: str = "earliest") -> DataFrame:
     """Kafka source builder (S4/S5) — the production ingress.
 

@@ -1,0 +1,53 @@
+"""Property-based check of the engine's semantic heart (SURVEY.md §5).
+
+For ANY interleaving of insert/update/delete events over a small key space,
+the engine's keyed last-write-wins apply must equal the obvious sequential
+fold (a dict applied event-by-event in _seq order) — including delete
+resurrection (insert after delete), repeated deletes, and seq-order
+shuffling.  The reference never asserts this (its smoke test eyeballs
+SELECTs); hypothesis hunts the corner cases.
+
+Spark jobs are slow per example, so the strategy batches: one DataFrame per
+generated sequence, modest example count, no deadline.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mysql_cdc_debezium_starrocks_spark.cdc.apply import apply_cdc_log
+
+KEYS = st.integers(min_value=1, max_value=6)
+OPS = st.sampled_from(["upsert", "delete"])
+EVENTS = st.lists(st.tuples(KEYS, OPS, st.integers(0, 999)), min_size=0, max_size=25)
+
+
+def _sequential_fold(events):
+    """The trivially-correct oracle: apply events one by one, last wins."""
+    state: dict[int, int] = {}
+    for seq, (key, op, val) in enumerate(events):
+        if op == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = val
+    return state
+
+
+@given(EVENTS)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lww_apply_equals_sequential_fold(spark, events):
+    rows = [
+        (seq, key, str(val), "true" if op == "delete" else "false")
+        for seq, (key, op, val) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "`_seq` LONG, order_key LONG, payload STRING, `__deleted` STRING"
+    )
+    live = apply_cdc_log(df, key="order_key")
+    got = {r.order_key: int(r.payload) for r in live.collect()}
+    assert got == _sequential_fold(events)

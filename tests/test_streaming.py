@@ -207,3 +207,28 @@ def test_incremental_merge_touches_only_affected_buckets(spark, tmp_path):
     # state is still correct
     rows = {r.order_key: r.status for r in read_state(spark, cfg).collect()}
     assert len(rows) == 40 and rows[7] == "upd"
+
+
+def test_sql_serving_on_live_view(spark, tmp_path):
+    """SURVEY.md §3.2 entry point: the reference's verification SQL
+    (test-pipeline.sh:35-40, README.md:91-92) runs verbatim via spark.sql
+    over the registered live view."""
+    from mysql_cdc_debezium_starrocks_spark.streaming import register_live_view
+
+    events_dir = str(tmp_path / "events")
+    _write_events(events_dir, "b1.json", [dict(e) for e in SEED])
+    cfg = _cfg(tmp_path, name="t_sql")
+    LoadJobManager(spark).create(cfg).awaitTermination(120)
+
+    register_live_view(spark, cfg, "orders_live")
+    top = spark.sql(
+        "SELECT * FROM orders_live ORDER BY order_key DESC LIMIT 5"
+    ).collect()
+    assert [r.order_key for r in top] == [3, 2, 1]
+    [cnt] = spark.sql("SELECT count(*) AS n FROM orders_live").collect()
+    assert cnt.n == 3
+    [agg] = spark.sql(
+        "SELECT count(CASE WHEN status = 'pending' THEN 1 END) AS pending "
+        "FROM orders_live"
+    ).collect()
+    assert agg.pending == 2
