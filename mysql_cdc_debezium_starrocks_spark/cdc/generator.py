@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_spread
+from ..catalog import load
 
 UPDATE_MOD = 5
 DELETE_MOD = 7
@@ -37,10 +37,7 @@ TOMBSTONE_MOD = 11
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .schemas import TS_WIRE_FORMAT
 
-    # spread: the single-file fixture reads as one partition, and the JSON
-    # serialize/parse round-trip downstream is the most expensive map work
-    # in the whole suite — see catalog.load_spread
-    o = load_spread(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders")
     return o.select(
         F.col("o_orderkey").alias("order_key"),
         F.col("o_custkey").alias("cust_key"),
@@ -107,6 +104,15 @@ def synth_order_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's Kafka topics would deliver.
     """
     raw = synth_order_events_raw(spark, sf_dir)
+    # spread ONCE, above the 3-branch union and below the JSON serialization:
+    # spreading at the scan instead planted one exchange PER BRANCH (branch
+    # filters push beneath the repartition, so the exchanges can't be
+    # reused); here a single exchange parallelizes the expensive to_json/
+    # from_json round-trip while the cheap projections stay where they are.
+    # Skipped when the scan is already split (real clusters, staged bench).
+    target = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < max(2, target // 2):
+        raw = raw.repartition(target)
     payload = F.struct(
         "order_key",
         "cust_key",

@@ -1,0 +1,106 @@
+"""Regenerate PLANS.md: formatted physical plans of the headline queries
+with the scale properties each plan is expected to exhibit.
+
+Run: python tools/dump_plans.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mysql_cdc_debezium_starrocks_spark.plans import (  # noqa: E402
+    broadcasts,
+    partial_aggregates,
+    plan_of,
+    prunes_columns,
+    pushes_filters,
+    shuffle_count,
+)
+from mysql_cdc_debezium_starrocks_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+HEADLINE = [
+    (
+        "cdc_apply",
+        "CDC keyed apply: parse both envelope shapes -> max_by partial-agg "
+        "LWW -> live filter. One semantic shuffle (the PK groupBy); the "
+        "other exchange is the single-file local-fixture equalizer, absent "
+        "when the scan arrives pre-split (real clusters / staged bench). "
+        "No ranking window.",
+    ),
+    (
+        "q1_pricing_summary",
+        "Scan-agg: every predicate pushed to the scan, 7-column read schema, "
+        "map-side partials, one exchange.",
+    ),
+    (
+        "q3_shipping_priority",
+        "Selective join: filtered customer broadcast, orders/lineitem shuffle "
+        "on the natural key, TakeOrderedAndProject top-k (no global sort).",
+    ),
+    (
+        "q5_region_revenue",
+        "Star join: all four dims broadcast; the only shuffles are the "
+        "fact-fact join and the final small agg.",
+    ),
+    (
+        "join_asof",
+        "As-of join as union-and-carry-forward: one shuffle on the key, no "
+        "inequality-join explosion.",
+    ),
+    (
+        "ann_ivf_topk",
+        "IVF ANN: centroid scoring map-only against broadcast centroids, "
+        "cell argmax via partial max_by (one row per vector on the wire).",
+    ),
+]
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    import __spark_entry__ as se
+
+    queries = se.queries()
+    out = [
+        "# PLANS — headline physical plans (regenerate: `python tools/dump_plans.py`)",
+        "",
+        "Each plan is the one the operator was DESIGNED to produce; the matching",
+        "properties are enforced by tests/test_plans.py and tests/test_tpch_plans.py,",
+        "so a regression that changes the plan shape fails CI, not just this file.",
+        "",
+    ]
+    for name, note in HEADLINE:
+        df = queries[name](spark, SF)
+        p = plan_of(df)
+        props = []
+        if pushes_filters(p):
+            props.append("pushed filters")
+        if prunes_columns(p, 8):
+            props.append("pruned read schema")
+        if broadcasts(p):
+            props.append("broadcast join")
+        if partial_aggregates(p):
+            props.append("map-side partial agg")
+        props.append(f"{shuffle_count(p)} shuffle exchange(s)")
+        out.append(f"## {name}")
+        out.append("")
+        out.append(note)
+        out.append("")
+        out.append(f"Verified properties: {', '.join(props)}.")
+        out.append("")
+        out.append("```")
+        out.append(p.strip())
+        out.append("```")
+        out.append("")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
