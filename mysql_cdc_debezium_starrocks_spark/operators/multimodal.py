@@ -121,6 +121,65 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(frames, "doc_id long, frame_idx int, frame_md5 string")
 
 
+RESIZE_TARGET = 32  # thumbnail "pixel" count
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail plumbing (mapInPandas): stride-sample each payload
+    down to RESIZE_TARGET bytes — the image-resize shape (decode -> sample
+    grid -> re-encode) with a deterministic byte stand-in, since no codec
+    library ships in this container (see :func:`decode_image`).
+
+    Emits the thumbnail's byte count, md5, and mean intensity; the real
+    Spark surface (binary column through Arrow batches, explicit schema,
+    one output row per input) is identical with a real resampler.
+    """
+    b = _with_blob(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, orig, cnt, digest, mean = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(blob)
+                stride = max(1, n // RESIZE_TARGET)
+                thumb = bytes(
+                    blob[i * stride]
+                    for i in range(RESIZE_TARGET)
+                    if i * stride < n
+                )
+                ids.append(doc_id)
+                orig.append(n)
+                cnt.append(len(thumb))
+                digest.append(hashlib.md5(thumb).hexdigest())
+                # raw sum only: rounding happens JVM-side with F.round so
+                # half-up matches DuckDB (Python round is banker's)
+                mean.append(sum(thumb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "orig_bytes": pd.Series(orig, dtype="int64"),
+                    "thumb_bytes": pd.Series(cnt, dtype="int32"),
+                    "thumb_md5": pd.Series(digest, dtype="object"),
+                    "thumb_sum": pd.Series(mean, dtype="int64"),
+                }
+            )
+
+    out = b.mapInPandas(
+        resize,
+        "doc_id long, orig_bytes long, thumb_bytes int, thumb_md5 string,"
+        " thumb_sum long",
+    )
+    mean = F.round(F.col("thumb_sum") / F.col("thumb_bytes"), 4).cast(
+        "decimal(12,4)"
+    )
+    return out.select(
+        "doc_id", "orig_bytes", "thumb_bytes", "thumb_md5",
+        mean.alias("thumb_mean"),
+    )
+
+
 ORACLE = {
     # text is ASCII so encode(text) bytes == chars; DuckDB mirrors byte math
     # with string ops.
@@ -151,8 +210,31 @@ ORACLE = {
     """,
 }
 
+ORACLE["mm_resize"] = f"""
+    WITH t AS (
+        SELECT doc_id, text, len(text) AS n,
+               greatest(1, len(text) // {RESIZE_TARGET}) AS stride
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n,
+               list_transform(
+                   list_filter(generate_series(0, {RESIZE_TARGET} - 1),
+                               i -> i * stride < n),
+                   i -> substr(text, i * stride + 1, 1)) AS px
+        FROM t
+    )
+    SELECT doc_id, n::BIGINT AS orig_bytes,
+           CAST(len(px) AS INTEGER) AS thumb_bytes,
+           md5(array_to_string(px, '')) AS thumb_md5,
+           CAST(round(list_reduce(list_prepend(0, list_transform(px,
+                    c -> unicode(c))), (a, b) -> a + b)::DOUBLE / len(px), 4)
+                AS DECIMAL(12,4)) AS thumb_mean
+    FROM s
+"""
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_fake_features": mm_fake_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
 }

@@ -226,6 +226,78 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means over the embedding corpus — the production centroid
+    builder the IVF docstring promises (ann_ivf_topk keeps its sampled
+    centroids so it stays oracle-checkable).
+
+    Spark shape per iteration: assignment is MAP-ONLY (centroids are
+    broadcast as literal arrays into a codegen'd fold — k x dim literals,
+    same trick as the LSH signs); the centroid update is ONE
+    partial-aggregatable shuffle (posexplode to (cell, dim) then avg).
+    The driver holds only k x dim floats.  Init is deterministic: the k
+    lowest vec_ids.  Returns (centroids, assignment DF).
+
+    No SQL oracle — iterative fixpoint; the driver records the weaker
+    rows-only check, and tests assert inertia decreases monotonically.
+    """
+    e = _with_norm(load_spread(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    cents = [
+        [float(x) for x in r.v]
+        for r in e.orderBy("vec_id").limit(k).collect()
+    ]
+
+    def assign_expr(cents_lit):
+        arms = []
+        for i, c in enumerate(cents_lit):
+            carr = F.array(*[F.lit(x) for x in c])
+            diff = F.zip_with(F.col("v"), carr, lambda a, b: (a - b) * (a - b))
+            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+            arms.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+        best = F.array_min(F.array(*arms))
+        return best["i"].alias("cell"), best["d"].alias("d2")
+
+    assigned = None
+    for _ in range(iters):
+        cell, d2 = assign_expr(cents)
+        assigned = e.select("vec_id", "v", cell, d2)
+        upd = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep their centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
+        for ci, dims in by_cell.items():
+            for di, m in dims.items():
+                new[ci][di] = m
+        cents = new
+    return cents, assigned
+
+
+def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final k-means cell assignment (vec_id, cell, sq_dist) after
+    KMEANS_ITERS Lloyd rounds.  Rows-only driver check (see kmeans_fit)."""
+    _, assigned = kmeans_fit(spark, sf_dir)
+    return assigned.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round("d2", 4).alias("sq_dist"),
+    )
+
+
 _DOT_SQL = (
     "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
     "p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
@@ -327,4 +399,6 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    # no ORACLE entry: iterative fixpoint -> driver rows-only check
+    "ann_kmeans_assign": ann_kmeans_assign,
 }

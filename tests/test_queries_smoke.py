@@ -54,3 +54,20 @@ def test_components_distributed_path(spark):
     }
     assert dist == uf
     assert (10, 1) in dist, "10-3-2-1 chain must share component 1"
+
+
+def test_kmeans_inertia_decreases(spark):
+    """Lloyd's iterations must not increase inertia (sum of squared
+    distances to the assigned centroid)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import kmeans_fit
+
+    inertias = []
+    for iters in (1, 3):
+        _, assigned = kmeans_fit(spark, SF_SMOKE, k=4, iters=iters)
+        [row] = assigned.groupBy().sum("d2").collect()
+        inertias.append(row[0])
+    assert inertias[1] <= inertias[0] + 1e-9, inertias
+    # every vector lands in a valid cell
+    _, assigned = kmeans_fit(spark, SF_SMOKE, k=4, iters=2)
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(4)) and len(cells) >= 2
