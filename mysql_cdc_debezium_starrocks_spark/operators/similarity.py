@@ -250,7 +250,13 @@ def kmeans_fit(
     No SQL oracle — iterative fixpoint; the driver records the weaker
     rows-only check, and tests assert inertia decreases monotonically.
     """
-    e = _with_norm(load_spread(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    # persist: every Lloyd round (and the init collect) re-scans this tiny
+    # projection otherwise — k-means re-reads its input by construction
+    e = (
+        _with_norm(load_spread(spark, sf_dir, "embeddings"))
+        .select("vec_id", "v")
+        .persist()
+    )
     cents = [
         [float(x) for x in r.v]
         for r in e.orderBy("vec_id").limit(k).collect()

@@ -329,7 +329,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = load(spark, sf_dir, "supplier")
-    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total_revenue"))
+    # persist: the grouped revenue feeds BOTH the scalar max and the
+    # join-back; without it the lineitem scan-agg runs twice
+    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("total_revenue")).persist()
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
