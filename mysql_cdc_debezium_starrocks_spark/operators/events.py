@@ -111,6 +111,19 @@ def events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
+    # daily stats DIRECT from raw rows: equality with the cascade proves
+    # sum-of-sums / min-of-mins re-aggregation is lossless
+    "events_rollup_cascade": """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+               min(CAST(value AS DECIMAL(18,2))) AS min_value,
+               max(CAST(value AS DECIMAL(18,2))) AS max_value,
+               CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*), 4) AS DECIMAL(18,4)) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+
     "events_windowed": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n,
@@ -159,9 +172,56 @@ ORACLE = {
     """,
 }
 
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (hypertable rollup pattern): daily stats
+    computed by RE-AGGREGATING hourly partials, which were re-aggregated from
+    minute partials — never from raw rows.
+
+    This is how dashboard rollups run at 100 TB: the fine level is
+    maintained incrementally, coarse levels re-aggregate the partials
+    (sum-of-sums, min-of-mins, count-of-counts; avg derived from sum/count
+    only at the end — avg itself is not re-aggregatable).  The oracle
+    computes the daily stats directly from raw events, so the value match
+    PROVES the cascade loses nothing.
+    """
+    e = load(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.min(F.col("value").cast("decimal(18,2)")).alias("mn"),
+        F.max(F.col("value").cast("decimal(18,2)")).alias("mx"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("m")).alias("h"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("h")).cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+    )
+    avg = F.round(
+        F.col("sum_value").cast("double") / F.col("n_events"), 4
+    ).cast("decimal(18,4)")
+    return day.select(
+        "day", "event_type", "n_events", "sum_value", "min_value", "max_value",
+        avg.alias("avg_value"),
+    )
+
+
 QUERIES = {
     "events_windowed": events_windowed,
     "events_sessionize": events_sessionize,
     "events_json_props": events_json_props,
     "events_rate": events_rate,
+    "events_rollup_cascade": events_rollup_cascade,
 }
