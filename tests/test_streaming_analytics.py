@@ -151,3 +151,52 @@ def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
     assert final[1].n_events == 3 and final[1].total_value == 9.0
     assert final[2].n_events == 1 and final[2].total_value == 5.0
     assert final[1].last_ts.minute == 3, "last_ts must track the newest event"
+
+
+def test_windowed_counts_on_fixture_events(spark, tmp_path):
+    """Integration: the real events fixture streamed through the watermarked
+    window operator; every emitted (window, type) must equal the batch
+    aggregation, and all provably-closed windows must have emitted."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from .conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    src = str(tmp_path / "ev_json")
+    events.coalesce(4).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        windowed_counts(stream, "10 minutes", "1 hour")
+        .writeStream.format("memory")
+        .queryName("t_fix_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.table("t_fix_win").collect()
+    }
+
+    batch = {
+        (r.w, r.event_type): r.n
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "at least some windows must close and emit"
+    for key, n in got.items():
+        assert batch[key] == n, f"streamed window {key} != batch"
