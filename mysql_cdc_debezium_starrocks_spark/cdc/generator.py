@@ -48,92 +48,120 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_structs(b: DataFrame) -> Column:
+    """Per-order array of event structs (insert [, update] [, delete]).
+
+    Built as one expression so the whole log derives from a SINGLE scan of
+    ``orders`` — the earlier 3-branch union scanned the table once per op
+    type.  ``slice(array(x), 1, 0)`` is the typed empty array for the
+    conditional branches.
+    """
+
+    def ev(seq_off: int, **over: Column) -> Column:
+        fields = {
+            "_seq": (F.col("order_key") * 3 + seq_off).cast("long"),
+            "order_key": F.col("order_key"),
+            "cust_key": F.col("cust_key"),
+            "status": F.col("status"),
+            "total_price": F.col("total_price_dec").cast("string"),
+            "order_ts": F.col("order_ts"),
+            "priority": F.col("priority"),
+            "__deleted": F.lit("false"),
+        }
+        fields.update(over)
+        return F.struct(*[c.alias(n) for n, c in fields.items()])
+
+    ins = ev(0)
+    upd = ev(
+        1,
+        status=F.lit("UPDATED"),
+        total_price=(
+            F.col("total_price_dec") + F.lit("10.00").cast("decimal(10,2)")
+        )
+        .cast("decimal(10,2)")
+        .cast("string"),
+    )
+    null_s = F.lit(None).cast("string")
+    del_ = ev(
+        2,
+        cust_key=F.lit(None).cast("long"),
+        status=null_s,
+        total_price=null_s,
+        order_ts=null_s,
+        priority=null_s,
+        __deleted=F.lit("true"),
+    )
+
+    def maybe(e: Column, mod: int) -> Column:
+        return F.when(
+            F.col("order_key") % mod == 0, F.array(e)
+        ).otherwise(F.slice(F.array(e), 1, 0))
+
+    return F.concat(F.array(ins), maybe(upd, UPDATE_MOD), maybe(del_, DELETE_MOD))
+
+
 def synth_order_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured (pre-serialization) event rows: one per insert/update/delete.
 
     Columns: _seq, order_key, cust_key, status, total_price (string),
-    order_ts, priority, __deleted.
+    order_ts, priority, __deleted.  Map-only single-scan derivation
+    (scan -> explode), no union, no shuffle.
     """
     b = _base(spark, sf_dir)
-    ins = b.select(
-        (F.col("order_key") * 3).alias("_seq"),
-        "order_key",
-        "cust_key",
-        "status",
-        F.col("total_price_dec").cast("string").alias("total_price"),
-        "order_ts",
-        "priority",
-        F.lit("false").alias("__deleted"),
-    )
-    upd = (
-        b.filter(F.col("order_key") % UPDATE_MOD == 0)
-        .select(
-            (F.col("order_key") * 3 + 1).alias("_seq"),
-            "order_key",
-            "cust_key",
-            F.lit("UPDATED").alias("status"),
-            (F.col("total_price_dec") + F.lit("10.00").cast("decimal(10,2)"))
-            .cast("decimal(10,2)")
-            .cast("string")
-            .alias("total_price"),
-            "order_ts",
-            "priority",
-            F.lit("false").alias("__deleted"),
-        )
-    )
-    del_ = (
-        b.filter(F.col("order_key") % DELETE_MOD == 0)
-        .select(
-            (F.col("order_key") * 3 + 2).alias("_seq"),
-            "order_key",
-            F.lit(None).cast("long").alias("cust_key"),
-            F.lit(None).cast("string").alias("status"),
-            F.lit(None).cast("string").alias("total_price"),
-            F.lit(None).cast("string").alias("order_ts"),
-            F.lit(None).cast("string").alias("priority"),
-            F.lit("true").alias("__deleted"),
-        )
-    )
-    return ins.unionByName(upd).unionByName(del_)
+    return b.select(F.explode(_event_structs(b)).alias("e")).select("e.*")
 
 
 def synth_order_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-format event log: (_seq, value) with JSON-string values.
 
     Exercises both envelope shapes plus null tombstones, exactly like the
-    reference's Kafka topics would deliver.
+    reference's Kafka topics would deliver.  Single scan of ``orders``:
+    per-row event array -> serialize each element -> append the optional
+    tombstone pair -> explode.  Map-only; at 100 TB this parallelizes over
+    input splits with zero shuffle.
     """
-    raw = synth_order_events_raw(spark, sf_dir)
-    # spread ONCE, above the 3-branch union and below the JSON serialization:
-    # spreading at the scan instead planted one exchange PER BRANCH (branch
-    # filters push beneath the repartition, so the exchanges can't be
-    # reused); here a single exchange parallelizes the expensive to_json/
-    # from_json round-trip while the cheap projections stay where they are.
-    # Skipped when the scan is already split (real clusters, staged bench).
+    b = _base(spark, sf_dir)
+    # Spread the scan when the fixture is a single parquet file (one split
+    # caps the expensive to_json/from_json round-trip at one task).  The
+    # base projection is the cheapest point to exchange — narrower than the
+    # exploded event log.  Skipped for multi-split inputs (clusters, staged
+    # bench layout), where scan parallelism is already right.
     target = spark.sparkContext.defaultParallelism
-    if raw.rdd.getNumPartitions() < max(2, target // 2):
-        raw = raw.repartition(target)
-    payload = F.struct(
-        "order_key",
-        "cust_key",
-        "status",
-        "total_price",
-        "order_ts",
-        "priority",
-        "__deleted",
-    )
-    wrapped = F.to_json(F.struct(payload.alias("payload")))
-    bare = F.to_json(payload)
-    events = raw.select(
-        "_seq",
-        F.when(F.col("order_key") % 2 == 0, wrapped).otherwise(bare).alias("value"),
-    )
-    tombstones = (
-        _base(spark, sf_dir)
-        .filter(F.col("order_key") % TOMBSTONE_MOD == 0)
-        .select(
-            (F.col("order_key") * 3 + 3).alias("_seq"),
-            F.lit(None).cast("string").alias("value"),
+    if len(b.inputFiles()) < max(2, target // 2):
+        b = b.repartition(target)
+
+    def serialize(e: Column) -> Column:
+        payload = F.struct(
+            *[
+                e[n].alias(n)
+                for n in (
+                    "order_key",
+                    "cust_key",
+                    "status",
+                    "total_price",
+                    "order_ts",
+                    "priority",
+                    "__deleted",
+                )
+            ]
         )
+        wrapped = F.to_json(F.struct(payload.alias("payload")))
+        bare = F.to_json(payload)
+        return F.struct(
+            e["_seq"].alias("_seq"),
+            F.when(F.col("order_key") % 2 == 0, wrapped)
+            .otherwise(bare)
+            .alias("value"),
+        )
+
+    tombstone = F.struct(
+        (F.col("order_key") * 3 + 3).cast("long").alias("_seq"),
+        F.lit(None).cast("string").alias("value"),
     )
-    return events.unionByName(tombstones)
+    wire = F.concat(
+        F.transform(_event_structs(b), serialize),
+        F.when(F.col("order_key") % TOMBSTONE_MOD == 0, F.array(tombstone)).otherwise(
+            F.slice(F.array(tombstone), 1, 0)
+        ),
+    )
+    return b.select(F.explode(wire).alias("w")).select("w._seq", "w.value")
