@@ -160,7 +160,31 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by portable key hash, with grouped
+    verification stats.
+
+    The production sampling pattern for 100 TB pipelines: ``hash(key) % 100
+    < rate`` is reproducible across runs/engines (unlike ``rand()``),
+    composes with partition pruning, and needs no shuffle — the filter is
+    map-side at the scan.  ``sample_mod`` keeps the naive key-mod variant;
+    this is the hash version that stays uniform under clustered key ranges.
+    """
+    from ..functions import phash32
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(phash32(F.col("o_orderkey"), "smp") % 100 < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
+    "sample_hash": sample_hash,
     "cube_counts": cube_counts,
     "grouping_sets_union": grouping_sets_union,
     "pivot_status_matrix": pivot_status_matrix,
@@ -172,7 +196,20 @@ QUERIES = {
     "monthly_revenue": monthly_revenue,
 }
 
+def _sample_hash_oracle() -> str:
+    from ..functions import phash32_sql
+
+    h = phash32_sql("CAST(o_orderkey AS VARCHAR)", "smp")
+    return f"""
+        SELECT o_orderstatus, count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue
+        FROM orders WHERE {h} % 100 < 10
+        GROUP BY o_orderstatus
+    """
+
+
 ORACLE = {
+    "sample_hash": _sample_hash_oracle(),
     "cube_counts": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue

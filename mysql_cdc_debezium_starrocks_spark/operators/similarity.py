@@ -401,10 +401,60 @@ ORACLE = {
     """,
 }
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the embedding-storage
+    compressor: 4x smaller than float32, standard for ANN serving tiers).
+
+    scale = 127 / max|x|; q_i = round(x_i / max|x| * 127).  Map-only over
+    input splits, zero shuffle at any scale.  The quantized vector is
+    emitted comma-joined so the value hash is order-exact; abs/max on
+    float32 are exact, and both engines divide in double with the same
+    association, so the rounded ints match bit-for-bit.
+    """
+    e = load_spread(spark, sf_dir, "embeddings")
+    mabs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+        "double"
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("_mabs") == 0, F.lit(0)).otherwise(
+            F.round(x.cast("double") / F.col("_mabs") * 127).cast("int")
+        ),
+    )
+    return (
+        e.withColumn("_mabs", mabs)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.when(F.col("_mabs") == 0, F.lit(None))
+            .otherwise(F.round(F.lit(127.0) / F.col("_mabs"), 6))
+            .cast("decimal(14,6)")
+            .alias("scale"),
+            F.concat_ws(",", F.transform(q, lambda v: v.cast("string"))).alias("q8"),
+        )
+    )
+
+
+ORACLE["emb_quantize_int8"] = """
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             list_max(list_transform(embedding, x -> abs(x)))::DOUBLE AS mabs
+      FROM embeddings)
+    SELECT vec_id, len(v) AS n_dims,
+           CAST(CASE WHEN mabs = 0 THEN NULL
+                     ELSE round(127.0 / mabs, 6) END AS DECIMAL(14,6)) AS scale,
+           array_to_string(list_transform(v,
+             x -> CASE WHEN mabs = 0 THEN 0
+                       ELSE CAST(round(x::DOUBLE / mabs * 127) AS INTEGER) END), ',')
+             AS q8
+    FROM e
+"""
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     # no ORACLE entry: iterative fixpoint -> driver rows-only check
     "ann_kmeans_assign": ann_kmeans_assign,
+    "emb_quantize_int8": emb_quantize_int8,
 }

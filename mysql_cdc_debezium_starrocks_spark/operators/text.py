@@ -157,6 +157,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (the classic keyword extractor).
+
+    One explode then two partial-aggregatable groupBys (doc-term tf, term
+    df); N is a broadcast 1-row scalar.  Ranking orders by the ROUNDED
+    tfidf so Spark and the oracle sort identical values (raw doubles could
+    differ in the last ulp of ln()); term asc breaks ties deterministically.
+
+    Scale: the tf aggregation shuffles (doc_id, term) pairs — partial
+    map-side combine collapses repeated terms per doc per split, and the df
+    side reduces to |vocab| rows before the broadcast join back.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).cast("decimal(12,4)"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction: term -> sorted doc ids, for terms appearing
+    in >= 5 documents.  Lists are emitted as comma-joined strings so the
+    value-hash compare is order-exact.
+
+    Scale: collect_set per term is the one non-partial aggregate here; the
+    df >= 5 HAVING prunes the long tail after a partial-agg'd distinct-pair
+    reduction, and posting lists for truly hot terms would be chunked by
+    (term, bucket) at 100 TB — the query keeps the textbook single-list form
+    the fixture sizes allow.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("term")
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
 _QUALITY_EXPRS = """
   len(w) AS n_words,
   len(list_distinct(w)) AS n_uniq,
@@ -235,9 +297,38 @@ ORACLE["text_langid"] = f"""
     FROM (SELECT *, greatest({", ".join(f"s_{l}" for l in _LANGS)}) AS m FROM scored) t
 """
 
+ORACLE["text_tfidf_topk"] = f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_W}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 4) AS DECIMAL(12,4)) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+"""
+
+ORACLE["text_inverted_index"] = f"""
+    WITH pairs AS (
+      SELECT doc_id, unnest(list_distinct({_W})) AS term FROM documents)
+    SELECT term, count(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM pairs GROUP BY term HAVING count(*) >= 5
+"""
+
 QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf_topk": text_tfidf_topk,
+    "text_inverted_index": text_inverted_index,
 }

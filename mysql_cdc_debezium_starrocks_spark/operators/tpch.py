@@ -256,6 +256,34 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: grouped value sum + HAVING against a global-total scalar
+    subquery.
+
+    Adapted (no partsupp): "stock value" per part = sum of l_extendedprice
+    shipped by one nation's suppliers (NATION_5 — fixture nations are
+    synthetic names); keep parts whose value exceeds 0.05% of the national
+    total.  The per-part aggregate subplan is identical on both
+    sides of the comparison, so Spark reuses the shuffle (ReusedExchange)
+    instead of recomputing; the 1-row total is broadcast.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    de = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    pv = (
+        l.join(de, l.l_suppkey == de.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    )
+    total = pv.agg(F.sum("value").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("t").cast("double") * 0.0005)
+        .select("p_partkey", "value")
+    )
+
+
 def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shape: priority-conditional counts over a late-shipment predicate.
 
@@ -532,6 +560,7 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q10_returned_items": q10_returned_items,
+    "q11_important_stock": q11_important_stock,
     "q12_late_shipments": q12_late_shipments,
     "q13_order_distribution": q13_order_distribution,
     "q14_promo_revenue": q14_promo_revenue,
@@ -655,6 +684,19 @@ ORACLE = {
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """,
+    "q11_important_stock": """
+        WITH pv AS (
+            SELECT l_partkey AS p_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_5'
+            GROUP BY l_partkey
+        )
+        SELECT p_partkey, value FROM pv
+        WHERE value::DOUBLE > (SELECT sum(value)::DOUBLE * 0.0005 FROM pv)
     """,
     "q12_late_shipments": """
         SELECT l_linestatus,
