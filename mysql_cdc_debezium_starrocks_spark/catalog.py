@@ -43,8 +43,10 @@ def load_spread(
     df = load(spark, sf_dir, name)
     target = parts or spark.sparkContext.defaultParallelism
     # already-split layouts (e.g. bench staging, real clusters) skip the
-    # shuffle: the scan itself is parallel there
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    # shuffle: the scan itself is parallel there.  File count is driver-side
+    # metadata — cheaper than df.rdd.getNumPartitions(), which forces a full
+    # physical-plan -> RDD conversion per call.
+    if len(df.inputFiles()) >= max(2, target // 2):
         return df
     return df.repartition(target)
 

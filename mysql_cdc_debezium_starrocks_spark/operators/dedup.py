@@ -549,6 +549,23 @@ ORACLE = {
     """,
 }
 
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: the corpus with every
+    near-dup cluster collapsed to its canonical member (min doc_id).
+
+    Non-canonical members (doc_id != component_id) are removed with a
+    left-anti join — at 100 TB the removal list is tiny relative to the
+    corpus, so AQE broadcasts it and the full-corpus side never shuffles.
+    """
+    removals = dedup_components(spark, sf_dir).filter(
+        F.col("doc_id") != F.col("component_id")
+    ).select("doc_id")
+    d = load_spread(spark, sf_dir, "documents")
+    return d.join(removals, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_exact_groups": dedup_exact_groups,
@@ -557,6 +574,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
+    "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -590,4 +608,15 @@ ORACLE["dedup_components"] = f"""
       WHERE c.label < e.dst
     )
     SELECT doc_id, min(label) AS component_id FROM cc GROUP BY doc_id
+"""
+
+# Canonical-corpus oracle: the components result (same recursive CTE) names
+# the removals; everything else survives.
+ORACLE["dedup_keep_canonical"] = f"""
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_id FROM ({ORACLE["dedup_components"]}) cc
+      WHERE doc_id <> component_id
+    )
 """

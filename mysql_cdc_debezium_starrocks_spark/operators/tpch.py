@@ -263,9 +263,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adapted (no partsupp): "stock value" per part = sum of l_extendedprice
     shipped by one nation's suppliers (NATION_5 — fixture nations are
     synthetic names); keep parts whose value exceeds 0.05% of the national
-    total.  The per-part aggregate subplan is identical on both
-    sides of the comparison, so Spark reuses the shuffle (ReusedExchange)
-    instead of recomputing; the 1-row total is broadcast.
+    total.  The per-part aggregate feeds BOTH sides of the comparison (the
+    rows and the global total), so it is persisted — one row per part, the
+    same size discipline as q15's revenue view — and the 1-row total is
+    broadcast.
     """
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -275,6 +276,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(de, l.l_suppkey == de.s_suppkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(_dec("l_extendedprice")).alias("value"))
+        .persist()
     )
     total = pv.agg(F.sum("value").alias("t"))
     return (
