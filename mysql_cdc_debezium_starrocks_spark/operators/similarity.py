@@ -240,12 +240,15 @@ def kmeans_fit(
     builder the IVF docstring promises (ann_ivf_topk keeps its sampled
     centroids so it stays oracle-checkable).
 
-    Spark shape per iteration: assignment is MAP-ONLY (centroids are
-    broadcast as literal arrays into a codegen'd fold — k x dim literals,
-    same trick as the LSH signs); the centroid update is ONE
-    partial-aggregatable shuffle (posexplode to (cell, dim) then avg).
-    The driver holds only k x dim floats.  Init is deterministic: the k
-    lowest vec_ids.  Returns (centroids, assignment DF).
+    Spark shape per iteration: assignment is MAP-ONLY — an Arrow-batched
+    Pandas UDF closing over the k x dim centroid matrix, one numpy
+    distance matmul per batch.  This is the deliberate slow-path escape
+    hatch (SURVEY.md §7): the pure-column formulation (zip_with +
+    aggregate folds per centroid arm) runs in Catalyst's HOF *interpreter*,
+    not codegen, and benched ~3x slower than the vectorized batch.  The
+    centroid update is ONE partial-aggregatable shuffle (posexplode to
+    (cell, dim) then avg).  The driver holds only k x dim floats.  Init is
+    deterministic: the k lowest vec_ids.  Returns (centroids, assignment DF).
 
     No SQL oracle — iterative fixpoint; the driver records the weaker
     rows-only check, and tests assert inertia decreases monotonically.
@@ -262,20 +265,36 @@ def kmeans_fit(
         for r in e.orderBy("vec_id").limit(k).collect()
     ]
 
-    def assign_expr(cents_lit):
-        arms = []
-        for i, c in enumerate(cents_lit):
-            carr = F.array(*[F.lit(x) for x in c])
-            diff = F.zip_with(F.col("v"), carr, lambda a, b: (a - b) * (a - b))
-            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-            arms.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-        best = F.array_min(F.array(*arms))
-        return best["i"].alias("cell"), best["d"].alias("d2")
+    def assign_udf(cents_lit):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(cents_lit, dtype=np.float64)  # k x d, broadcast in closure
+
+        # no type hints: `from __future__ import annotations` stringifies
+        # them, which pyspark's hint-based eval-type inference can't parse;
+        # hint-less pandas_udf defaults to the scalar eval type we want.
+        def _assign(vs):
+            if len(vs) == 0:
+                return pd.DataFrame({"cell": pd.Series(dtype="int32"),
+                                     "d2": pd.Series(dtype="float64")})
+            V = np.vstack(vs.to_numpy()).astype(np.float64)  # n x d
+            # full (V - C)^2 expansion per pair: n x k distance matrix
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            cell = d2.argmin(axis=1)  # ties -> lowest cell index (deterministic)
+            return pd.DataFrame(
+                {"cell": cell.astype("int32"), "d2": d2[np.arange(len(cell)), cell]}
+            )
+
+        return pandas_udf(_assign, "struct<cell:int,d2:double>")
 
     assigned = None
     for _ in range(iters):
-        cell, d2 = assign_expr(cents)
-        assigned = e.select("vec_id", "v", cell, d2)
+        a = assign_udf(cents)(F.col("v")).alias("a")
+        assigned = e.select("vec_id", "v", a).select(
+            "vec_id", "v", F.col("a.cell").alias("cell"), F.col("a.d2").alias("d2")
+        )
         upd = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
