@@ -32,6 +32,7 @@ def _modules():
         relational,
         relational_ext,
         similarity,
+        sketches,
         temporal,
         text,
         tpch,
@@ -44,6 +45,7 @@ def _modules():
         tpch,
         dedup,
         similarity,
+        sketches,
         text,
         multimodal,
         events,

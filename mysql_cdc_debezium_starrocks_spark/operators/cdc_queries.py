@@ -20,7 +20,7 @@ from ..cdc.generator import synth_order_events_json
 
 # The oracle derives the same event log relationally: base insert, update for
 # key%5==0 (status UPDATED, +10.00 exact decimal), delete for key%7==0.
-_ORACLE_LIVE = """
+_ORACLE_EV = """
 WITH ev AS (
   SELECT o_orderkey*3 AS _seq, o_orderkey AS order_key, o_custkey AS cust_key,
          o_orderstatus AS status,
@@ -36,7 +36,9 @@ WITH ev AS (
   UNION ALL
   SELECT o_orderkey*3+2, o_orderkey, NULL, NULL, NULL, NULL, NULL, 'true'
   FROM orders WHERE o_orderkey % 7 = 0
-),
+)"""
+
+_ORACLE_LIVE = _ORACLE_EV + """,
 latest AS (
   SELECT * FROM (
     SELECT ev.*, row_number() OVER (PARTITION BY order_key ORDER BY _seq DESC) AS rn
@@ -71,14 +73,60 @@ def cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history derived from the CDC log.
+
+    Each non-delete event becomes a row version with a validity interval
+    ``[valid_from_seq, valid_to_seq)``; a later event (including a delete)
+    closes the previous version, and an open interval marks the current row.
+    This is the standard temporal-history materialization CDC pipelines
+    maintain next to the live table (the reference only keeps the live
+    last-write-wins state — SURVEY.md §2.10 T4); one window over the PK
+    partitioning, same shuffle key as the apply itself.
+    """
+    from pyspark.sql.window import Window
+
+    from ..cdc.apply import parse_envelope
+
+    parsed = parse_envelope(synth_order_events_json(spark, sf_dir))
+    w = Window.partitionBy("order_key").orderBy("_seq")
+    hist = parsed.withColumn("version", F.row_number().over(w)).withColumn(
+        "valid_to_seq", F.lead("_seq").over(w)
+    )
+    return hist.filter(F.col("__deleted") != "true").select(
+        "order_key",
+        "version",
+        "status",
+        F.col("total_price").cast("decimal(10,2)").alias("total_price"),
+        F.col("_seq").alias("valid_from_seq"),
+        "valid_to_seq",
+        F.col("valid_to_seq").isNull().alias("is_current"),
+    )
+
+
+_ORACLE_SCD2 = _ORACLE_EV + """,
+hist AS (
+  SELECT ev.*,
+         row_number() OVER (PARTITION BY order_key ORDER BY _seq) AS version,
+         lead(_seq) OVER (PARTITION BY order_key ORDER BY _seq) AS valid_to_seq
+  FROM ev)
+SELECT order_key, version, status, total_price,
+       _seq AS valid_from_seq, valid_to_seq,
+       (valid_to_seq IS NULL) AS is_current
+FROM hist WHERE __deleted <> 'true'
+"""
+
+
 QUERIES = {
     "cdc_apply": cdc_apply,
     "cdc_topk": cdc_topk,
     "cdc_counts": cdc_counts,
+    "cdc_scd2": cdc_scd2,
 }
 
 ORACLE = {
     "cdc_apply": _ORACLE_LIVE,
     "cdc_topk": f"SELECT * FROM ({_ORACLE_LIVE}) t ORDER BY order_key DESC LIMIT 5",
     "cdc_counts": f"SELECT status, count(*) AS n FROM ({_ORACLE_LIVE}) t GROUP BY status",
+    "cdc_scd2": _ORACLE_SCD2,
 }

@@ -110,6 +110,43 @@ def events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion signup -> click -> purchase.
+
+    Stage times are conditional ``min(when(...))`` aggregates — fully
+    map-side partial-aggregatable, one shuffle on user_id, then a scalar
+    rollup; the scalable alternative to per-user event-sequence scans.
+    A stage counts only if it happens strictly after the previous one.
+    """
+    e = load(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    funnel = per_user.agg(
+        F.count("t_signup").alias("n_signup"),
+        as_cnt(F.col("t_click") > F.col("t_signup")).alias("n_signup_click"),
+        as_cnt(
+            (F.col("t_purchase") > F.col("t_click"))
+            & (F.col("t_click") > F.col("t_signup"))
+        ).alias("n_full_funnel"),
+    )
+    return funnel.select(
+        "n_signup",
+        "n_signup_click",
+        "n_full_funnel",
+        F.round(F.col("n_signup_click") / F.col("n_signup"), 4)
+        .cast("decimal(7,4)")
+        .alias("conv_click"),
+        F.round(F.col("n_full_funnel") / F.col("n_signup"), 4)
+        .cast("decimal(7,4)")
+        .alias("conv_full"),
+    )
+
+
 ORACLE = {
     # daily stats DIRECT from raw rows: equality with the cascade proves
     # sum-of-sums / min-of-mins re-aggregation is lossless
@@ -170,6 +207,24 @@ ORACLE = {
                CAST(round(count(*) / 600.0, 4) AS DECIMAL(18,4)) AS rows_per_sec
         FROM events GROUP BY 1
     """,
+    "events_funnel": """
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id),
+        f AS (
+          SELECT count(t_signup) AS n_signup,
+                 sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_signup_click,
+                 sum(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                          THEN 1 ELSE 0 END) AS n_full_funnel
+          FROM per_user)
+        SELECT n_signup, n_signup_click, n_full_funnel,
+               CAST(round(n_signup_click / n_signup::DOUBLE, 4) AS DECIMAL(7,4)) AS conv_click,
+               CAST(round(n_full_funnel / n_signup::DOUBLE, 4) AS DECIMAL(7,4)) AS conv_full
+        FROM f
+    """,
 }
 
 def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,4 +279,5 @@ QUERIES = {
     "events_json_props": events_json_props,
     "events_rate": events_rate,
     "events_rollup_cascade": events_rollup_cascade,
+    "events_funnel": events_funnel,
 }

@@ -1,0 +1,251 @@
+"""Sketch / approximate-aggregation operators (training-pipeline scale path).
+
+At 100 TB, exact distinct counts, membership tests, and per-key frequencies
+are shuffle-bound; the standard engine answer is a fixed-size sketch that
+partially aggregates map-side.  This module implements three classic sketches
+**deterministically on the portable hash family** (``functions.phash32``) so
+every one is exactly DuckDB-oracle-checkable — the correctness gate covers
+the sketch math itself, not just row counts:
+
+- ``sketch_kmv_distinct``: K-Minimum-Values distinct-count estimator
+  (Bar-Yossef et al. 2002): keep the k smallest h(x); estimate
+  (k-1) * 2^32 / h_(k).  The deterministic stand-in for HyperLogLog.
+- ``sketch_cms_heavy``: Count-Min sketch (Cormode & Muthukrishnan 2005):
+  depth x width counter grid, point estimate = min over rows; the classic
+  heavy-hitter primitive.  Counter grid is a fixed d*w-cell aggregate ->
+  map-side combinable, broadcast back for probing.
+- ``sketch_bloom_semijoin``: Bloom-filter membership built from a filtered
+  dimension and probed by the fact side — the semi-join pruning pattern
+  engines push into scans (Spark's own runtime bloom filter joins,
+  ``spark.sql.optimizer.runtime.bloomFilter.enabled``); here made explicit
+  and oracle-checked, reporting the measured false-positive count.
+- ``sketch_approx_distinct``: Spark's native HyperLogLog++
+  (``approx_count_distinct``) side-by-side with the exact count.  Its value
+  is implementation-defined, so it has NO SQL oracle (rows-only check);
+  tests/test_sketches.py asserts the documented relative-error bound.
+
+Scale: every sketch build is groupBy over a bounded key space (k rows per
+group / d*w cells / m bits) with map-side partial aggregation; probes join
+against a broadcast of the tiny sketch.  No Python UDFs anywhere.
+
+Reference parity note: the reference has no sketch surface (SURVEY.md §2.4
+— plain COUNT/MIN/MAX/AVG/percentile only); this is the parity-plus scale
+layer the north star asks for.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..functions import phash32, phash32_sql
+
+KMV_K = 32
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+_TWO32 = 4294967296.0
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type vs the exact count.
+
+    One distinct-pair reduction (partial-agg'd), then a per-group k-smallest
+    selection (WindowGroupLimit keeps only k rows per group per partition
+    before the shuffle).  When a group has fewer than k distinct hashes the
+    estimate IS the exact count.
+    """
+    e = load(spark, sf_dir, "events")
+    pairs = e.select(
+        "event_type", phash32(F.col("user_id"), "kmv").alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_actual"))
+    )
+    exact = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("k_actual") < KMV_K, F.col("k_actual").cast("double")
+    ).otherwise(
+        F.round(F.lit((KMV_K - 1) * _TWO32) / F.col("h_k"), 2)
+    )
+    return (
+        exact.join(kth, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            est.cast("decimal(14,2)").alias("kmv_est"),
+        )
+    )
+
+
+def sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over event user_ids, probed for every user.
+
+    Build: explode each row into ``depth`` (row, bucket) cells, count cells
+    (fixed d*w-cell grid — the aggregate state is bounded regardless of input
+    size).  Probe: per user take min over its depth counters; CMS guarantees
+    cms_est >= exact always (one-sided error), asserted in tests.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id")
+    cell = lambda d: F.struct(  # noqa: E731
+        F.lit(d).alias("d"),
+        (phash32(F.col("user_id"), f"cms{d}") % CMS_WIDTH).alias("pos"),
+    )
+    cells = ev.select(
+        F.explode(F.array(*[cell(d) for d in range(CMS_DEPTH)])).alias("c")
+    ).select("c.d", "c.pos")
+    grid = cells.groupBy("d", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = users.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(F.array(*[cell(d) for d in range(CMS_DEPTH)])).alias("c"),
+    ).select("user_id", "exact_cnt", "c.d", "c.pos")
+    return (
+        probes.join(F.broadcast(grid), ["d", "pos"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter from BUILDING-segment customers probed by all orders.
+
+    The explicit form of runtime bloom-join pruning: build an m-bit filter
+    from the filtered dim (here: bit positions as a sorted int array —
+    portable and oracle-checkable), broadcast it, and pre-filter the fact
+    probe before the real join would run.  Reports measured pass / true /
+    false-positive counts so the pruning power is itself checked.
+    """
+    cust = load(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def positions(col: str) -> list:
+        return [
+            (phash32(F.col(col), f"bf{j}") % BLOOM_BITS)
+            for j in range(BLOOM_HASHES)
+        ]
+
+    bits = (
+        build.select(F.explode(F.array(*positions("c_custkey"))).alias("pos"))
+        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+    )
+    truth = build.distinct().withColumn("in_set", F.lit(1))
+    probe = load(spark, sf_dir, "orders").select("o_custkey")
+    hit = reduce(
+        lambda a, b: a & b,
+        [F.array_contains(F.col("bits"), p) for p in positions("o_custkey")],
+    )
+    probed = (
+        probe.crossJoin(F.broadcast(bits))
+        .withColumn("pass", hit)
+        .join(F.broadcast(truth), probe.o_custkey == truth.c_custkey, "left")
+    )
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        as_int(F.col("pass")).alias("n_pass"),
+        as_int(F.col("in_set").isNotNull()).alias("n_true"),
+        as_int(F.col("pass") & F.col("in_set").isNull()).alias("n_false_pos"),
+    )
+
+
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native HLL++ distinct estimate next to the exact count (per type).
+
+    No SQL oracle — HLL register contents are engine-specific; the driver
+    records the rows-only check and tests/test_sketches.py asserts the
+    rsd=0.01 error bound against the exact value.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
+    )
+
+
+_KMV_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, {phash32_sql("user_id::VARCHAR", "kmv")} AS h
+  FROM events),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM pairs),
+kth AS (
+  SELECT event_type, max(h) AS h_k, count(*) AS k_actual
+  FROM ranked WHERE rk <= {KMV_K} GROUP BY event_type),
+ex AS (SELECT event_type, count(*) AS n_exact FROM pairs GROUP BY event_type)
+SELECT ex.event_type, ex.n_exact,
+       CAST(CASE WHEN k_actual < {KMV_K} THEN k_actual::DOUBLE
+                 ELSE round({(KMV_K - 1)}.0 * {_TWO32:.1f} / h_k, 2)
+            END AS DECIMAL(14,2)) AS kmv_est
+FROM ex JOIN kth ON ex.event_type = kth.event_type
+"""
+
+_CMS_POS = {
+    d: f"({phash32_sql('user_id::VARCHAR', f'cms{d}')} % {CMS_WIDTH})"
+    for d in range(CMS_DEPTH)
+}
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT d, pos FROM events,
+  LATERAL (VALUES {", ".join(f"({d}, {_CMS_POS[d]})" for d in range(CMS_DEPTH))}) AS t(d, pos)),
+grid AS (SELECT d, pos, count(*) AS cnt FROM cells GROUP BY d, pos),
+users AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+probes AS (
+  SELECT user_id, exact_cnt, d, pos FROM users,
+  LATERAL (VALUES {", ".join(f"({d}, {_CMS_POS[d]})" for d in range(CMS_DEPTH))}) AS t(d, pos))
+SELECT p.user_id, p.exact_cnt, min(g.cnt) AS cms_est
+FROM probes p JOIN grid g ON p.d = g.d AND p.pos = g.pos
+GROUP BY p.user_id, p.exact_cnt
+"""
+
+_BLOOM_POS = {
+    j: f"({phash32_sql('{col}::VARCHAR', f'bf{j}')} % {BLOOM_BITS})"
+    for j in range(BLOOM_HASHES)
+}
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+bits AS (
+  SELECT list_sort(list(DISTINCT pos)) AS bits FROM (
+    SELECT unnest([{", ".join(_BLOOM_POS[j].format(col="c_custkey") for j in range(BLOOM_HASHES))}]) AS pos
+    FROM build) t),
+probed AS (
+  SELECT o.o_custkey,
+         ({" AND ".join("list_contains(bits, " + _BLOOM_POS[j].format(col="o_custkey") + ")" for j in range(BLOOM_HASHES))}) AS pass,
+         (b.c_custkey IS NOT NULL) AS in_set
+  FROM orders o CROSS JOIN bits LEFT JOIN build b ON o.o_custkey = b.c_custkey)
+SELECT count(*) AS n_probe,
+       sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass,
+       sum(CASE WHEN in_set THEN 1 ELSE 0 END) AS n_true,
+       sum(CASE WHEN pass AND NOT in_set THEN 1 ELSE 0 END) AS n_false_pos
+FROM probed
+"""
+
+QUERIES = {
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_cms_heavy": sketch_cms_heavy,
+    "sketch_bloom_semijoin": sketch_bloom_semijoin,
+    "sketch_approx_distinct": sketch_approx_distinct,
+}
+
+ORACLE = {
+    "sketch_kmv_distinct": _KMV_ORACLE,
+    "sketch_cms_heavy": _CMS_ORACLE,
+    "sketch_bloom_semijoin": _BLOOM_ORACLE,
+    # sketch_approx_distinct: intentionally no oracle (HLL is engine-specific)
+}
