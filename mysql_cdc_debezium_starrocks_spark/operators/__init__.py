@@ -33,6 +33,7 @@ def _modules():
         relational_ext,
         similarity,
         sketches,
+        stats,
         temporal,
         text,
         tpch,
@@ -46,6 +47,7 @@ def _modules():
         dedup,
         similarity,
         sketches,
+        stats,
         text,
         multimodal,
         events,

@@ -166,10 +166,17 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle — HLL register contents are engine-specific; the driver
     records the rows-only check and tests/test_sketches.py asserts the
     rsd=0.01 error bound against the exact value.
+
+    Both aggregates run over the pre-deduplicated (type, user) pairs: a
+    combined ``countDistinct + approx_count_distinct`` in one agg would
+    plan an Expand (row duplication per aggregate); deduping first costs
+    one partial-agg'd shuffle and HLL over a distinct set yields the same
+    estimate (insensitive to duplicates).
     """
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"),
+    pairs = e.select("event_type", "user_id").distinct()
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx"),
     )
 

@@ -1,0 +1,229 @@
+"""Statistical / time-series / set-operation extensions.
+
+Parity-plus analytics the reference's SQL surface implies but never
+exercises (SURVEY.md §2.4 has only count/min/max/avg/percentile, §2.7 has no
+set ops), expressed in the shapes that survive 100 TB:
+
+- ``stats_corr_price_qty``: Pearson correlation + regression slope from
+  EXACT decimal moment sums (n, Σx, Σy, Σx², Σy², Σxy).  Moments are the
+  partial-aggregatable "sufficient statistics" formulation — one map-side
+  combinable agg, the final correlation is O(groups) driver-free arithmetic.
+  Computing from exact decimals also makes the result bit-identical across
+  engines (native ``corr()`` accumulates doubles in engine-specific order,
+  which is why it is NOT used here).
+- ``timeseries_gapfill``: dense hourly grid per event_type (sequence +
+  explode), zero-filled counts, last-observation-carried-forward for the
+  hourly revenue — the hypertable ``time_bucket_gapfill`` pattern.  The grid
+  is bounds×types (tiny, broadcast); the only shuffle is the hourly rollup.
+- ``sample_stratified``: per-language sampling rates on the portable hash —
+  the deterministic, cluster-reproducible ``df.sampleBy``; rates chosen per
+  stratum as a training-data mixing step would.
+- ``set_intersect_except``: INTERSECT / EXCEPT on customer key sets
+  (retained-then-churned selection); Spark plans these as semi/anti joins.
+- ``text_bigram_topk``: top document-frequency bigrams — n-gram LM count
+  collection over the corpus (explode -> count -> TakeOrderedAndProject,
+  no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load, load_spread
+from ..functions import (
+    WORDS_SQL,
+    phash32,
+    phash32_sql,
+    word_shingles,
+    word_shingles_sql,
+    words,
+)
+
+STRATA_PCT = {"en": 50, "de": 30, "fr": 20, "es": 10, "zh": 5}
+_DEFAULT_PCT = 25
+
+
+def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/slope of quantity vs extended price per return flag, from
+    exact decimal moments (see module docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = cov_n / F.sqrt(var_x * var_y)
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).cast("decimal(10,6)").alias("corr_qty_price"),
+        F.round(slope, 4).cast("decimal(14,4)").alias("slope_price_per_qty"),
+    )
+
+
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type with zero-filled counts and
+    carried-forward revenue; flags the filled gaps."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    full = F.broadcast(grid).crossJoin(F.broadcast(types))
+    filled = full.join(hourly, ["h", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col("h").alias("hour"),
+        "event_type",
+        F.coalesce(F.col("n_raw"), F.lit(0)).alias("n"),
+        F.last("rev", ignorenulls=True).over(w).alias("rev_ff"),
+        F.col("n_raw").isNull().alias("is_gap"),
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic hash sample of the document corpus (the
+    reproducible ``sampleBy``): each stratum keeps its own percentage."""
+    d = load(spark, sf_dir, "documents")
+    bucket = phash32(F.col("doc_id"), "strat") % 100
+    rate = F.lit(_DEFAULT_PCT)
+    for lang, pct in STRATA_PCT.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in both 1995 and 1996 but gone by 2001
+    (INTERSECT then EXCEPT — planned as left-semi / left-anti joins;
+    the retained-then-churned cohort selection)."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_keys(yr: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return year_keys(1995).intersect(year_keys(1996)).subtract(year_keys(2001))
+
+
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by document frequency (distinct per doc), ties broken
+    by bigram text — n-gram count collection for LM-style corpus stats."""
+    d = load_spread(spark, sf_dir, "documents")
+    bg = d.select(
+        F.explode(word_shingles(words(F.col("text")), 2)).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    return counts.orderBy(F.col("df").desc(), F.col("bigram")).limit(20)
+
+
+_W = WORDS_SQL.format(expr="text")
+
+ORACLE = {
+    "stats_corr_price_qty": """
+        WITH m AS (
+          SELECT l_returnflag, count(*) AS n,
+                 sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                 sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+                 sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                         * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+                    AS DECIMAL(10,6)) AS corr_qty_price,
+               CAST(round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+                    AS DECIMAL(14,4)) AS slope_price_per_qty
+        FROM m
+    """,
+    "timeseries_gapfill": """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 count(*) AS n_raw,
+                 sum(CAST(value AS DECIMAL(18,2))) AS rev
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS h0,
+                 date_trunc('hour', max(ts)) AS h1 FROM events),
+        grid AS (
+          SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        full_grid AS (SELECT g.h, t.event_type FROM grid g CROSS JOIN types t)
+        SELECT f.h AS hour, f.event_type,
+               coalesce(n_raw, 0) AS n,
+               last_value(rev IGNORE NULLS) OVER (
+                 PARTITION BY f.event_type ORDER BY f.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ff,
+               (n_raw IS NULL) AS is_gap
+        FROM full_grid f
+        LEFT JOIN hourly hr ON f.h = hr.h AND f.event_type = hr.event_type
+    """,
+    "sample_stratified": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE ({phash32_sql("doc_id::VARCHAR", "strat")} % 100) <
+              CASE lang
+                {"".join(f"WHEN '{lang}' THEN {pct} " for lang, pct in STRATA_PCT.items())}
+                ELSE {_DEFAULT_PCT}
+              END
+    """,
+    "set_intersect_except": """
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+    """,
+    "text_bigram_topk": f"""
+        WITH w AS (SELECT doc_id, {_W} AS w FROM documents),
+        bg AS (SELECT unnest({word_shingles_sql("w", 2)}) AS bigram FROM w)
+        SELECT bigram, count(*) AS df FROM bg
+        GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20
+    """,
+}
+
+QUERIES = {
+    "stats_corr_price_qty": stats_corr_price_qty,
+    "timeseries_gapfill": timeseries_gapfill,
+    "sample_stratified": sample_stratified,
+    "set_intersect_except": set_intersect_except,
+    "text_bigram_topk": text_bigram_topk,
+}

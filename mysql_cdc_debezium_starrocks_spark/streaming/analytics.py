@@ -117,6 +117,57 @@ def dedup_within_watermark(
     )
 
 
+def interval_join_attribution(
+    events: DataFrame,
+    lhs_type: str = "click",
+    rhs_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every click by
+    the same user within the preceding ``horizon`` (ad-attribution shape).
+
+    Both sides carry a watermark and the join condition bounds event time in
+    BOTH directions (``click.ts <= purchase.ts <= click.ts + horizon``), which
+    is what lets Spark evict join state as the watermark advances — without
+    the time bound, stream-stream join state grows forever.  One shuffle per
+    side on user_id; the join itself is a co-partitioned stateful hash join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == lhs_type)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col(ts_col).alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == rhs_type)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 # --- custom stateful operator: applyInPandasWithState ------------------------
 
 _USER_STATS_OUTPUT = StructType(

@@ -200,3 +200,45 @@ def test_windowed_counts_on_fixture_events(spark, tmp_path):
     assert got, "at least some windows must close and emit"
     for key, n in got.items():
         assert batch[key] == n, f"streamed window {key} != batch"
+
+
+def test_interval_join_attribution(spark, tmp_path):
+    """Stream-stream interval join: a purchase joins every click by the same
+    user in the preceding hour; clicks outside the horizon or other users
+    never match."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.analytics import (
+        interval_join_attribution,
+    )
+
+    src = str(tmp_path / "attr")
+    _write_batches(
+        src,
+        [
+            [
+                _ev(1, "2024-01-01 10:00:00", user=1, etype="click"),
+                _ev(2, "2024-01-01 10:20:00", user=1, etype="click"),
+                _ev(3, "2024-01-01 10:05:00", user=2, etype="click"),
+            ],
+            [
+                # joins clicks 1 and 2 (both within the preceding hour)
+                _ev(10, "2024-01-01 10:30:00", user=1, etype="purchase", value=9.0),
+                # user 3 purchase with no click: no output row
+                _ev(11, "2024-01-01 10:31:00", user=3, etype="purchase", value=1.0),
+            ],
+            [
+                # 12:00 purchase is > 1h after both user-1 clicks: no match
+                _ev(12, "2024-01-01 12:00:00", user=1, etype="purchase", value=2.0),
+                # advance both watermarks well past everything
+                _ev(13, "2024-01-01 15:00:00", user=9, etype="click"),
+                _ev(14, "2024-01-01 15:00:00", user=9, etype="purchase", value=0.5),
+            ],
+        ],
+    )
+    out = _run(
+        spark, src, interval_join_attribution, "append", "t_attr"
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    assert (10, 1) in got and (10, 2) in got, "in-horizon clicks must join"
+    assert all(p != 11 for p, _ in got), "user without clicks must not join"
+    assert all(p != 12 for p, _ in got), "click outside horizon must not join"
+    assert (14, 13) in got, "same-timestamp click joins (inclusive bound)"
