@@ -55,12 +55,29 @@ def word_shingles(wcol: Column, k: int = 3) -> Column:
     input once per row; short docs (< k tokens) yield empty slices, so no
     guard is needed.
     """
+    return F.array_distinct(word_grams(wcol, k))
+
+
+def word_grams(wcol: Column, k: int = 3) -> Column:
+    """Positional (NON-distinct, order-preserving) k-word grams — same
+    shifted-slice construction as :func:`word_shingles` but keeping every
+    occurrence, for repetition/frequency statistics."""
     n = F.greatest(F.size(wcol) - (k - 1), F.lit(0))
     parts = [F.slice(wcol, F.lit(j + 1), n) for j in range(k)]
     zipped = parts[k - 1]
     for j in range(k - 2, -1, -1):
         zipped = F.zip_with(parts[j], zipped, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(zipped)
+    return zipped
+
+
+def word_grams_sql(wcol: str = "w", k: int = 3) -> str:
+    """DuckDB equivalent of :func:`word_grams` (1-indexed lists)."""
+    gram = " || ' ' || ".join(f"{wcol}[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({wcol}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({wcol}) - {k - 1}), i -> {gram}) "
+        f"ELSE [] END"
+    )
 
 
 def word_shingles_sql(wcol: str = "w", k: int = 3) -> str:

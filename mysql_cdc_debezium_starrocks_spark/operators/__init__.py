@@ -28,6 +28,7 @@ def _modules():
         cdc_queries,
         dedup,
         events,
+        linalg,
         multimodal,
         relational,
         relational_ext,
@@ -46,6 +47,7 @@ def _modules():
         tpch,
         dedup,
         similarity,
+        linalg,
         sketches,
         stats,
         text,

@@ -1,0 +1,168 @@
+"""Distributed linear algebra over the ``embeddings`` fixture.
+
+The scale pattern here is **partition-local dense math, tiny global combine**:
+each input split folds its rows into fixed-size sufficient statistics
+(count, column sums, X^T X) inside an Arrow-batched ``mapInPandas``; what
+crosses the shuffle is one small row per partition, never the data.  At
+100 TB this is exactly MLlib's treeAggregate shape — compute cost scans the
+splits, network cost is O(partitions * d^2) doubles.
+
+- ``emb_covariance``: the (population) covariance matrix entry list
+  (i <= j), assembled fully distributed: partial moments -> posexplode ->
+  per-index sums -> arithmetic.  Products are accumulated in float64 on
+  both engines, so the DuckDB oracle matches to well past the rounded
+  6 decimals.
+- ``emb_pca_project``: top-2 principal components via eigendecomposition of
+  the driver-side (d x d) covariance (the matrix is tiny; the data never
+  leaves the cluster), then a JVM-side zip_with projection of every
+  embedding onto the PCs.  Eigenvectors are sign-fixed (largest-|component|
+  positive) for determinism.  No SQL oracle (eigen-decomposition is not
+  expressible); checked rows-only by the driver and against numpy in
+  tests/test_linalg.py.
+
+Reference scope note: the reference pipeline (benchmark.sh, SURVEY.md §2.4)
+has no vector math at all — this module is part of the training-data
+extension surface (embedding-space analysis / whitening / SemDeDup-style
+prep).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_spread
+
+DIM = 64  # fixture embedding dimensionality (FIXTURES.md §C)
+
+_PARTIALS_SCHEMA = "n long, sx array<double>, sxx array<double>"
+
+
+def _cov_partials(batches):
+    """Fold one partition's rows into (n, column sums, flattened X^T X)."""
+    n = 0
+    sx = None
+    sxx = None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if sx is None:
+            sx = np.zeros(x.shape[1])
+            sxx = np.zeros((x.shape[1], x.shape[1]))
+        n += x.shape[0]
+        sx += x.sum(axis=0)
+        sxx += x.T @ x
+    if n:
+        yield pd.DataFrame(
+            {"n": [n], "sx": [sx.tolist()], "sxx": [sxx.ravel().tolist()]}
+        )
+
+
+def _partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings").select("embedding")
+    return emb.mapInPandas(_cov_partials, schema=_PARTIALS_SCHEMA)
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance entries cov(i, j) for i <= j, fully distributed
+    (see module docstring)."""
+    p = _partials(spark, sf_dir)
+    tot = p.agg(F.sum("n").alias("nn"))
+    sums = (
+        p.select(F.posexplode("sx").alias("k", "s"))
+        .groupBy("k")
+        .agg(F.sum("s").alias("s"))
+    )
+    prods = (
+        p.select(F.posexplode("sxx").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("sxy"))
+    )
+    ij = prods.select(
+        F.floor(F.col("idx") / DIM).cast("int").alias("i"),
+        (F.col("idx") % DIM).cast("int").alias("j"),
+        "sxy",
+    ).filter(F.col("i") <= F.col("j"))
+    si = sums.select(F.col("k").alias("i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("k").alias("j"), F.col("s").alias("sj"))
+    n = F.col("nn").cast("double")
+    cov = (F.col("sxy") - F.col("si") * F.col("sj") / n) / n
+    return (
+        ij.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(tot))
+        .select("i", "j", F.round(cov, 6).cast("decimal(18,6)").alias("cov"))
+    )
+
+
+def fit_pca(spark: SparkSession, sf_dir: str, k: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the tiny (d x d) moment matrices and eigendecompose on the
+    driver.  Returns (mean vector, top-k eigenvector matrix d x k),
+    sign-fixed so each component's largest-|entry| coordinate is positive."""
+    rows = _partials(spark, sf_dir).collect()
+    n = sum(r["n"] for r in rows)
+    sx = np.sum([np.asarray(r["sx"]) for r in rows], axis=0)
+    sxx = np.sum([np.asarray(r["sxx"]) for r in rows], axis=0)
+    d = sx.shape[0]
+    mean = sx / n
+    cov = sxx.reshape(d, d) / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    top = vecs[:, np.argsort(vals)[::-1][:k]]
+    for c in range(top.shape[1]):
+        if top[np.abs(top[:, c]).argmax(), c] < 0:
+            top[:, c] = -top[:, c]
+    return mean, top
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-2 PCs (centered), JVM-side:
+    the PC vectors become literal arrays and the dot product is a
+    zip_with/aggregate fold inside codegen — no Python in the scan."""
+    mean, pcs = fit_pca(spark, sf_dir, k=2)
+    emb = load_spread(spark, sf_dir, "embeddings")
+
+    def _dot_shifted(axis: np.ndarray) -> F.Column:
+        # dot(x - mean, axis) = dot(x, axis) - dot(mean, axis)
+        lit_axis = F.array(*[F.lit(float(a)) for a in axis])
+        prod = F.zip_with(
+            F.col("embedding").cast("array<double>"), lit_axis, lambda a, b: a * b
+        )
+        raw = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        return raw - float(mean @ axis)
+
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(_dot_shifted(pcs[:, 0]), 4).cast("decimal(12,4)").alias("pc1"),
+        F.round(_dot_shifted(pcs[:, 1]), 4).cast("decimal(12,4)").alias("pc2"),
+    )
+
+
+_E = "list_transform(embedding, x -> x::DOUBLE)"
+
+ORACLE = {
+    "emb_covariance": f"""
+        WITH e AS (SELECT {_E} AS v FROM embeddings),
+        n AS (SELECT count(*) AS c FROM e),
+        pairs AS (
+          SELECT i.range::INT AS i, j.range::INT AS j
+          FROM range(0, {DIM}) i, range(0, {DIM}) j
+          WHERE i.range <= j.range)
+        SELECT p.i, p.j,
+               CAST(round(
+                 (sum(v[p.i + 1] * v[p.j + 1])
+                  - sum(v[p.i + 1]) * sum(v[p.j + 1]) / any_value(n.c))
+                 / any_value(n.c), 6) AS DECIMAL(18,6)) AS cov
+        FROM e, pairs p, n
+        GROUP BY p.i, p.j
+    """,
+    # emb_pca_project: eigendecomposition — not SQL-expressible; rows-only.
+}
+
+QUERIES = {
+    "emb_covariance": emb_covariance,
+    "emb_pca_project": emb_pca_project,
+}

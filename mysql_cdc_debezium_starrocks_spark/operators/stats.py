@@ -142,6 +142,88 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return year_keys(1995).intersect(year_keys(1996)).subtract(year_keys(2001))
 
 
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per event_type, each event's value
+    against the trailing 20 events (excluding itself); |z| > 2.5 flags.
+
+    Mean/std are derived from EXACT decimal frame sums (the same
+    sufficient-statistics trick as ``stats_corr_price_qty``), so the rolling
+    window is bit-identical across engines — native sliding stddev
+    accumulates doubles in engine-specific order (Spark rescans the frame,
+    DuckDB uses segment trees) and would not hash-match.
+
+    Scale: one shuffle on event_type, then a sorted sliding frame per
+    partition — the streaming-history shape; heavy key skew would switch
+    this to a (event_type, day) bucketed window.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    s = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.sum(v).over(w).alias("sx"),
+        F.sum(v * v).over(w).alias("sxx"),
+        F.count(v).over(w).alias("n"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        s.filter(F.col("n") >= 10)
+        .withColumn("z", F.round(z, 4).cast("decimal(12,4)"))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "ts", "value", "z")
+    )
+
+
+HIST_BIN = 1000  # fixed-width histogram bin for l_extendedprice
+
+
+def hist_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of l_extendedprice per return flag from a
+    fixed-width histogram — the mergeable, fixed-size quantile sketch.
+
+    groupBy(flag, bin) is fully map-side combinable (bins are bounded, so
+    partial state is O(bins) per task regardless of input rows); the
+    cumulative pass runs over <= a few hundred bin rows.  This is how you
+    get quantiles at 100 TB without a global sort; the returned value is
+    each quantile's bin upper bound (error <= bin width), exact-oracled
+    because the binning is deterministic.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / HIST_BIN).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.groupBy("l_returnflag").agg(F.sum("c").alias("tot"))
+    j = cum.join(tot, "l_returnflag")
+
+    def q(p: float):
+        hit = F.col("cum").cast("double") >= p * F.col("tot").cast("double")
+        return ((F.min(F.when(hit, F.col("b"))) + 1) * HIST_BIN).alias(
+            f"p{int(p * 100)}_ub"
+        )
+
+    return j.groupBy("l_returnflag").agg(
+        F.max("tot").alias("n"), q(0.5), q(0.95), q(0.99)
+    )
+
+
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigrams by document frequency (distinct per doc), ties broken
     by bigram text — n-gram count collection for LM-style corpus stats."""
@@ -220,8 +302,48 @@ ORACLE = {
     """,
 }
 
+ORACLE["ts_anomaly_zscore"] = """
+    WITH s AS (
+      SELECT event_id, event_type, ts, value,
+             sum(CAST(value AS DECIMAL(18,6))) OVER w AS sx,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS sxx,
+             count(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, ts, value,
+           CAST(round((value - sx::DOUBLE / n)
+                / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1)), 4)
+                AS DECIMAL(12,4)) AS z
+    FROM s
+    WHERE n >= 10
+      AND abs(CAST(round((value - sx::DOUBLE / n)
+              / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1)), 4)
+              AS DECIMAL(12,4))) > 2.5
+"""
+
+ORACLE["hist_quantile_bins"] = f"""
+    WITH counts AS (
+      SELECT l_returnflag, CAST(floor(l_extendedprice / {HIST_BIN}) AS BIGINT) AS b,
+             count(*) AS c
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT *, sum(c) OVER (PARTITION BY l_returnflag ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts),
+    tot AS (SELECT l_returnflag, sum(c) AS tot FROM counts GROUP BY 1)
+    SELECT c.l_returnflag, max(tot) AS n,
+           (min(CASE WHEN cum::DOUBLE >= 0.5  * tot::DOUBLE THEN b END) + 1) * {HIST_BIN} AS p50_ub,
+           (min(CASE WHEN cum::DOUBLE >= 0.95 * tot::DOUBLE THEN b END) + 1) * {HIST_BIN} AS p95_ub,
+           (min(CASE WHEN cum::DOUBLE >= 0.99 * tot::DOUBLE THEN b END) + 1) * {HIST_BIN} AS p99_ub
+    FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+    GROUP BY c.l_returnflag
+"""
+
 QUERIES = {
     "stats_corr_price_qty": stats_corr_price_qty,
+    "ts_anomaly_zscore": ts_anomaly_zscore,
+    "hist_quantile_bins": hist_quantile_bins,
     "timeseries_gapfill": timeseries_gapfill,
     "sample_stratified": sample_stratified,
     "set_intersect_except": set_intersect_except,

@@ -18,7 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_spread
-from ..functions import WORDS_SQL, phash32, phash32_sql, words
+from ..functions import (
+    WORDS_SQL,
+    phash32,
+    phash32_sql,
+    word_grams,
+    word_grams_sql,
+    word_shingles,
+    word_shingles_sql,
+    words,
+)
 
 _W = WORDS_SQL.format(expr="text")
 
@@ -219,6 +228,76 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of bigram
+    instances covered by the single most-frequent bigram (``top2_frac``)
+    and fraction of trigram instances that are repeats (``rep3_frac``).
+
+    Map-only: the per-doc gram counting stays inside one projection (no
+    explode/groupBy shuffle per n-gram), so at 100 TB this runs at scan
+    speed over input splits.  Grams are materialized in a prior select so
+    the HOF lambdas reference a bound column, not a re-evaluated expression
+    (see functions.word_shingles note).
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    g = d.select(
+        "doc_id",
+        word_grams(w, 2).alias("g2"),
+        word_grams(w, 3).alias("g3"),
+    )
+    n2, n3 = F.size("g2"), F.size("g3")
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct("g2"),
+            lambda x: F.size(F.filter("g2", lambda y: y == x)),
+        )
+    )
+    rep3 = n3 - F.size(F.array_distinct("g3"))
+    return g.select(
+        "doc_id",
+        n2.alias("n_bigrams"),
+        F.when(n2 > 0, F.round(top2 / n2, 4))
+        .cast("decimal(7,4)")
+        .alias("top2_frac"),
+        F.when(n3 > 0, F.round(rep3 / n3, 4))
+        .cast("decimal(7,4)")
+        .alias("rep3_frac"),
+    )
+
+
+EVAL_SPLIT_MOD = 10  # doc_id-hash % 10 == 0  ->  ~10% held-out eval split
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag training documents sharing any
+    4-gram with the held-out eval split (hash-selected ~2% of docs).
+
+    The eval gram set is small by construction, so it broadcasts — the
+    check is a map-side semi join over exploded training grams followed by
+    one partial-agg'd per-doc count.  This is the standard benchmark-
+    contamination sweep (n-gram overlap against eval suites) at corpus
+    scale: eval grams ship to every executor, training corpus streams by.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        word_shingles(words(F.col("text")), 4).alias("g"),
+        (phash32(F.col("doc_id"), "evalsplit") % EVAL_SPLIT_MOD == 0).alias("is_eval"),
+    )
+    ev = (
+        base.filter(F.col("is_eval"))
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    tr = base.filter(~F.col("is_eval")).select("doc_id", F.explode("g").alias("gram"))
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
 _QUALITY_EXPRS = """
   len(w) AS n_words,
   len(list_distinct(w)) AS n_uniq,
@@ -324,8 +403,40 @@ ORACLE["text_inverted_index"] = f"""
     FROM pairs GROUP BY term HAVING count(*) >= 5
 """
 
+ORACLE["text_repetition"] = f"""
+    WITH d AS (SELECT doc_id, {_W} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 {word_grams_sql("w", 2)} AS g2,
+                 {word_grams_sql("w", 3)} AS g3
+          FROM d)
+    SELECT doc_id,
+           len(g2) AS n_bigrams,
+           CASE WHEN len(g2) > 0 THEN CAST(round(
+             list_max(list_transform(list_distinct(g2),
+                                     x -> len(list_filter(g2, y -> y = x))))::DOUBLE
+             / len(g2), 4) AS DECIMAL(7,4)) END AS top2_frac,
+           CASE WHEN len(g3) > 0 THEN CAST(round(
+             (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 4)
+             AS DECIMAL(7,4)) END AS rep3_frac
+    FROM g
+"""
+
+ORACLE["text_decontaminate"] = f"""
+    WITH base AS (
+      SELECT doc_id, {word_shingles_sql("w", 4)} AS g,
+             ({phash32_sql("doc_id::VARCHAR", "evalsplit")} % {EVAL_SPLIT_MOD} = 0) AS is_eval
+      FROM (SELECT doc_id, {_W} AS w FROM documents)),
+    ev AS (SELECT DISTINCT unnest(g) AS gram FROM base WHERE is_eval),
+    tr AS (SELECT doc_id, unnest(g) AS gram FROM base WHERE NOT is_eval)
+    SELECT tr.doc_id, count(*) AS n_hit_grams
+    FROM tr JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+"""
+
 QUERIES = {
     "text_quality": text_quality,
+    "text_repetition": text_repetition,
+    "text_decontaminate": text_decontaminate,
     "text_langid": text_langid,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,

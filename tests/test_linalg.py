@@ -1,0 +1,126 @@
+"""Tests for the distributed linear-algebra and new stats/text operators.
+
+The oracle gate (tools/parity.py) already hash-checks emb_covariance,
+ts_anomaly_zscore, hist_quantile_bins, text_repetition and
+text_decontaminate; these tests cover the non-SQL-expressible PCA path
+against numpy ground truth plus structural invariants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _embeddings_matrix(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_covariance_matches_numpy(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.linalg import emb_covariance
+
+    x = _embeddings_matrix(spark)
+    expected = np.cov(x, rowvar=False, bias=True)  # population covariance
+    got = {(r["i"], r["j"]): float(r["cov"]) for r in emb_covariance(spark, SF_SMOKE).collect()}
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert v == pytest.approx(expected[i, j], abs=2e-6)
+
+
+def test_pca_matches_numpy_eigh(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.linalg import fit_pca
+
+    x = _embeddings_matrix(spark)
+    mean, pcs = fit_pca(spark, SF_SMOKE, k=2)
+    assert mean == pytest.approx(x.mean(axis=0), abs=1e-9)
+
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    for c in range(2):
+        ref = vecs[:, order[c]]
+        # eigenvectors are sign-ambiguous; compare up to sign
+        dot = abs(float(ref @ pcs[:, c]))
+        assert dot == pytest.approx(1.0, abs=1e-8)
+    # components are orthonormal
+    assert pcs[:, 0] @ pcs[:, 1] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pca_projection_variance_ordering(spark):
+    """PC1 projections must capture at least as much variance as PC2, and
+    both at least as much as a raw coordinate (top eigenpair property)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.linalg import emb_pca_project
+
+    rows = emb_pca_project(spark, SF_SMOKE).collect()
+    pc1 = np.array([float(r["pc1"]) for r in rows])
+    pc2 = np.array([float(r["pc2"]) for r in rows])
+    x = _embeddings_matrix(spark)
+    assert pc1.var() >= pc2.var() > 0
+    assert pc1.var() >= x.var(axis=0).max() - 1e-6
+
+
+def test_repetition_bounds(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.text import text_repetition
+
+    rows = text_repetition(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["top2_frac"] is not None:
+            assert 0 < float(r["top2_frac"]) <= 1
+        if r["rep3_frac"] is not None:
+            assert 0 <= float(r["rep3_frac"]) < 1
+
+
+def test_decontaminate_excludes_eval_docs(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        EVAL_SPLIT_MOD,
+        text_decontaminate,
+    )
+    from mysql_cdc_debezium_starrocks_spark.functions import phash32
+
+    import pyspark.sql.functions as F
+
+    out = text_decontaminate(spark, SF_SMOKE)
+    flagged = out.filter(
+        phash32(F.col("doc_id"), "evalsplit") % EVAL_SPLIT_MOD == 0
+    ).count()
+    assert flagged == 0  # eval docs themselves are never reported
+    assert out.count() > 0
+
+
+def test_hist_quantile_brackets_exact_percentiles(spark):
+    """Each histogram upper bound must be >= the exact percentile and within
+    one bin width above it."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        HIST_BIN,
+        hist_quantile_bins,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                    f"percentile(l_extendedprice, {p}) as p{int(p*100)}"
+                )
+                for p in (0.5, 0.95, 0.99)
+            ]
+        )
+        .collect()
+    }
+    for r in hist_quantile_bins(spark, SF_SMOKE).collect():
+        e = exact[r["l_returnflag"]]
+        for p in (50, 95, 99):
+            ub = r[f"p{p}_ub"]
+            assert ub >= e[f"p{p}"]
+            assert ub - HIST_BIN <= e[f"p{p}"] + HIST_BIN
