@@ -30,6 +30,7 @@ def _modules():
         events,
         linalg,
         multimodal,
+        packing,
         relational,
         relational_ext,
         similarity,
@@ -54,4 +55,5 @@ def _modules():
         multimodal,
         events,
         temporal,
+        packing,
     )

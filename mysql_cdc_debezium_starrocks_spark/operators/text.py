@@ -298,6 +298,42 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN = 0.65  # corpus_curate keep threshold on the composite score
+
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus deliverable: documents that (a) pass the
+    composite quality filter, (b) survive near-dup canonicalization
+    (SimHash connected components, keep min doc_id), (c) share no 4-gram
+    with the held-out eval split, and (d) are not eval docs themselves.
+
+    This is the standard curation funnel (quality -> dedup -> decontam ->
+    split) composed from the suite's own operators.  Each removal list is
+    tiny relative to the corpus, so every exclusion is a left-anti join
+    that AQE broadcasts — the full corpus streams through exactly once.
+    """
+    from .dedup import dedup_components
+
+    d = load_spread(spark, sf_dir, "documents")
+    q = text_quality(spark, sf_dir).select("doc_id", "n_words", "quality")
+    dup_removals = (
+        dedup_components(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id")
+    )
+    contaminated = text_decontaminate(spark, sf_dir).select("doc_id")
+    is_eval = phash32(F.col("doc_id"), "evalsplit") % EVAL_SPLIT_MOD == 0
+    return (
+        d.select("doc_id", "lang", "source")
+        .filter(~is_eval)
+        .join(q, "doc_id")
+        .filter(F.col("quality") >= QUALITY_MIN)
+        .join(dup_removals, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_words", "quality")
+    )
+
+
 _QUALITY_EXPRS = """
   len(w) AS n_words,
   len(list_distinct(w)) AS n_uniq,
@@ -433,10 +469,34 @@ ORACLE["text_decontaminate"] = f"""
     GROUP BY tr.doc_id
 """
 
+# corpus_curate oracle: composed from the suite's own oracle fragments —
+# quality CTE + recursive-CTE components + decontamination sweep.
+def _corpus_curate_oracle() -> str:
+    from .dedup import ORACLE as DEDUP_ORACLE
+
+    return f"""
+    WITH q AS ({ORACLE["text_quality"]}),
+    contam AS ({ORACLE["text_decontaminate"]}),
+    dup_removals AS (
+      SELECT doc_id FROM ({DEDUP_ORACLE["dedup_components"]}) cc
+      WHERE doc_id <> component_id)
+    SELECT d.doc_id, d.lang, d.source, q.n_words, q.quality
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    WHERE ({phash32_sql("d.doc_id::VARCHAR", "evalsplit")} % {EVAL_SPLIT_MOD}) <> 0
+      AND q.quality >= {QUALITY_MIN}
+      AND d.doc_id NOT IN (SELECT doc_id FROM dup_removals)
+      AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    """
+
+
+ORACLE["corpus_curate"] = _corpus_curate_oracle()
+
 QUERIES = {
     "text_quality": text_quality,
     "text_repetition": text_repetition,
     "text_decontaminate": text_decontaminate,
+    "corpus_curate": corpus_curate,
     "text_langid": text_langid,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,

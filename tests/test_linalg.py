@@ -124,3 +124,38 @@ def test_hist_quantile_brackets_exact_percentiles(spark):
             ub = r[f"p{p}_ub"]
             assert ub >= e[f"p{p}"]
             assert ub - HIST_BIN <= e[f"p{p}"] + HIST_BIN
+
+
+def test_pack_sequences_invariants(spark):
+    """Shard-parallel FFD: capacity respected, every doc packed once,
+    deterministic, and density within the FFD bound."""
+    import math
+
+    from mysql_cdc_debezium_starrocks_spark.operators.packing import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    fills = {}
+    for r in rows:
+        assert 0 < r["n_tokens"] <= PACK_CAPACITY
+        assert r["bin_fill"] <= PACK_CAPACITY
+        fills.setdefault((r["shard"], r["bin_id"]), 0)
+        fills[(r["shard"], r["bin_id"])] += r["n_tokens"]
+    # bin_fill column is consistent with the sum of members
+    for r in rows:
+        assert fills[(r["shard"], r["bin_id"])] == r["bin_fill"]
+
+    # density: FFD uses at most ~11/9 OPT + 1 bins per shard
+    total = sum(r["n_tokens"] for r in rows)
+    lower = math.ceil(total / PACK_CAPACITY)
+    assert len(fills) <= math.ceil(lower * 11 / 9) + PACK_SHARDS
+
+    again = pack_sequences(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

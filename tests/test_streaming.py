@@ -232,3 +232,43 @@ def test_sql_serving_on_live_view(spark, tmp_path):
         "FROM orders_live"
     ).collect()
     assert agg.pending == 2
+
+
+def test_schema_history_sink(spark, tmp_path):
+    """S9: DDL events stream into the history log; latest-per-table view
+    reflects the newest statement (reference: schemahistory.testdb topic)."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.schema_history import (
+        latest_ddl_per_table,
+        read_schema_history,
+        start_schema_history,
+    )
+
+    src = str(tmp_path / "ddl_events")
+    sink = str(tmp_path / "ddl_sink")
+    ckpt = str(tmp_path / "ddl_ckpt")
+    os.makedirs(src, exist_ok=True)
+    events = [
+        {"_seq": 1, "database": "testdb", "table": "orders",
+         "ddl": "CREATE TABLE orders (order_id INT PRIMARY KEY)"},
+        {"_seq": 2, "database": "testdb", "table": "customers",
+         "ddl": "CREATE TABLE customers (customer_id INT PRIMARY KEY)"},
+        {"_seq": 3, "database": "testdb", "table": "orders",
+         "ddl": "ALTER TABLE orders ADD COLUMN notes TEXT"},
+    ]
+    with open(os.path.join(src, "batch0.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    q = start_schema_history(spark, src, sink, ckpt)
+    q.awaitTermination(60)
+
+    log = read_schema_history(spark, sink).collect()
+    assert [r["_seq"] for r in log] == [1, 2, 3]
+
+    latest = {r["table"]: r["ddl"] for r in latest_ddl_per_table(spark, sink).collect()}
+    assert latest["orders"].startswith("ALTER TABLE orders")
+    assert latest["customers"].startswith("CREATE TABLE customers")
+
+    # idempotent restart: a second drain over the same checkpoint appends nothing
+    q2 = start_schema_history(spark, src, sink, ckpt)
+    q2.awaitTermination(60)
+    assert read_schema_history(spark, sink).count() == 3
