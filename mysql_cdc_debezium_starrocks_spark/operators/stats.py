@@ -224,6 +224,71 @@ def hist_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-active week,
+    distinct active users per (cohort_week, weeks_since).
+
+    Two partial-agg'd reductions (first-week per user, distinct user-weeks)
+    and one join on user_id; at 100 TB the user_first side is the small one
+    (one row per user) and co-partitions with the activity reduction, so
+    the join reuses the shuffle.
+    """
+    e = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    user_first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = e.select("user_id", wk.alias("wk")).distinct()
+    return (
+        active.join(user_first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+MIX_TARGET_SHARE = {  # desired token share per source stratum
+    "src0": 0.30,
+    "src1": 0.25,
+    "src2": 0.20,
+    "src3": 0.15,
+    "src4": 0.10,
+}
+
+
+def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing math: per-source token counts vs the target mixture ->
+    the sampling rate (capped at 1.0) that realizes the target, plus the
+    resulting expected token yield.  One partial-agg'd groupBy; the total
+    is a broadcast scalar.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(words(F.col("text")))).alias("tokens")
+    )
+    total = toks.agg(F.sum("tokens").alias("total"))
+    target = F.lit(0.0)
+    for src, share in MIX_TARGET_SHARE.items():
+        target = F.when(F.col("source") == src, F.lit(share)).otherwise(target)
+    actual = F.col("tokens") / F.col("total")
+    rate = F.least(F.lit(1.0), target / actual)
+    return (
+        toks.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "tokens",
+            F.round(actual, 6).cast("decimal(9,6)").alias("actual_share"),
+            F.round(target, 6).cast("decimal(9,6)").alias("target_share"),
+            F.round(rate, 6).cast("decimal(9,6)").alias("sample_rate"),
+            F.round(F.col("tokens") * rate, 2)
+            .cast("decimal(18,2)")
+            .alias("expected_tokens"),
+        )
+    )
+
+
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigrams by document frequency (distinct per doc), ties broken
     by bigram text — n-gram count collection for LM-style corpus stats."""
@@ -340,10 +405,44 @@ ORACLE["hist_quantile_bins"] = f"""
     GROUP BY c.l_returnflag
 """
 
+ORACLE["events_retention"] = """
+    WITH f AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS BIGINT) AS weeks_since,
+           count(DISTINCT a.user_id) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+
+_MIX_CASE = (
+    "CASE source "
+    + "".join(f"WHEN '{s}' THEN {sh} " for s, sh in MIX_TARGET_SHARE.items())
+    + "ELSE 0.0 END"
+)
+
+ORACLE["mix_weights_by_source"] = f"""
+    WITH t AS (
+      SELECT source, sum(len({_W})) AS tokens FROM documents GROUP BY source),
+    tot AS (SELECT sum(tokens) AS total FROM t)
+    SELECT source, tokens,
+           CAST(round(tokens::DOUBLE / total, 6) AS DECIMAL(9,6)) AS actual_share,
+           CAST(round({_MIX_CASE}, 6) AS DECIMAL(9,6)) AS target_share,
+           CAST(round(least(1.0, ({_MIX_CASE}) / (tokens::DOUBLE / total)), 6)
+                AS DECIMAL(9,6)) AS sample_rate,
+           CAST(round(tokens * least(1.0, ({_MIX_CASE}) / (tokens::DOUBLE / total)), 2)
+                AS DECIMAL(18,2)) AS expected_tokens
+    FROM t, tot
+"""
+
 QUERIES = {
     "stats_corr_price_qty": stats_corr_price_qty,
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "hist_quantile_bins": hist_quantile_bins,
+    "events_retention": events_retention,
+    "mix_weights_by_source": mix_weights_by_source,
     "timeseries_gapfill": timeseries_gapfill,
     "sample_stratified": sample_stratified,
     "set_intersect_except": set_intersect_except,

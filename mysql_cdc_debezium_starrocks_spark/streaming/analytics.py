@@ -232,3 +232,17 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table — the CDC-materialized serving table is the
+    canonical dim here, closing the loop between the pipeline's two halves.
+
+    Stream-static joins are stateless on the stream side: Spark re-plans
+    the static side per micro-batch (picking up dim updates) and broadcasts
+    it when small, so the stream never shuffles.  Left join keeps events
+    whose key has no dim row yet (early events), with a flag.
+    """
+    enriched = events.join(F.broadcast(dim), on, "left")
+    return enriched.withColumn("dim_matched", F.col(dim.columns[-1]).isNotNull())

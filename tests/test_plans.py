@@ -109,3 +109,37 @@ def test_ivf_assignment_is_partial_agg(spark):
     assert partial_aggregates(p), "cell argmax must be partial max_by"
     assert broadcasts(p)
     assert not has_cartesian(p)
+
+
+def test_covariance_shuffles_only_partials(spark):
+    """emb_covariance's exchanges move partition partials (O(parts * d^2)
+    doubles), never the data: every shuffle sits above the mapInPandas."""
+    from mysql_cdc_debezium_starrocks_spark.operators.linalg import emb_covariance
+
+    df = emb_covariance(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" not in plan  # mapInPandas, not grouped
+    assert not has_cartesian(plan)
+    assert broadcasts(plan)  # sums/totals join back as broadcasts
+    assert partial_aggregates(plan)  # per-index sums partial-agg
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set must broadcast: the training corpus side streams
+    through a BroadcastHashJoin, then one partial-agg'd per-doc count."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import text_decontaminate
+
+    plan = plan_of(text_decontaminate(spark, SF_SMOKE))
+    assert broadcasts(plan)
+    assert not has_cartesian(plan)
+    assert partial_aggregates(plan)
+
+
+def test_corpus_curate_removals_are_anti_joins(spark):
+    """Every exclusion list applies as a (broadcastable) anti join — the
+    corpus never shuffles on its own bulk."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import corpus_curate
+
+    plan = plan_of(corpus_curate(spark, SF_SMOKE))
+    assert plan.count("LeftAnti") >= 2  # dup removals + contamination
+    assert not has_cartesian(plan)

@@ -242,3 +242,42 @@ def test_interval_join_attribution(spark, tmp_path):
     assert all(p != 11 for p, _ in got), "user without clicks must not join"
     assert all(p != 12 for p, _ in got), "click outside horizon must not join"
     assert (14, 13) in got, "same-timestamp click joins (inclusive bound)"
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static left join enriches events with a batch dimension and
+    flags keys the dim doesn't know yet."""
+    import json as _json
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.analytics import (
+        enrich_with_dimension,
+    )
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"event_id": 1, "user_id": 10, "value": 5.0},
+        {"event_id": 2, "user_id": 11, "value": 7.0},
+        {"event_id": 3, "user_id": 99, "value": 1.0},  # unknown user
+    ]
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = "event_id long, user_id long, value double"
+    stream = spark.readStream.schema(schema).json(src)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "user_id long, tier string"
+    )
+    out = enrich_with_dimension(stream, dim)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["event_id"]: r for r in spark.sql("select * from enriched_t").collect()}
+    assert got[1]["tier"] == "gold" and got[1]["dim_matched"]
+    assert got[2]["tier"] == "silver"
+    assert got[3]["tier"] is None and not got[3]["dim_matched"]
