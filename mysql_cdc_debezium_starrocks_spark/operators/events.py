@@ -147,6 +147,30 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type transitions (Markov bigrams of user journeys).
+
+    One shuffle on user_id for the lead() window, then a partial-aggregated
+    count on the tiny (src, dst) key space and a TakeOrderedAndProject —
+    no global sort of the pair counts.  Ordering is fully deterministic
+    (count desc, then pair name) so the LIMIT boundary is stable.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"),
+            F.col("next_type").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "src_type", "dst_type")
+        .limit(20)
+    )
+
+
 ORACLE = {
     # daily stats DIRECT from raw rows: equality with the cascade proves
     # sum-of-sums / min-of-mins re-aggregation is lossless
@@ -225,6 +249,18 @@ ORACLE = {
                CAST(round(n_full_funnel / n_signup::DOUBLE, 4) AS DECIMAL(7,4)) AS conv_full
         FROM f
     """,
+    "events_transitions": """
+        WITH nxt AS (
+          SELECT event_type AS src_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst_type
+          FROM events)
+        SELECT src_type, dst_type, count(*) AS n
+        FROM nxt WHERE dst_type IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY n DESC, src_type, dst_type
+        LIMIT 20
+    """,
 }
 
 def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,4 +316,5 @@ QUERIES = {
     "events_rate": events_rate,
     "events_rollup_cascade": events_rollup_cascade,
     "events_funnel": events_funnel,
+    "events_transitions": events_transitions,
 }

@@ -141,6 +141,28 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics of the embedding column.
+
+    The norm is a per-row fold (zip_with square + aggregate sum) entirely
+    inside codegen, then one partial-aggregatable groupBy on the tiny label
+    key — the shape used to sanity-check embedding tables (un-normalized
+    rows, collapsed vectors) before any ANN / dedup pass.  Map-side combine
+    means the shuffle carries |labels| rows per task regardless of data size.
+    """
+    emb = load_spread(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(F.zip_with(x, x, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
+    per = emb.select("label", F.sqrt(sq).alias("nrm"))
+    dec = lambda c: F.round(c, 4).cast("decimal(12,4)")  # noqa: E731
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.avg("nrm")).alias("avg_norm"),
+        dec(F.min("nrm")).alias("min_norm"),
+        dec(F.max("nrm")).alias("max_norm"),
+    )
+
+
 _E = "list_transform(embedding, x -> x::DOUBLE)"
 
 ORACLE = {
@@ -160,9 +182,22 @@ ORACLE = {
         GROUP BY p.i, p.j
     """,
     # emb_pca_project: eigendecomposition — not SQL-expressible; rows-only.
+    "emb_norm_stats": """
+        WITH norms AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(embedding,
+                      v -> v::DOUBLE * v::DOUBLE))) AS nrm
+          FROM embeddings)
+        SELECT label, count(*) AS n,
+               CAST(round(avg(nrm), 4) AS DECIMAL(12,4)) AS avg_norm,
+               CAST(round(min(nrm), 4) AS DECIMAL(12,4)) AS min_norm,
+               CAST(round(max(nrm), 4) AS DECIMAL(12,4)) AS max_norm
+        FROM norms GROUP BY label
+    """,
 }
 
 QUERIES = {
     "emb_covariance": emb_covariance,
     "emb_pca_project": emb_pca_project,
+    "emb_norm_stats": emb_norm_stats,
 }

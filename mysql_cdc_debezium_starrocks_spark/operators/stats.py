@@ -126,6 +126,31 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(bucket < rate).select("doc_id", "lang", "source")
 
 
+RESERVOIR_K = 50
+
+
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=50) deterministic sample per source — the reproducible
+    reservoir: rank docs inside each stratum by a seeded portable hash and
+    keep the k smallest.
+
+    Unlike rate-based ``sample_stratified`` this guarantees an exact per-
+    stratum count (balanced eval/holdout carving).  The ``rank <= k`` filter
+    over the window triggers Spark's WindowGroupLimit pushdown, so each
+    shuffle partition keeps only k rows per group before the final filter —
+    no stratum ever materializes fully sorted.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        phash32(F.col("doc_id"), "resv").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("doc_id", "source", "rn")
+    )
+
+
 def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers ordering in both 1995 and 1996 but gone by 2001
     (INTERSECT then EXCEPT — planned as left-semi / left-anti joins;
@@ -352,6 +377,13 @@ ORACLE = {
                 ELSE {_DEFAULT_PCT}
               END
     """,
+    "sample_reservoir_per_source": f"""
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY {phash32_sql("doc_id::VARCHAR", "resv")}, doc_id) AS rn
+        FROM documents
+        QUALIFY rn <= {RESERVOIR_K}
+    """,
     "set_intersect_except": """
         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         INTERSECT
@@ -445,6 +477,7 @@ QUERIES = {
     "mix_weights_by_source": mix_weights_by_source,
     "timeseries_gapfill": timeseries_gapfill,
     "sample_stratified": sample_stratified,
+    "sample_reservoir_per_source": sample_reservoir_per_source,
     "set_intersect_except": set_intersect_except,
     "text_bigram_topk": text_bigram_topk,
 }

@@ -334,6 +334,46 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII-scrub patterns shared by the Spark op and the DuckDB oracle.  Kept to
+# constructs with identical semantics in Java regex and RE2 (char classes,
+# bounded repeats, greedy quantifiers) so the redacted output hashes match.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONGNUM_RE = "\\d{6,}"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact e-mail addresses and long digit runs.
+
+    The fixture corpus is synthetic word soup, so each doc is first salted
+    with a deterministic e-mail + numeric id derived from ``doc_id`` (both
+    engines build the identical dirty text); the scrub then runs the real
+    redaction pipeline: count matches, replace e-mails, then replace id-like
+    digit runs on the already-e-mail-redacted text.  Output carries
+    ``md5(redacted)`` rather than the full text, so the oracle hash-match
+    proves byte-identical redaction without shipping the corpus.
+
+    Scale: pure per-row regexp work inside codegen — map-only, no shuffle;
+    at 100 TB this is scan-bound and embarrassingly parallel.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example ref "),
+        (F.lit(1_000_000) + F.col("doc_id") * 7919).cast("string"),
+    )
+    no_email = F.regexp_replace(dirty, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(no_email, LONGNUM_RE, "<ID>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(LONGNUM_RE)).alias("n_ids"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
 _QUALITY_EXPRS = """
   len(w) AS n_words,
   len(list_distinct(w)) AS n_uniq,
@@ -355,6 +395,23 @@ ORACLE = {
                  + least(n_uniq::DOUBLE / n_words, 0.5) * 0.6
                  + least(n_stop::DOUBLE / n_words, 0.2) * 1.5, 4) AS DECIMAL(7,4)) AS quality
         FROM s
+    """,
+    "text_pii_redact": f"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR || '@mail.example ref '
+                      || (1000000 + doc_id * 7919)::VARCHAR AS t
+          FROM documents),
+        r1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+                 regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM dirty)
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(t1, '{LONGNUM_RE}')) AS n_ids,
+               md5(regexp_replace(t1, '{LONGNUM_RE}', '<ID>', 'g')) AS redacted_md5,
+               length(regexp_replace(t1, '{LONGNUM_RE}', '<ID>', 'g')) AS redacted_len
+        FROM r1
     """,
     "text_langid": None,  # filled below (needs profile expansion)
     "text_token_count": f"""
@@ -494,6 +551,7 @@ ORACLE["corpus_curate"] = _corpus_curate_oracle()
 
 QUERIES = {
     "text_quality": text_quality,
+    "text_pii_redact": text_pii_redact,
     "text_repetition": text_repetition,
     "text_decontaminate": text_decontaminate,
     "corpus_curate": corpus_curate,

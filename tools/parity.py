@@ -65,8 +65,10 @@ def main():
 
     qs, oracles = se.queries(), se.oracle_sql()
     failures, no_oracle = [], []
+    skipped = 0
     for name, fn in qs.items():
         if only and name not in only:
+            skipped += 1
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -107,8 +109,9 @@ def main():
         print(f"OK    {name}: {len(srows)} rows")
 
     print(
-        f"\n{len(qs) - len(failures) - len(no_oracle)} ok, "
-        f"{len(failures)} failed, {len(no_oracle)} rows-only, {len(qs)} total"
+        f"\n{len(qs) - len(failures) - len(no_oracle) - skipped} ok, "
+        f"{len(failures)} failed, {len(no_oracle)} rows-only, "
+        f"{skipped} skipped, {len(qs)} total"
     )
     sys.exit(1 if failures else 0)
 
