@@ -566,8 +566,58 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PASSAGE_W = 5  # words per passage chunk
+
+
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact-duplicate profile: chunk each doc into
+    ``PASSAGE_W``-word passages, hash them, and report per doc how many of
+    its passages occur anywhere else in the corpus (boilerplate load).
+
+    Scale shape: the chunking is a map-only array fold; the corpus-wide
+    frequency count shuffles 8-byte passage hashes (never passage text),
+    partial-agg'd map-side; the join back to docs is a shuffle on the same
+    hash key so AQE can co-plan the two.  Output is O(n_docs).
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n_chunks = F.ceil(F.size(w) / F.lit(PASSAGE_W)).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * PASSAGE_W + 1, F.lit(PASSAGE_W))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = d.select("doc_id", F.explode(chunks).alias("chunk")).select(
+        "doc_id", phash32(F.col("chunk"), "pass").alias("ch")
+    )
+    cnt = e.groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        e.join(cnt, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.round(F.col("n_shared_chunks") / F.col("n_chunks"), 4)
+            .cast("decimal(7,4)")
+            .alias("shared_frac"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
+    "dedup_passage_exact": dedup_passage_exact,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -619,4 +669,27 @@ ORACLE["dedup_keep_canonical"] = f"""
       SELECT doc_id FROM ({ORACLE["dedup_components"]}) cc
       WHERE doc_id <> component_id
     )
+"""
+
+ORACLE["dedup_passage_exact"] = f"""
+WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+c AS (
+  SELECT doc_id,
+         CASE WHEN len(w) > 0 THEN
+           list_transform(
+             generate_series(0, CAST(ceil(len(w) / {PASSAGE_W}.0) AS INT) - 1),
+             i -> array_to_string(
+                    list_slice(w, i * {PASSAGE_W} + 1, i * {PASSAGE_W} + {PASSAGE_W}),
+                    ' '))
+         ELSE [] END AS chunks
+  FROM d),
+e AS (SELECT doc_id, {phash32_sql('chunk', 'pass')} AS ch
+      FROM (SELECT doc_id, unnest(chunks) AS chunk FROM c)),
+cnt AS (SELECT ch, count(*) AS cnt FROM e GROUP BY ch)
+SELECT e.doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END) AS n_shared_chunks,
+       CAST(round(sum(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+            AS DECIMAL(7,4)) AS shared_frac
+FROM e JOIN cnt USING (ch)
+GROUP BY e.doc_id
 """

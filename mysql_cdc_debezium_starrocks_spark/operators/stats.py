@@ -314,6 +314,34 @@ def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the mixed corpus that ``mix_weights_by_source`` plans:
+    compute per-source sampling rates (tiny aggregate, broadcast back) and
+    keep each doc whose seeded hash bucket clears its source's rate.
+
+    The doc table is scanned once for token totals and once for the filter;
+    the join is a broadcast of |sources| rows, so the whole realization is
+    two scans + zero wide shuffles — the reproducible way to cut a weighted
+    pretraining mixture at 100 TB (same hash => same sample on re-run).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(words(F.col("text")))).alias("tokens")
+    )
+    total = toks.agg(F.sum("tokens").alias("total"))
+    target = F.lit(0.0)
+    for src, share in MIX_TARGET_SHARE.items():
+        target = F.when(F.col("source") == src, F.lit(share)).otherwise(target)
+    rate = F.least(F.lit(1.0), target / (F.col("tokens") / F.col("total")))
+    rates = toks.crossJoin(F.broadcast(total)).select("source", rate.alias("rate"))
+    u = (phash32(F.col("doc_id"), "mix") % 1_000_000) / F.lit(1_000_000.0)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source")
+    )
+
+
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigrams by document frequency (distinct per doc), ties broken
     by bigram text — n-gram count collection for LM-style corpus stats."""
@@ -469,8 +497,22 @@ ORACLE["mix_weights_by_source"] = f"""
     FROM t, tot
 """
 
+ORACLE["mix_sample_apply"] = f"""
+    WITH t AS (
+      SELECT source, sum(len({_W})) AS tokens FROM documents GROUP BY source),
+    tot AS (SELECT sum(tokens) AS total FROM t),
+    r AS (
+      SELECT source,
+             least(1.0, ({_MIX_CASE}) / (tokens::DOUBLE / total)) AS rate
+      FROM t, tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ({phash32_sql("d.doc_id::VARCHAR", "mix")} % 1000000) / 1000000.0 < r.rate
+"""
+
 QUERIES = {
     "stats_corr_price_qty": stats_corr_price_qty,
+    "mix_sample_apply": mix_sample_apply,
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "hist_quantile_bins": hist_quantile_bins,
     "events_retention": events_retention,

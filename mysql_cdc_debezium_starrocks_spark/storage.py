@@ -105,3 +105,47 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return bs.join(ss, [key, "_salt"], how).drop("_salt")
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_bytes`` each (default 128 MB — one HDFS/S3-range
+    scan split).  Returns (files_before, files_after).
+
+    Streaming sinks (the CDC materializer, the rollup maintainer) and
+    high-frequency batch appends accrete many tiny files; at 100 TB that
+    turns every scan into a driver-side listing storm and per-file open
+    overhead.  Compaction is the maintenance pass every table format runs
+    (OPTIMIZE in Delta/Iceberg terms): read once, coalesce to the byte
+    budget, atomically swap directories.  ``coalesce`` (not repartition)
+    keeps it shuffle-free — each output task concatenates whole input
+    splits.
+    """
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    n_before = len(files)
+    total = sum(os.path.getsize(f) for f in files)
+    n_after = max(1, -(-total // target_file_bytes))
+    if n_after >= n_before:
+        return n_before, n_before
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).coalesce(int(n_after)).write.parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_before, int(n_after)

@@ -155,3 +155,24 @@ def test_partitioned_join_prunes_dynamically(spark, tmp_path):
     plan = plan_of(j)
     assert dynamic_partition_pruning(plan), plan
     assert j.count() == orders.filter(F.col("o_year") == 1997).count()
+
+
+def test_compact_files_preserves_data(spark, tmp_path):
+    """Compaction collapses a many-tiny-file layout into the byte budget
+    without changing a single row."""
+    from mysql_cdc_debezium_starrocks_spark.storage import compact_files
+
+    path = str(tmp_path / "tiny")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    n_before, n_after = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert n_before == 64 and n_after == 1
+    got = spark.read.parquet(path)
+    assert sorted(r.id for r in got.collect()) == before
+    assert {r.v == r.id * 2 for r in got.collect()} == {True}
+
+    # already-compact layout is left untouched
+    again = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert again == (1, 1)

@@ -281,3 +281,68 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert got[1]["tier"] == "gold" and got[1]["dim_matched"]
     assert got[2]["tier"] == "silver"
     assert got[3]["tier"] is None and not got[3]["dim_matched"]
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """The foreachBatch-maintained minute-partial table, fed the fixture
+    events over several micro-batches, must re-aggregate to EXACTLY the
+    daily stats computed directly from the raw events in one batch pass —
+    incremental view maintenance is lossless and idempotent."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.streaming.rollup import (
+        daily_view,
+        read_rollup,
+        start_incremental_rollup,
+    )
+
+    from .conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    src = str(tmp_path / "ev_json")
+    events.coalesce(4).write.mode("overwrite").json(src)
+
+    state = str(tmp_path / "rollup_state")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = start_incremental_rollup(spark, stream, state, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    partials = read_rollup(spark, state)
+    assert partials is not None, "state table must exist after the run"
+    got = {
+        (str(r.day), r.event_type): (r.n_events, r.sum_value, r.min_value,
+                                     r.max_value, r.avg_value)
+        for r in daily_view(partials).collect()
+    }
+
+    v = F.col("value").cast("decimal(18,2)")
+    direct = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(v).alias("sum_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+    )
+    direct = direct.withColumn(
+        "avg_value",
+        F.round(F.col("sum_value").cast("double") / F.col("n_events"), 4).cast(
+            "decimal(18,4)"
+        ),
+    )
+    want = {
+        (str(r.day), r.event_type): (r.n_events, r.sum_value, r.min_value,
+                                     r.max_value, r.avg_value)
+        for r in direct.collect()
+    }
+    assert got == want
