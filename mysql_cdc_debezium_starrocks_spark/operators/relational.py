@@ -344,6 +344,39 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per supplier — a RANGE (value-based) window
+    frame, complementing the ROWS frames elsewhere in the suite.
+
+    Spark's ``rangeBetween`` needs a numeric ordering key, so the date is
+    mapped to days-since-epoch; ties (same supplier+day) are frame peers and
+    aggregate together, identical to SQL RANGE semantics.  One shuffle on
+    l_suppkey; the frame is evaluated with a sliding accumulator inside the
+    sorted partition, not by self-join — O(n) per partition at any scale.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_suppkey") % 10 == 0) & (F.year("l_shipdate") == 1996)
+    )
+    one = F.lit("1.00").cast("decimal(5,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 5, 2))
+    base = l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        rev.alias("rev"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("d").rangeBetween(-30, 0)
+    return base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.sum("rev").over(w).alias("rolling_rev_30d"),
+    )
+
+
 # --- F: scalar functions (SURVEY §2.8) ---------------------------------------
 
 
@@ -389,6 +422,7 @@ QUERIES = {
     "union_priorities": union_priorities,
     "window_topn_per_group": window_topn_per_group,
     "window_running_sum": window_running_sum,
+    "window_range_rolling_revenue": window_range_rolling_revenue,
     "scalar_functions": scalar_functions,
 }
 
@@ -542,6 +576,20 @@ ORACLE = {
                lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
         FROM orders WHERE o_custkey % 10 = 1
+    """,
+    "window_range_rolling_revenue": """
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               sum(rev) OVER (PARTITION BY l_suppkey ORDER BY d
+                              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                 AS rolling_rev_30d
+        FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                 date_diff('day', DATE '1970-01-01', l_shipdate) AS d,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST('1.00' AS DECIMAL(5,2)) - CAST(l_discount AS DECIMAL(5,2))) AS rev
+          FROM lineitem
+          WHERE l_suppkey % 10 = 0 AND year(l_shipdate) = 1996
+        ) t
     """,
     "scalar_functions": """
         SELECT c_custkey,

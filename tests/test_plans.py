@@ -143,3 +143,51 @@ def test_corpus_curate_removals_are_anti_joins(spark):
     plan = plan_of(corpus_curate(spark, SF_SMOKE))
     assert plan.count("LeftAnti") >= 2  # dup removals + contamination
     assert not has_cartesian(plan)
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """rank<=k over the per-stratum window must trigger WindowGroupLimit
+    pushdown: each task keeps k rows per group pre-shuffle, so no stratum
+    is ever fully sorted/materialized."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        sample_reservoir_per_source,
+    )
+
+    plan = plan_of(sample_reservoir_per_source(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_mix_sample_apply_broadcasts_rates(spark):
+    """The per-source rate table joins back by broadcast — the corpus side
+    must not shuffle for the join."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import mix_sample_apply
+
+    plan = plan_of(mix_sample_apply(spark, SF_SMOKE))
+    assert broadcasts(plan)
+    assert not has_cartesian(plan)
+
+
+def test_passage_dedup_shuffles_hashes_not_text(spark):
+    """Both wide exchanges of the passage profile must key on the 8-byte
+    chunk hash, never the chunk text."""
+    from mysql_cdc_debezium_starrocks_spark.operators.dedup import (
+        dedup_passage_exact,
+    )
+
+    plan = plan_of(dedup_passage_exact(spark, SF_SMOKE))
+    assert "hashpartitioning(ch" in plan, "exchanges must key on the hash column"
+    assert "hashpartitioning(chunk" not in plan
+    assert partial_aggregates(plan)
+
+
+def test_range_frame_window_single_shuffle(spark):
+    """The RANGE-frame rolling revenue is one exchange on l_suppkey plus a
+    sorted window — no self-join, no cartesian."""
+    from mysql_cdc_debezium_starrocks_spark.operators.relational import (
+        window_range_rolling_revenue,
+    )
+
+    plan = plan_of(window_range_rolling_revenue(spark, SF_SMOKE))
+    assert not has_cartesian(plan)
+    assert shuffle_count(plan) == 1
+    assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan
