@@ -308,6 +308,30 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: orders spending more than 2x their own
+    customer's total-average — Catalyst decorrelates each subquery into an
+    aggregate + join (RewriteCorrelatedScalarSubquery), so execution is two
+    shuffles on o_custkey, never a per-row probe.
+
+    Exact-arithmetic formulation (price * count > 2 * sum, all decimal/long)
+    so the filter boundary is bit-identical on both engines — an avg-based
+    form would compare doubles at the cut line.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2))
+                * (SELECT count(*) FROM v_orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(12,2)))
+                     FROM v_orders o3 WHERE o3.o_custkey = o.o_custkey)
+        """
+    )
+
+
 def union_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op (§2.7): UNION (distinct) of two selections."""
     o = load(spark, sf_dir, "orders")
@@ -419,6 +443,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_outer_fill": join_outer_fill,
     "scalar_subquery": scalar_subquery,
+    "scalar_subquery_correlated": scalar_subquery_correlated,
     "union_priorities": union_priorities,
     "window_topn_per_group": window_topn_per_group,
     "window_running_sum": window_running_sum,
@@ -547,6 +572,15 @@ ORACLE = {
             SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
         ) oc ON c.c_custkey = oc.o_custkey
         GROUP BY 1
+    """,
+    "scalar_subquery_correlated": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2))
+                * (SELECT count(*) FROM orders o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(12,2)))
+                     FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
     """,
     "scalar_subquery": """
         SELECT o_orderkey, o_custkey, o_totalprice

@@ -161,3 +161,36 @@ def jdbc_source(
     for k, v in options.items():
         r = r.option(k, v)
     return r.load()
+
+
+def csv_source_with_deadletter(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    delimiter: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV read split into (good, dead-letter) — the batch analog
+    of Routine Load's max_error_number pause semantics (T8: instead of
+    pausing the job on malformed rows, quarantine them and continue).
+
+    Returns two DataFrames off ONE scan: rows that parsed cleanly, and rows
+    whose raw text landed in the corrupt-record column (with that raw text
+    preserved for replay after a fix).  Both are lazy views over the same
+    cached parse, so the file is read once.
+    """
+    full = schema + ", _corrupt STRING"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw")
+    )
+    return good, bad

@@ -87,3 +87,26 @@ def test_workload_stream_feeds_materializer(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert sum(seen) >= 200, f"rate stream produced only {sum(seen)} rows"
+
+
+def test_csv_source_deadletter_split(spark, tmp_path):
+    """Malformed CSV rows land in the quarantine with their raw text; clean
+    rows parse fully — one file scan, no job failure (T8 batch analog)."""
+    from mysql_cdc_debezium_starrocks_spark.sources import (
+        csv_source_with_deadletter,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,amount,status\n"
+        "1,10.50,ok\n"
+        "2,not_a_number,ok\n"
+        "3,30.25,late\n"
+    )
+    good, bad = csv_source_with_deadletter(
+        spark, str(p), "id INT, amount DECIMAL(10,2), status STRING"
+    )
+    rows = {r.id: (str(r.amount), r.status) for r in good.collect()}
+    assert rows == {1: ("10.50", "ok"), 3: ("30.25", "late")}
+    raw = [r.raw for r in bad.collect()]
+    assert raw == ["2,not_a_number,ok"]
