@@ -104,6 +104,51 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reconstruct the live table AS OF a log position (here
+    60% through the sequence space) — snapshot-read over the event log.
+
+    The cutoff is a one-row broadcast scalar, the replay is the same
+    partial-aggregatable ``max_by`` LWW reduction as the live apply, so an
+    AS-OF read costs exactly one scan + one keyed shuffle at any scale (the
+    pattern behind Delta/Iceberg time travel, driven from the CDC log the
+    reference already retains in Kafka but cannot query).
+    """
+    from ..cdc.apply import apply_cdc_log, parse_envelope
+    from ..cdc.schemas import TS_WIRE_FORMAT
+
+    parsed = parse_envelope(synth_order_events_json(spark, sf_dir))
+    cut = parsed.agg(
+        F.floor(F.max("_seq") * 0.6).cast("long").alias("cut")
+    )
+    upto = parsed.crossJoin(F.broadcast(cut)).filter(
+        F.col("_seq") <= F.col("cut")
+    ).drop("cut")
+    live = apply_cdc_log(upto, key="order_key")
+    return live.select(
+        "order_key",
+        "cust_key",
+        "status",
+        F.col("total_price").cast("decimal(10,2)").alias("total_price"),
+        F.to_timestamp_ntz(F.col("order_ts"), F.lit(TS_WIRE_FORMAT)).alias("order_ts"),
+        "priority",
+    )
+
+
+_ORACLE_ASOF = _ORACLE_EV + """,
+cut AS (SELECT CAST(floor(max(_seq) * 0.6) AS BIGINT) AS cut FROM ev),
+upto AS (SELECT ev.* FROM ev, cut WHERE _seq <= cut),
+latest AS (
+  SELECT * FROM (
+    SELECT upto.*, row_number() OVER (PARTITION BY order_key ORDER BY _seq DESC) AS rn
+    FROM upto
+  ) t WHERE rn = 1
+)
+SELECT order_key, cust_key, status, total_price, order_ts, priority
+FROM latest WHERE __deleted <> 'true'
+"""
+
+
 _ORACLE_SCD2 = _ORACLE_EV + """,
 hist AS (
   SELECT ev.*,
@@ -122,9 +167,11 @@ QUERIES = {
     "cdc_topk": cdc_topk,
     "cdc_counts": cdc_counts,
     "cdc_scd2": cdc_scd2,
+    "cdc_asof_snapshot": cdc_asof_snapshot,
 }
 
 ORACLE = {
+    "cdc_asof_snapshot": _ORACLE_ASOF,
     "cdc_apply": _ORACLE_LIVE,
     "cdc_topk": f"SELECT * FROM ({_ORACLE_LIVE}) t ORDER BY order_key DESC LIMIT 5",
     "cdc_counts": f"SELECT status, count(*) AS n FROM ({_ORACLE_LIVE}) t GROUP BY status",
