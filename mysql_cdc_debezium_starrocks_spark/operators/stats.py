@@ -253,17 +253,24 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users bucketed by first-active week,
     distinct active users per (cohort_week, weeks_since).
 
-    Two partial-agg'd reductions (first-week per user, distinct user-weeks)
-    and one join on user_id; at 100 TB the user_first side is the small one
-    (one row per user) and co-partitions with the activity reduction, so
-    the join reuses the shuffle.
+    ONE shuffle on user_id produces both the cohort (min week) and the
+    distinct active-week set (collect_set — partial-aggregatable, its state
+    bounded by the timeline's week count, not the event count); exploding
+    that set replaces the separate distinct pass and the user_id join the
+    naive three-job formulation needs.  The final matrix agg is tiny.
     """
     e = load(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts")).cast("date")
-    user_first = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
-    active = e.select("user_id", wk.alias("wk")).distinct()
+    per_user = (
+        e.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cohort_week"),
+            F.collect_set("wk").alias("wks"),
+        )
+    )
     return (
-        active.join(user_first, "user_id")
+        per_user.select("user_id", "cohort_week", F.explode("wks").alias("wk"))
         .groupBy(
             "cohort_week",
             (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)

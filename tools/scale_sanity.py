@@ -1,0 +1,94 @@
+"""Scale-sanity harness: time selected operators at 1x vs Nx fixture data.
+
+Builds an N-fold replica of the tables a query touches (disjoint key spaces,
+so dedup/grouping cardinalities scale with the data instead of collapsing),
+then compares warm wall-clock.  A healthy operator scales sub-linearly on
+local[32] (fixed costs amortize, no plan cliffs, no spill); anything
+super-linear flags a shuffle or state problem to fix before it becomes a
+100 TB incident.
+
+Usage: python tools/scale_sanity.py [sf_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFFSET = 100_000_000  # disjoint key spaces per replica
+
+# table -> columns to offset per replica i (key-ish columns only)
+REPL = {
+    "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+}
+
+# query name -> (callable path, tables it needs replicated)
+CASES = {
+    "dedup_passage_exact": ("operators.dedup", ["documents"]),
+    "mix_sample_apply": ("operators.stats", ["documents"]),
+    "events_transitions": ("operators.events", ["events"]),
+    "events_retention": ("operators.stats", ["events"]),
+    "window_range_rolling_revenue": ("operators.relational", ["lineitem"]),
+}
+
+
+def _build(spark, sf_dir: str, out: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+
+    if os.path.exists(os.path.join(out, "_READY")):
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    needed = sorted({t for _, ts in CASES.values() for t in ts})
+    for t in needed:
+        base = load(spark, sf_dir, t)
+        parts = []
+        for i in range(factor):
+            df = base
+            for c in REPL[t]:
+                df = df.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.parquet(os.path.join(out, f"{t}.parquet"))
+    open(os.path.join(out, "_READY"), "w").close()
+
+
+def _time(fn, spark, d: str) -> float:
+    fn(spark, d).write.mode("overwrite").format("noop").save()  # warm
+    t0 = time.perf_counter()
+    fn(spark, d).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import importlib
+
+    from mysql_cdc_debezium_starrocks_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale-sanity")
+    out = f"/tmp/scale{factor}_{os.path.basename(os.path.normpath(sf_dir))}"
+    _build(spark, sf_dir, out, factor)
+
+    print(f"| query | 1x s | {factor}x s | ratio |")
+    print("|---|---|---|---|")
+    for name, (mod, _tabs) in CASES.items():
+        m = importlib.import_module(f"mysql_cdc_debezium_starrocks_spark.{mod}")
+        fn = getattr(m, name)
+        t1 = _time(fn, spark, sf_dir)
+        tn = _time(fn, spark, out)
+        print(f"| {name} | {t1:.2f} | {tn:.2f} | {tn / t1:.1f}x |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
