@@ -57,6 +57,28 @@ HEADLINE = [
         "IVF ANN: centroid scoring map-only against broadcast centroids, "
         "cell argmax via partial max_by (one row per vector on the wire).",
     ),
+    (
+        "sample_reservoir_per_source",
+        "Fixed-k per-stratum sample: rank<=k over the hash-ordered window "
+        "triggers WindowGroupLimit pushdown — each task keeps k rows per "
+        "group before the exchange, no stratum ever fully sorts.",
+    ),
+    (
+        "mix_sample_apply",
+        "Mixture realization: per-source rates reduce to a broadcast table; "
+        "the corpus side filters map-only against it — zero wide shuffles "
+        "of the documents.",
+    ),
+    (
+        "dedup_passage_exact",
+        "Passage-dedup profile: chunking is an array fold in codegen; both "
+        "exchanges key on the 8-byte chunk hash, never passage text.",
+    ),
+    (
+        "window_range_rolling_revenue",
+        "Value-based RANGE frame: one exchange on the partition key, sorted "
+        "sliding accumulator inside each partition — no self-join.",
+    ),
 ]
 
 
