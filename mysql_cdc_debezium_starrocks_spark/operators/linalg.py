@@ -163,6 +163,27 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (mean vector), one row per (label, dimension) —
+    the class-prototype computation behind SemDeDup-style pruning and
+    nearest-centroid classification.
+
+    posexplode keeps the dimension index JVM-side; the groupBy on the tiny
+    (label, dim) key space is partial-aggregatable, so the shuffle carries
+    |labels| x d partial sums per task, never vectors.  Components are
+    rounded to 6 decimals for cross-engine double parity.
+    """
+    emb = load_spread(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("k", "x"),
+        )
+        .groupBy("label", "k")
+        .agg(F.round(F.avg("x"), 6).cast("decimal(18,6)").alias("c"))
+    )
+
+
 _E = "list_transform(embedding, x -> x::DOUBLE)"
 
 ORACLE = {
@@ -194,10 +215,18 @@ ORACLE = {
                CAST(round(max(nrm), 4) AS DECIMAL(12,4)) AS max_norm
         FROM norms GROUP BY label
     """,
+    "emb_centroid_by_label": f"""
+        WITH e AS (SELECT label, {_E} AS v FROM embeddings),
+        idx AS (SELECT i.range::INT AS k FROM range(0, {DIM}) i)
+        SELECT label, k,
+               CAST(round(avg(v[k + 1]), 6) AS DECIMAL(18,6)) AS c
+        FROM e, idx GROUP BY label, k
+    """,
 }
 
 QUERIES = {
     "emb_covariance": emb_covariance,
     "emb_pca_project": emb_pca_project,
     "emb_norm_stats": emb_norm_stats,
+    "emb_centroid_by_label": emb_centroid_by_label,
 }

@@ -85,6 +85,37 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.25  # cosine threshold for range search
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine >= tau of
+    each query vector — the retrieval primitive when the caller wants "all
+    sufficiently similar", not top-k (e.g. near-dup candidate pull,
+    clustering seeds).
+
+    Same broadcast-queries + codegen-fold shape as the brute-force top-k
+    but with NO ranking window: the threshold filter runs inside the join
+    stage, so nothing is sorted and the output is exactly the qualifying
+    pairs.  Corpus scanned once; scale path swaps in the LSH/IVF bucketing
+    for candidate generation.
+    """
+    e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+    ).cast("decimal(9,6)")
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )
+
+
 def _bucket(vcol: Column) -> Column:
     """Random-hyperplane LSH bucket: bit p = sign of sum_d s(p,d) * v[d],
     where s(p,d) is a +-1 pseudo-random sign from the portable hash family.
@@ -353,6 +384,17 @@ _BUCKET_SQL = "CAST(" + " + ".join(
 ) + " AS INTEGER)"
 
 ORACLE = {
+    "ann_range_search": f"""
+        WITH {_NORM_CTE},
+        q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+              WHERE vec_id % {QUERY_MOD} = 0)
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
+                    AS DECIMAL(9,6)) AS cosine
+        FROM e JOIN q ON e.vec_id <> q.query_id
+        WHERE CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
+                   AS DECIMAL(9,6)) >= {RANGE_TAU}
+    """,
     "ann_bruteforce_topk": f"""
         WITH {_NORM_CTE},
         q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
@@ -471,6 +513,7 @@ ORACLE["emb_quantize_int8"] = """
 
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_range_search": ann_range_search,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     # no ORACLE entry: iterative fixpoint -> driver rows-only check
