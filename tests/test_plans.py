@@ -191,3 +191,27 @@ def test_range_frame_window_single_shuffle(spark):
     assert not has_cartesian(plan)
     assert shuffle_count(plan) == 1
     assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan
+
+
+def test_range_search_has_no_window(spark):
+    """Radius search must filter inside the broadcast-join stage — no
+    ranking window, no sort in the plan."""
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
+        ann_range_search,
+    )
+
+    plan = plan_of(ann_range_search(spark, SF_SMOKE))
+    assert broadcasts(plan)
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+
+
+def test_centroid_is_partial_agg(spark):
+    """Per-label centroids reduce via map-side partials on (label, dim)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.linalg import (
+        emb_centroid_by_label,
+    )
+
+    plan = plan_of(emb_centroid_by_label(spark, SF_SMOKE))
+    assert partial_aggregates(plan)
+    assert shuffle_count(plan) <= 2  # fixture spread + the agg exchange
