@@ -121,6 +121,54 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(frames, "doc_id long, frame_idx int, frame_md5 string")
 
 
+AUDIO_WIN = 32  # samples per energy window
+
+
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over an opaque "audio" payload — the
+    audio-feature shape (decode -> frame -> per-window energy), with the
+    blob's bytes standing in for 8-bit PCM samples (no audio codec ships in
+    this container; a deployment plugs soundfile/librosa into the decode).
+
+    numpy-vectorized mapInPandas: each Arrow batch reshapes to (n_win, W)
+    and reduces in one BLAS pass per blob.  Window sums are integer-exact
+    (sum of 8-bit squares in float64) and the window count is len//W on
+    both engines, so the oracle matches to the rounded 4 decimals exactly.
+    Row-expanding (one row per window), map-only — no shuffle.
+    """
+    b = _with_blob(spark, sf_dir)
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, widx, rms = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n_win = len(a) // AUDIO_WIN
+                if not n_win:
+                    continue
+                seg = a[: n_win * AUDIO_WIN].astype(np.float64).reshape(n_win, AUDIO_WIN)
+                e = np.sqrt((seg * seg).mean(axis=1))
+                ids.extend([doc_id] * n_win)
+                widx.extend(range(n_win))
+                rms.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(widx, dtype="int32"),
+                    "rms_raw": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    out = b.mapInPandas(energy, "doc_id long, win_idx int, rms_raw double")
+    return out.select(
+        "doc_id",
+        "win_idx",
+        F.round(F.col("rms_raw"), 4).cast("decimal(10,4)").alias("rms"),
+    )
+
+
 RESIZE_TARGET = 32  # thumbnail "pixel" count
 
 
@@ -236,5 +284,21 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_fake_features": mm_fake_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_energy": mm_audio_energy,
     "mm_resize": mm_resize,
 }
+
+
+ORACLE["mm_audio_energy"] = f"""
+    WITH w AS (
+      SELECT doc_id, text, len(text) // {AUDIO_WIN} AS n_win FROM documents
+    )
+    SELECT doc_id, CAST(wi AS INTEGER) AS win_idx,
+           CAST(round(sqrt(
+             list_sum(list_transform(
+               list_transform(generate_series(1, {AUDIO_WIN}),
+                              i -> unicode(substr(text, wi * {AUDIO_WIN} + i, 1))::DOUBLE),
+               x -> x * x)) / {AUDIO_WIN}), 4) AS DECIMAL(10,4)) AS rms
+    FROM w, LATERAL unnest(generate_series(0, n_win - 1)) AS t(wi)
+    WHERE n_win > 0
+"""
