@@ -255,3 +255,29 @@ def kafka_stream(spark: SparkSession, bootstrap: str, topics: str, starting: str
             F.col("value").cast("string").alias("value"),
         )
     )
+
+
+def point_lookup(spark: SparkSession, cfg: CdcLoadConfig, key_value) -> DataFrame:
+    """PK point read against the materialized state — the role StarRocks'
+    persistent index plays for its PRIMARY KEY tables
+    (create-starrocks-tables.sh:29 ``enable_persistent_index=true``).
+
+    The key hashes to its bucket partition, so the scan touches exactly ONE
+    bucket directory (static partition pruning on ``_bucket``) and the
+    remaining filter is pushed into that file's parquet row groups.  Cost is
+    O(state/buckets) IO bounded by min/max page skipping — independent of
+    how many buckets exist beside it; at scale, bucket count keeps the
+    pruned read small and constant.
+    """
+    raw = _read_state_raw(spark, cfg)
+    if raw is None:
+        raise FileNotFoundError(f"no materialized state under {cfg.state_dir}")
+    # hash() is type-sensitive: the literal must carry the key column's exact
+    # type or it lands in a different bucket than the merge put it in
+    k = F.lit(key_value).cast(dict(raw.dtypes)[cfg.key])
+    b = F.pmod(F.hash(k), F.lit(cfg.buckets)).cast("int")
+    return (
+        raw.filter(F.col(_BUCKET_COL) == b)
+        .filter(F.col(cfg.key) == k)
+        .drop(_BUCKET_COL)
+    )

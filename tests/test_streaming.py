@@ -272,3 +272,31 @@ def test_schema_history_sink(spark, tmp_path):
     q2 = start_schema_history(spark, src, sink, ckpt)
     q2.awaitTermination(60)
     assert read_schema_history(spark, sink).count() == 3
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """PK point read (persistent-index analog): returns the latest row for
+    the key, and its plan partition-prunes to exactly one bucket dir."""
+    from mysql_cdc_debezium_starrocks_spark.plans import plan_of
+    from mysql_cdc_debezium_starrocks_spark.streaming.materializer import (
+        point_lookup,
+    )
+
+    events_dir = str(tmp_path / "events")
+    _write_events(events_dir, "b1.json", [dict(e) for e in SEED])
+    _write_events(events_dir, "b2.json", [
+        {"_seq": 9, "order_key": 1, "cust_key": 11, "status": "completed",
+         "total_price": "99.99", "__deleted": "false"},
+    ])
+    cfg = _cfg(tmp_path, name="t_lookup")
+    q = LoadJobManager(spark).create(cfg)
+    q.awaitTermination(120)
+
+    hit = point_lookup(spark, cfg, 1)
+    plan = plan_of(hit)
+    assert "PartitionFilters" in plan and "_bucket" in plan
+    [row] = hit.collect()
+    assert row.status == "completed" and row.total_price == "99.99"
+
+    miss = point_lookup(spark, cfg, 999)
+    assert miss.collect() == []
