@@ -29,6 +29,7 @@ def _modules():
         dedup,
         events,
         linalg,
+        merge_ops,
         multimodal,
         packing,
         relational,
@@ -46,6 +47,7 @@ def _modules():
         relational,
         relational_ext,
         tpch,
+        merge_ops,
         dedup,
         similarity,
         linalg,
