@@ -300,3 +300,69 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
 
     miss = point_lookup(spark, cfg, 999)
     assert miss.collect() == []
+
+
+def test_two_table_concurrent_loads(spark, tmp_path):
+    """The reference captures TWO tables (orders + customers,
+    debezium-connector.json:12-13) through independent load jobs; the
+    manager must run both concurrently, keep their state separate, and
+    SHOW both (monitor.sh analog)."""
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mysql_cdc_debezium_starrocks_spark.cdc.schemas import envelope_schema
+
+    cust_payload = StructType(
+        [
+            StructField("customer_id", StringType()),
+            StructField("name", StringType()),
+            StructField("email", StringType()),
+            StructField("__deleted", StringType()),
+        ]
+    )
+
+    o_dir = str(tmp_path / "ev_orders")
+    c_dir = str(tmp_path / "ev_cust")
+    _write_events(o_dir, "b1.json", [dict(e) for e in SEED])
+    _write_events(c_dir, "b1.json", [
+        {"_seq": 1, "payload": {"customer_id": "11", "name": "Alice",
+                                "email": "a@x.com", "__deleted": "false"}},
+        {"_seq": 2, "customer_id": "12", "name": "Bob", "email": "b@x.com",
+         "__deleted": "false"},
+        {"_seq": 3, "payload": {"customer_id": "11", "__deleted": "true"}},
+    ])
+
+    ocfg = CdcLoadConfig(
+        name="load_orders",
+        source_dir=o_dir,
+        state_dir=str(tmp_path / "st_o"),
+        checkpoint_dir=str(tmp_path / "ck_o"),
+    )
+    mgr = LoadJobManager(spark)
+    q1 = mgr.create(ocfg)
+    q2 = mgr.create(CdcLoadConfig(
+        name="load_customers",
+        source_dir=c_dir,
+        state_dir=str(tmp_path / "st_c"),
+        checkpoint_dir=str(tmp_path / "ck_c"),
+        envelope=envelope_schema(cust_payload),
+        key="customer_id",
+    ))
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    orders = read_state(spark, ocfg)
+    custs = read_state(spark, CdcLoadConfig(
+        name="load_customers", source_dir=c_dir,
+        state_dir=str(tmp_path / "st_c"), checkpoint_dir=str(tmp_path / "ck_c"),
+        envelope=envelope_schema(cust_payload), key="customer_id"))
+    assert {r.order_key for r in orders.collect()} == {1, 2, 3}
+    crows = {r.customer_id: r for r in custs.collect()}
+    assert set(crows) == {"12"}, "delete of customer 11 must propagate"
+    assert crows["12"].name == "Bob"
+
+    names = {j["JobName"] for j in mgr.show()}
+    assert names == {"load_orders", "load_customers"}
