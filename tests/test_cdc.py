@@ -94,3 +94,22 @@ def test_raw_event_log_shape(spark):
     assert raw.filter(F.col("__deleted") == "true").count() > 0
     # seq is unique — total order like a Kafka offset
     assert raw.select("_seq").distinct().count() == raw.count()
+
+
+def test_parse_tolerates_schema_drift(spark):
+    """Forward compatibility: payloads carrying fields the engine's schema
+    doesn't declare (upstream added a column; DDL recorded by the
+    schema-history sink but not yet applied, reference README.md:326) must
+    parse cleanly — declared fields extracted, unknown fields ignored, and
+    a payload MISSING declared fields yields nulls, not dead-letters."""
+    rows = [
+        Row(_seq=1, value='{"payload": {"order_key": 1, "status": "pending", '
+                          '"total_price": "10.50", "__deleted": "false", '
+                          '"brand_new_col": "surprise", "another": 42}}'),
+        Row(_seq=2, value='{"order_key": 2, "__deleted": "false"}'),
+    ]
+    out = parse_envelope(_wire(spark, rows)).orderBy("_seq").collect()
+    assert len(out) == 2
+    assert out[0].order_key == 1 and out[0].status == "pending"
+    assert "brand_new_col" not in out[0].asDict()
+    assert out[1].order_key == 2 and out[1].status is None
