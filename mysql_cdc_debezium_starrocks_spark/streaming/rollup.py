@@ -18,11 +18,20 @@ Per micro-batch (``foreachBatch``):
    derived by readers at query time;
 4. dynamic-partition-overwrite just those day directories.
 
-Scale: state size is the (minute × type) cardinality — time-bounded, not
-data-bounded; a replayed batch re-derives the same partials and overwrites
-the same partitions, so the maintenance is idempotent under Structured
-Streaming's checkpointed replay (effectively-once, same argument as
-``materializer.merge_batch``).
+Scale: state size is the (minute × type × live-batch) cardinality —
+time-bounded, not data-bounded.
+
+**Replay safety.** Additive partials are NOT naturally idempotent the way
+the LWW key-merge is: if a batch's state write lands but the checkpoint
+commit doesn't, Structured Streaming re-runs the batch and a naive
+sum-merge would double-count it.  Every contribution row therefore carries
+its ``batch_id``; the merge first drops any existing rows of that batch_id
+in the touched day partitions, then unions the fresh partials — replaying a
+batch overwrites its own contribution instead of adding to it (the same
+idempotency-by-write-key trick Delta's txn-id dedup uses).  Readers
+re-aggregate across batch_ids (``minute_view`` / ``daily_view``);
+``compact_rollup`` folds committed batches into a baseline row to keep the
+per-key row count bounded.
 
 Late data: events later than their day's last compaction still merge
 correctly (their day partition is simply touched again); an optional
@@ -72,10 +81,16 @@ def read_rollup(spark: SparkSession, state_dir: str) -> DataFrame | None:
 
 
 def merge_rollup_batch(
-    spark: SparkSession, state_dir: str, batch: DataFrame
+    spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int = 0
 ) -> None:
-    """Merge one micro-batch of raw events into the minute-partial state."""
-    partials = _minute_partials(batch).persist()
+    """Merge one micro-batch of raw events into the minute-partial state.
+
+    Idempotent per ``batch_id``: re-running the same batch replaces its own
+    contribution rows (see module docstring's replay-safety note).
+    """
+    partials = (
+        _minute_partials(batch).withColumn("batch_id", F.lit(int(batch_id))).persist()
+    )
     try:
         days = [r[0] for r in partials.select(_DAY).distinct().collect()]
         if not days:
@@ -83,8 +98,10 @@ def merge_rollup_batch(
         merged = partials
         current = read_rollup(spark, state_dir)
         if current is not None:
-            merged = _combine(
-                current.filter(F.col(_DAY).isin(days)).unionByName(partials)
+            merged = (
+                current.filter(F.col(_DAY).isin(days))
+                .filter(F.col("batch_id") != int(batch_id))
+                .unionByName(partials)
             )
         (
             merged.repartition(F.col(_DAY))
@@ -95,6 +112,40 @@ def merge_rollup_batch(
         )
     finally:
         partials.unpersist()
+
+
+def compact_rollup(
+    spark: SparkSession, state_dir: str, keep_last: int = 2
+) -> None:
+    """Fold all but the newest ``keep_last`` batch contributions into a
+    baseline row (batch_id = -1) per (day, minute, type).
+
+    Only batches the checkpoint has durably committed can still replay, and
+    Structured Streaming replays at most the newest uncommitted batch —
+    keeping the last few batch_ids un-folded preserves replay idempotency
+    while bounding state rows at keys x (keep_last + 1).
+    """
+    cur = read_rollup(spark, state_dir)
+    if cur is None:
+        return
+    ids = sorted(
+        r[0] for r in cur.select("batch_id").distinct().collect() if r[0] >= 0
+    )
+    fold = set(ids[:-keep_last]) if keep_last else set(ids)
+    if not fold:
+        return
+    base = _combine(
+        cur.filter(F.col("batch_id").isin([-1, *fold]))
+    ).withColumn("batch_id", F.lit(-1))
+    keep = cur.filter(~F.col("batch_id").isin([-1, *fold]))
+    # cut lineage BEFORE overwriting the files the plan reads from
+    merged = base.unionByName(keep).localCheckpoint(eager=True)
+    (
+        merged.repartition(F.col(_DAY))
+        .write.mode("overwrite")
+        .partitionBy(_DAY)
+        .parquet(state_dir)
+    )
 
 
 def start_incremental_rollup(
@@ -108,13 +159,18 @@ def start_incremental_rollup(
     """Wire a raw-event stream into the rollup maintainer; returns the
     running StreamingQuery (caller owns lifecycle, as with the CDC loads)."""
     writer = source.writeStream.foreachBatch(
-        lambda df, _bid: merge_rollup_batch(df.sparkSession, state_dir, df)
+        lambda df, bid: merge_rollup_batch(df.sparkSession, state_dir, df, bid)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def minute_view(partials: DataFrame) -> DataFrame:
+    """Collapsed minute-level stats (batch contributions re-aggregated)."""
+    return _combine(partials)
 
 
 def daily_view(partials: DataFrame) -> DataFrame:

@@ -412,3 +412,50 @@ def test_rollup_state_compacts_per_partition(spark, tmp_path):
     assert (n_before, n_after) == (8, 1)
     after = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
     assert after == before
+
+
+def test_rollup_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay safety: re-merging the SAME micro-batch (same batch_id)
+    must leave the state unchanged — a naive additive merge would
+    double-count it.  A different batch_id with the same rows must add."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.rollup import (
+        compact_rollup,
+        daily_view,
+        merge_rollup_batch,
+        read_rollup,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:30", 1, "click", 2.0),
+        (2, "2024-01-01 10:00:45", 1, "click", 4.0),
+        (3, "2024-01-01 11:30:00", 2, "buy", 10.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    state = str(tmp_path / "st")
+    merge_rollup_batch(spark, state, batch, batch_id=0)
+    once = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
+
+    merge_rollup_batch(spark, state, batch, batch_id=0)  # replay
+    replay = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
+    assert replay == once, "same batch_id must overwrite, not add"
+
+    merge_rollup_batch(spark, state, batch, batch_id=1)  # genuinely new batch
+    twice = {
+        (str(r[0]), r[1]): r[2]
+        for r in daily_view(read_rollup(spark, state)).collect()
+    }
+    assert twice[("2024-01-01", "click")] == 4  # 2 events x 2 batches
+
+    # compaction folds old batches into the baseline without changing values
+    merge_rollup_batch(spark, state, batch, batch_id=2)
+    before = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
+    compact_rollup(spark, state, keep_last=1)
+    cur = read_rollup(spark, state)
+    assert sorted(map(tuple, daily_view(cur).collect())) == before
+    ids = {r[0] for r in cur.select("batch_id").distinct().collect()}
+    assert ids == {-1, 2}, f"old batches must fold into baseline, got {ids}"
