@@ -31,6 +31,35 @@ from ..catalog import load
 _COLS = ["o_custkey", "o_orderstatus", "o_totalprice"]
 
 
+def merge_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    delete_col: str = "_delete",
+) -> DataFrame:
+    """Generic MERGE INTO: one full-outer pass resolving a change set onto a
+    target (see module docstring for the matched/unmatched matrix).
+
+    ``changes`` carries the target's columns plus a boolean ``delete_col``;
+    at most one change row per key (MERGE's contract).  A NULL in a change
+    column keeps the target's value — partial-update semantics, which also
+    makes delete rows (all-NULL payloads) natural.  Property-tested against
+    a sequential interpreter in tests/test_cdc_property.py.
+    """
+    value_cols = [c for c in target.columns if c != key]
+    s = changes.withColumnRenamed(key, "_s_key")
+    j = target.alias("t").join(
+        s.alias("s"), F.col(f"t.{key}") == F.col("s._s_key"), "full_outer"
+    )
+    return j.filter(~F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))).select(
+        F.coalesce(F.col("s._s_key"), F.col(f"t.{key}")).alias(key),
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -60,18 +89,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("decimal(12,2)").alias("o_totalprice"),
         F.lit(True).alias("s_del"),
     )
-    s = updates.unionByName(inserts).unionByName(deletes)
-    j = t.alias("t").join(
-        s.alias("s"), F.col("t.o_orderkey") == F.col("s.s_key"), "full_outer"
+    s = (
+        updates.unionByName(inserts)
+        .unionByName(deletes)
+        .withColumnRenamed("s_key", "o_orderkey")
+        .withColumnRenamed("s_del", "_delete")
     )
-    merged = j.filter(~F.coalesce(F.col("s.s_del"), F.lit(False))).select(
-        F.coalesce(F.col("s.s_key"), F.col("t.o_orderkey")).alias("o_orderkey"),
-        *[
-            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
-            for c in _COLS
-        ],
-    )
-    return merged
+    return merge_changes(t, s, key="o_orderkey")
 
 
 QUERIES = {"merge_upsert_orders": merge_upsert_orders}

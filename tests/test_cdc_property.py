@@ -51,3 +51,60 @@ def test_lww_apply_equals_sequential_fold(spark, events):
     live = apply_cdc_log(df, key="order_key")
     got = {r.order_key: int(r.payload) for r in live.collect()}
     assert got == _sequential_fold(events)
+
+
+MKEYS = st.integers(min_value=1, max_value=8)
+MERGE_CHANGES = st.dictionaries(
+    MKEYS,
+    st.tuples(
+        st.sampled_from(["upsert", "delete"]),
+        st.one_of(st.none(), st.integers(0, 99)),   # v (None = keep target's)
+        st.one_of(st.none(), st.integers(0, 99)),   # w
+    ),
+    max_size=8,
+)
+MERGE_TARGET = st.dictionaries(MKEYS, st.tuples(st.integers(0, 99), st.integers(0, 99)), max_size=8)
+
+
+def _merge_sequential(target, changes):
+    """Trivially-correct MERGE: partial update, insert, delete per key."""
+    out = {k: list(vw) for k, vw in target.items()}
+    for k, (op, v, w) in changes.items():
+        if op == "delete":
+            out.pop(k, None)
+            continue
+        if k not in out:
+            out[k] = [v, w]
+        else:
+            if v is not None:
+                out[k][0] = v
+            if w is not None:
+                out[k][1] = w
+    return {k: tuple(vw) for k, vw in out.items()}
+
+
+@given(MERGE_TARGET, MERGE_CHANGES)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_changes_equals_sequential(spark, target, changes):
+    from mysql_cdc_debezium_starrocks_spark.operators.merge_ops import (
+        merge_changes,
+    )
+
+    tdf = spark.createDataFrame(
+        [(k, v, w) for k, (v, w) in target.items()] or [],
+        "k LONG, v INT, w INT",
+    )
+    cdf = spark.createDataFrame(
+        [
+            (k, None if op == "delete" else v, None if op == "delete" else w,
+             op == "delete")
+            for k, (op, v, w) in changes.items()
+        ] or [],
+        "k LONG, v INT, w INT, `_delete` BOOLEAN",
+    )
+    got = {r.k: (r.v, r.w) for r in merge_changes(tdf, cdf, "k").collect()}
+    assert got == _merge_sequential(target, changes)
