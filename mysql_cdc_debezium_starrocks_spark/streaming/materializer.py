@@ -117,34 +117,39 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
     # — this persist alone is ~3x batch throughput
     parsed = parse_envelope(batch, cfg.envelope, seq_col=cfg.seq_col).persist()
     try:
-        # dead-letter rows whose payload didn't yield a key (malformed JSON)
-        # — the analog of Routine Load's parse-error pause/skip (T8,
-        # reference: docs/TROUBLESHOOTING.md:54-67) but non-blocking:
-        # quarantine and continue instead of pausing the job.
-        bad = parsed.filter(F.col(cfg.key).isNull())
-        if not bad.isEmpty():
-            bad.write.mode("append").parquet(
-                os.path.join(cfg.state_dir, "_dead_letter")
-            )
-        good = parsed.filter(F.col(cfg.key).isNotNull())
-
-        latest = latest_by_key(good, cfg.key, cfg.seq_col).withColumn(
-            _BUCKET_COL, _bucket_of(cfg.key, cfg.buckets)
+        # ONE small job yields the dead-letter count (bucket -1), the
+        # touched-bucket set, and whether any bucket saw a delete —
+        # merge-batch overhead is dominated by job count, not data volume,
+        # at streaming batch sizes, so the malformed-row probe (T8,
+        # reference: docs/TROUBLESHOOTING.md:54-67) rides the same
+        # aggregation instead of its own isEmpty() action.
+        probe_bucket = F.when(F.col(cfg.key).isNull(), F.lit(-1)).otherwise(
+            _bucket_of(cfg.key, cfg.buckets)
         )
-        # one small job yields BOTH the touched-bucket set and whether any
-        # bucket saw a delete (merge-batch overhead is dominated by job
-        # count, not data volume, at streaming batch sizes)
         bucket_stats = (
-            latest.groupBy(_BUCKET_COL)
+            parsed.groupBy(probe_bucket.alias(_BUCKET_COL))
             .agg(
+                F.count(F.lit(1)).alias("n"),
                 F.max(
                     F.when(F.col(cfg.deleted_col) == "true", 1).otherwise(0)
-                ).alias("has_del")
+                ).alias("has_del"),
             )
             .collect()
         )
-        affected = sorted(r[0] for r in bucket_stats)
-        any_deletes = any(r[1] == 1 for r in bucket_stats)
+        if any(r[_BUCKET_COL] == -1 for r in bucket_stats):
+            # quarantine malformed rows and continue — non-blocking analog
+            # of Routine Load's parse-error pause
+            parsed.filter(F.col(cfg.key).isNull()).write.mode("append").parquet(
+                os.path.join(cfg.state_dir, "_dead_letter")
+            )
+        good = parsed.filter(F.col(cfg.key).isNotNull())
+        latest = latest_by_key(good, cfg.key, cfg.seq_col).withColumn(
+            _BUCKET_COL, _bucket_of(cfg.key, cfg.buckets)
+        )
+        affected = sorted(r[_BUCKET_COL] for r in bucket_stats if r[_BUCKET_COL] >= 0)
+        any_deletes = any(
+            r["has_del"] == 1 for r in bucket_stats if r[_BUCKET_COL] >= 0
+        )
         if not affected:
             return
 
