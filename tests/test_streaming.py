@@ -366,3 +366,29 @@ def test_two_table_concurrent_loads(spark, tmp_path):
 
     names = {j["JobName"] for j in mgr.show()}
     assert names == {"load_orders", "load_customers"}
+
+
+def test_alter_restarts_with_new_properties(spark, tmp_path):
+    """ALTER ROUTINE LOAD analog (D7): stop + restart with changed
+    properties on the SAME checkpoint — new events load, old offsets are
+    not reprocessed, and the config change sticks."""
+    events_dir = str(tmp_path / "events")
+    _write_events(events_dir, "b1.json", [dict(e) for e in SEED])
+
+    cfg = _cfg(tmp_path, name="t_alter")
+    mgr = LoadJobManager(spark)
+    mgr.create(cfg)
+    mgr.await_all()
+    assert {r.order_key for r in read_state(spark, cfg).collect()} == {1, 2, 3}
+
+    _write_events(events_dir, "b2.json", [
+        {"_seq": 7, "payload": {"order_key": 7, "cust_key": 17,
+                                "status": "new", "total_price": "5.00",
+                                "__deleted": "false"}},
+    ])
+    q = mgr.alter("t_alter", max_files_per_trigger=2)
+    q.awaitTermination(120)
+    assert mgr._configs["t_alter"].max_files_per_trigger == 2
+    assert {r.order_key for r in read_state(spark, cfg).collect()} == {1, 2, 3, 7}
+    [job] = mgr.show()
+    assert job["JobName"] == "t_alter"
