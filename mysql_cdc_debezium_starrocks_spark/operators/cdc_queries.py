@@ -117,7 +117,10 @@ def cdc_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cdc.apply import apply_cdc_log, parse_envelope
     from ..cdc.schemas import TS_WIRE_FORMAT
 
-    parsed = parse_envelope(synth_order_events_json(spark, sf_dir))
+    # persist: the cutoff aggregate AND the replay both consume the parsed
+    # log; without a cache each would re-run the full JSON parse (at scale:
+    # "write the parsed log once, scan it twice")
+    parsed = parse_envelope(synth_order_events_json(spark, sf_dir)).persist()
     cut = parsed.agg(
         F.floor(F.max("_seq") * 0.6).cast("long").alias("cut")
     )
