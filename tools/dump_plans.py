@@ -79,6 +79,17 @@ HEADLINE = [
         "Value-based RANGE frame: one exchange on the partition key, sorted "
         "sliding accumulator inside each partition — no self-join.",
     ),
+    (
+        "merge_upsert_orders",
+        "MERGE INTO: one full-outer join resolves update/insert/delete "
+        "column-wise — no window, no per-row probes.",
+    ),
+    (
+        "cdc_asof_snapshot",
+        "Time travel: broadcast scalar cutoff over the persisted parsed "
+        "log, then the same partial-agg max_by LWW replay as the live "
+        "apply — one keyed shuffle.",
+    ),
 ]
 
 
