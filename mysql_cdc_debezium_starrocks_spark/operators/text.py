@@ -334,6 +334,32 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alphanumerics to
+    spaces, collapse whitespace runs, trim — the cleaning pass that
+    precedes tokenization/hashing in every corpus pipeline (and the reason
+    two near-identical docs hash identically afterwards).
+
+    Emits the normalized text's md5 + lengths so the oracle proves
+    byte-identical normalization without shipping the corpus.  Pure
+    regexp/codegen, map-only.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
 # PII-scrub patterns shared by the Spark op and the DuckDB oracle.  Kept to
 # constructs with identical semantics in Java regex and RE2 (char classes,
 # bounded repeats, greedy quantifiers) so the redacted output hashes match.
@@ -395,6 +421,19 @@ ORACLE = {
                  + least(n_uniq::DOUBLE / n_words, 0.5) * 0.6
                  + least(n_stop::DOUBLE / n_words, 0.2) * 1.5, 4) AS DECIMAL(7,4)) AS quality
         FROM s
+    """,
+    "text_normalize": """
+        WITH n AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT doc_id,
+               length(text) AS raw_len,
+               length(norm) AS norm_len,
+               md5(norm) AS norm_md5
+        FROM n
     """,
     "text_pii_redact": f"""
         WITH dirty AS (
@@ -552,6 +591,7 @@ ORACLE["corpus_curate"] = _corpus_curate_oracle()
 QUERIES = {
     "text_quality": text_quality,
     "text_pii_redact": text_pii_redact,
+    "text_normalize": text_normalize,
     "text_repetition": text_repetition,
     "text_decontaminate": text_decontaminate,
     "corpus_curate": corpus_curate,

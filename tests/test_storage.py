@@ -176,3 +176,17 @@ def test_compact_files_preserves_data(spark, tmp_path):
     # already-compact layout is left untouched
     again = compact_files(spark, path, target_file_bytes=1 << 30)
     assert again == (1, 1)
+
+
+def test_orc_roundtrip_alternate_columnar_sink(spark, tmp_path):
+    """ORC as the alternate built-in columnar format: full-fidelity
+    round-trip of a fixture table (schema + values), for deployments whose
+    lake standard is ORC rather than parquet."""
+    orders = load(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
