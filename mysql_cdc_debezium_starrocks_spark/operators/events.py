@@ -171,6 +171,55 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONVERSION_WINDOW_MIN = 60
+
+
+def events_conversion_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection: purchases attributed to the user's most
+    recent click at most ``CONVERSION_WINDOW_MIN`` minutes earlier, rolled
+    up per day — MATCH_RECOGNIZE-lite composed from the generic as-of join
+    (``temporal.asof_join``: one shuffle on user_id, carry-forward scan)
+    plus a horizon filter, instead of an inequality self-join that would
+    explode to |clicks| x |purchases| per user.
+    """
+    from .temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("event_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts", order="event_id",
+        value_cols=[],
+    )
+    attributed = joined.withColumn(
+        "attributed",
+        F.col("r_ts").isNotNull()
+        & (
+            F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("r_ts"))
+            <= CONVERSION_WINDOW_MIN * 60
+        ),
+    )
+    return attributed.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(F.col("attributed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_attributed"),
+        F.round(
+            F.sum(F.when(F.col("attributed"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        )
+        .cast("decimal(7,4)")
+        .alias("conv_rate"),
+    )
+
+
 ORACLE = {
     # daily stats DIRECT from raw rows: equality with the cascade proves
     # sum-of-sums / min-of-mins re-aggregation is lossless
@@ -249,6 +298,30 @@ ORACLE = {
                CAST(round(n_full_funnel / n_signup::DOUBLE, 4) AS DECIMAL(7,4)) AS conv_full
         FROM f
     """,
+    "events_conversion_within_hour": f"""
+        WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events),
+        p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'),
+        a AS (
+          SELECT p.ts, c.ts AS click_ts
+          FROM p LEFT JOIN LATERAL (
+            SELECT r.ts FROM ev r
+            WHERE r.event_type = 'click' AND r.user_id = p.user_id
+              AND r.ts <= p.ts
+            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+          ) c ON true)
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_purchases,
+               sum(CASE WHEN click_ts IS NOT NULL
+                         AND date_diff('second', click_ts, ts) <= {CONVERSION_WINDOW_MIN * 60}
+                        THEN 1 ELSE 0 END) AS n_attributed,
+               CAST(round(sum(CASE WHEN click_ts IS NOT NULL
+                         AND date_diff('second', click_ts, ts) <= {CONVERSION_WINDOW_MIN * 60}
+                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS DECIMAL(7,4))
+                 AS conv_rate
+        FROM a GROUP BY 1
+    """,
     "events_transitions": """
         WITH nxt AS (
           SELECT event_type AS src_type,
@@ -317,4 +390,5 @@ QUERIES = {
     "events_rollup_cascade": events_rollup_cascade,
     "events_funnel": events_funnel,
     "events_transitions": events_transitions,
+    "events_conversion_within_hour": events_conversion_within_hour,
 }
