@@ -693,3 +693,65 @@ SELECT e.doc_id, count(*) AS n_chunks,
 FROM e JOIN cnt USING (ch)
 GROUP BY e.doc_id
 """
+
+
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetric) SimHash near-dup graph — centrality
+    scoring inside duplicate clusters, the principled alternative to
+    "keep min doc_id" canonical selection.
+
+    Classic distributed power iteration: contributions = rank/degree
+    routed along edges (join on src, one shuffle), re-summed per dst
+    (second shuffle), damped.  Lineage is truncated with localCheckpoint
+    every few iterations so the plan stays flat no matter the iteration
+    count — at 100 TB this loop is bounded by |edges| shuffle volume per
+    iteration, exactly GraphX/Pregel's cost model.  Iterative fixpoint =>
+    no SQL oracle (rows-only driver check); verified against a numpy
+    power iteration in tests/test_queries_smoke.py.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).toDF("src", "dst").persist()
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "doc_id long, rank decimal(12,8)")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - PAGERANK_DAMPING) / n
+    for i in range(PAGERANK_ITERS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(base) + PAGERANK_DAMPING * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if i % 3 == 2:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.col("rank"), 8).cast("decimal(12,8)").alias("rank"),
+    )
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
+# iterative fixpoint -> rows-only driver check (registered post-definition)
+QUERIES["dedup_pagerank"] = dedup_pagerank

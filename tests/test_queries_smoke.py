@@ -71,3 +71,41 @@ def test_kmeans_inertia_decreases(spark):
     _, assigned = kmeans_fit(spark, SF_SMOKE, k=4, iters=2)
     cells = {r.cell for r in assigned.select("cell").distinct().collect()}
     assert cells <= set(range(4)) and len(cells) >= 2
+
+
+def test_pagerank_matches_numpy(spark):
+    """The distributed power iteration must match a dense numpy PageRank on
+    the same (small) near-dup graph to float precision."""
+    import numpy as np
+
+    from mysql_cdc_debezium_starrocks_spark.operators.dedup import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        dedup_pagerank,
+        dedup_simhash_pairs,
+    )
+
+    got = {r.doc_id: float(r.rank) for r in dedup_pagerank(spark, SF_SMOKE).collect()}
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_simhash_pairs(spark, SF_SMOKE).select("doc_a", "doc_b").collect()
+    ]
+    if not pairs:
+        assert got == {}
+        return
+    edges = pairs + [(b, a) for a, b in pairs]
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n)
+    for s, _d in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(PAGERANK_ITERS):
+        nxt = np.full(n, (1.0 - PAGERANK_DAMPING) / n)
+        for s, d in edges:
+            nxt[idx[d]] += PAGERANK_DAMPING * r[idx[s]] / deg[idx[s]]
+        r = nxt
+    assert set(got) == set(ids)
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, f"rank mismatch for {v}"
