@@ -392,3 +392,68 @@ def test_alter_restarts_with_new_properties(spark, tmp_path):
     assert {r.order_key for r in read_state(spark, cfg).collect()} == {1, 2, 3, 7}
     [job] = mgr.show()
     assert job["JobName"] == "t_alter"
+
+
+def test_benchmark_orders_bounded_update_workload(spark, tmp_path):
+    """The reference's benchmark table workload (benchmark.sh:118-127,278):
+    wider benchmark_orders schema (quantity + notes), batch inserts, then
+    the bounded mutation ``UPDATE ... SET status='processing',
+    notes=CONCAT(notes,' - Updated') ... LIMIT 2`` expressed as CDC update
+    events for the 2 lowest pending ids, plus a delete — applied through
+    the real streaming materializer."""
+    from mysql_cdc_debezium_starrocks_spark.cdc.schemas import (
+        envelope_schema,
+        payload_fields,
+    )
+
+    payload = payload_fields(
+        "id",
+        [
+            ("customer_name", "string"),
+            ("product", "string"),
+            ("amount", "string"),      # decimal-as-string convention
+            ("quantity", "int"),
+            ("status", "string"),
+            ("notes", "string"),
+        ],
+    )
+    events_dir = str(tmp_path / "events")
+    inserts = [
+        {"_seq": i, "payload": {
+            "id": i, "customer_name": f"Customer_{i}", "product": "Laptop",
+            "amount": f"{100 + i}.50", "quantity": i, "status": "pending",
+            "notes": f"note{i}", "__deleted": "false"}}
+        for i in range(1, 7)
+    ]
+    _write_events(events_dir, "b1.json", inserts)
+    # bounded mutation: the 2 lowest pending ids (reference LIMIT 2 pattern)
+    updates = [
+        {"_seq": 10 + i, "payload": {
+            "id": i, "customer_name": f"Customer_{i}", "product": "Laptop",
+            "amount": f"{100 + i}.50", "quantity": i, "status": "processing",
+            "notes": f"note{i} - Updated", "__deleted": "false"}}
+        for i in (1, 2)
+    ]
+    deletes = [{"_seq": 20, "payload": {"id": 6, "__deleted": "true"}}]
+    _write_events(events_dir, "b2.json", updates + deletes)
+
+    cfg = CdcLoadConfig(
+        name="t_bench_orders",
+        source_dir=events_dir,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        envelope=envelope_schema(payload),
+        key="id",
+    )
+    q = LoadJobManager(spark).create(cfg)
+    q.awaitTermination(120)
+
+    rows = {r.id: r for r in read_state(spark, cfg).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}, "id 6 deleted"
+    for i in (1, 2):
+        assert rows[i].status == "processing"
+        assert rows[i].notes == f"note{i} - Updated"
+    for i in (3, 4, 5):
+        assert rows[i].status == "pending"
+        assert rows[i].notes == f"note{i}"
+    assert rows[3].quantity == 3 and rows[3].amount == "103.50"
