@@ -699,59 +699,91 @@ PAGERANK_ITERS = 8
 PAGERANK_DAMPING = 0.85
 
 
-def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the (symmetric) SimHash near-dup graph — centrality
-    scoring inside duplicate clusters, the principled alternative to
-    "keep min doc_id" canonical selection.
+def _pagerank_numpy(edge_list, iters: int = PAGERANK_ITERS, damping: float = PAGERANK_DAMPING):
+    """Driver-side power iteration over a collected (small) edge list."""
+    import numpy as np
 
-    Classic distributed power iteration: contributions = rank/degree
-    routed along edges (join on src, one shuffle), re-summed per dst
-    (second shuffle), damped.  Lineage is truncated with localCheckpoint
-    every few iterations so the plan stays flat no matter the iteration
-    count — at 100 TB this loop is bounded by |edges| shuffle volume per
-    iteration, exactly GraphX/Pregel's cost model.  Iterative fixpoint =>
-    no SQL oracle (rows-only driver check); verified against a numpy
-    power iteration in tests/test_queries_smoke.py.
+    ids = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n)
+    for src, _dst in edge_list:
+        deg[idx[src]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for src, dst in edge_list:
+            nxt[idx[dst]] += damping * r[idx[src]] / deg[idx[src]]
+        r = nxt
+    return [(v, float(r[idx[v]])) for v in ids]
+
+
+def _pagerank_distributed(
+    edges: DataFrame, iters: int = PAGERANK_ITERS, damping: float = PAGERANK_DAMPING
+) -> DataFrame:
+    """Distributed power iteration (``edges``: symmetric src/dst pairs).
+
+    Contributions = rank/degree routed along edges (join on src, one
+    shuffle), re-summed per dst (second shuffle), damped.  The degree join
+    is pre-computed ONCE outside the loop; lineage is truncated with
+    localCheckpoint so the plan stays flat at any iteration count — the
+    GraphX/Pregel cost model: |edges| shuffle volume per iteration.
     """
-    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).toDF("src", "dst").persist()
+    edges = edges.persist()
     nodes = edges.select(F.col("src").alias("id")).distinct().persist()
     n = nodes.count()
-    if n == 0:
-        edges.unpersist()
-        nodes.unpersist()
-        return spark.createDataFrame([], "doc_id long, rank decimal(12,8)")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    routed = edges.join(deg, "src").persist()  # (src, dst, deg), loop-invariant
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - PAGERANK_DAMPING) / n
-    for i in range(PAGERANK_ITERS):
+    base = (1.0 - damping) / n
+    for i in range(iters):
         contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(deg, "src")
+            routed.join(ranks, routed.src == ranks.id)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
         ranks = nodes.join(contribs, "id", "left").select(
             "id",
-            (F.lit(base) + PAGERANK_DAMPING * F.coalesce(F.col("s"), F.lit(0.0))).alias(
-                "rank"
-            ),
+            (F.lit(base) + damping * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
         )
-        if i % 3 == 2:
+        if i % 4 == 3 and i < iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select(
-        F.col("id").alias("doc_id"),
-        F.round(F.col("rank"), 8).cast("decimal(12,8)").alias("rank"),
-    )
-    edges.unpersist()
-    nodes.unpersist()
+    out = ranks.select(F.col("id").alias("doc_id"), F.col("rank"))
+    for df in (edges, nodes, routed):
+        df.unpersist()
     return out
 
 
-# iterative fixpoint -> rows-only driver check (registered post-definition)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetric) SimHash near-dup graph — centrality
+    scoring inside duplicate clusters, the principled alternative to
+    "keep min doc_id" canonical selection.
+
+    Two-tier like :func:`dedup_components`: pair GENERATION is always the
+    distributed sketch band join; the fixpoint on the surviving pairs runs
+    driver-side (numpy) below ``_UNION_FIND_MAX_PAIRS`` — an 8-iteration
+    loop over a few hundred pairs is driver arithmetic, not a cluster job —
+    and falls back to :func:`_pagerank_distributed` above it.  Iterative
+    fixpoint => no SQL oracle (rows-only driver check); BOTH tiers are
+    verified against each other and numpy in tests.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    collected = pairs.limit(_UNION_FIND_MAX_PAIRS + 1).collect()
+    dec = lambda c: F.round(c, 8).cast("decimal(12,8)")  # noqa: E731
+    if len(collected) <= _UNION_FIND_MAX_PAIRS:
+        sym = [(r[0], r[1]) for r in collected] + [(r[1], r[0]) for r in collected]
+        if not sym:
+            return spark.createDataFrame([], "doc_id long, rank decimal(12,8)")
+        ranked = _pagerank_numpy(sym)
+        return spark.createDataFrame(ranked, "doc_id long, rank double").select(
+            "doc_id", dec(F.col("rank")).alias("rank")
+        )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    out = _pagerank_distributed(edges)
+    return out.select("doc_id", dec(F.col("rank")).alias("rank"))
+
+
 QUERIES["dedup_pagerank"] = dedup_pagerank

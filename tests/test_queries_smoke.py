@@ -74,13 +74,15 @@ def test_kmeans_inertia_decreases(spark):
 
 
 def test_pagerank_matches_numpy(spark):
-    """The distributed power iteration must match a dense numpy PageRank on
-    the same (small) near-dup graph to float precision."""
+    """Both PageRank tiers must agree with a dense numpy power iteration:
+    the adaptive entry (driver tier on the fixture graph) and the
+    distributed tier forced on the same edges."""
     import numpy as np
 
     from mysql_cdc_debezium_starrocks_spark.operators.dedup import (
         PAGERANK_DAMPING,
         PAGERANK_ITERS,
+        _pagerank_distributed,
         dedup_pagerank,
         dedup_simhash_pairs,
     )
@@ -108,4 +110,10 @@ def test_pagerank_matches_numpy(spark):
         r = nxt
     assert set(got) == set(ids)
     for v in ids:
-        assert abs(got[v] - r[idx[v]]) < 1e-6, f"rank mismatch for {v}"
+        assert abs(got[v] - r[idx[v]]) < 1e-6, f"driver-tier rank mismatch for {v}"
+
+    edf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    dist = {x.doc_id: x.rank for x in _pagerank_distributed(edf).collect()}
+    assert set(dist) == set(ids)
+    for v in ids:
+        assert abs(dist[v] - r[idx[v]]) < 1e-9, f"distributed-tier mismatch for {v}"
