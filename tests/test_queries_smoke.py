@@ -117,3 +117,29 @@ def test_pagerank_matches_numpy(spark):
     assert set(dist) == set(ids)
     for v in ids:
         assert abs(dist[v] - r[idx[v]]) < 1e-9, f"distributed-tier mismatch for {v}"
+
+
+def test_pandas_udf_scalar_surface(spark):
+    """§2.11: the engine passes through PySpark's native pandas_udf surface
+    — an Arrow-vectorized scalar UDF must agree with the JVM builtin
+    (builtins stay the hot path; this checks the escape hatch works)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+
+    @pandas_udf("double")
+    def py_margin(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price.astype(float) * (1.0 - disc.astype(float))
+
+    l = load(spark, SF_SMOKE, "lineitem").limit(500)
+    both = l.select(
+        py_margin("l_extendedprice", "l_discount").alias("py"),
+        (
+            F.col("l_extendedprice").cast("double")
+            * (F.lit(1.0) - F.col("l_discount").cast("double"))
+        ).alias("jvm"),
+    )
+    bad = both.filter(F.abs(F.col("py") - F.col("jvm")) > 1e-9).count()
+    assert bad == 0
