@@ -151,6 +151,30 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_PREFIX_N = 100
+
+
+def sample_shuffle_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, first N docs: order the
+    corpus by a seeded hash (the reproducible shuffle every epoch pipeline
+    needs — same seed, same order, any cluster size) and take the prefix a
+    training run would read first.
+
+    The prefix is TakeOrderedAndProject (per-partition top-N, merged on the
+    driver — no global sort); the full-corpus realization of the same op is
+    a distributed range sort on the hash key at write time.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = phash32(F.col("doc_id"), "shuffle")
+    prefix = (
+        d.select("doc_id", "source", h.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(SHUFFLE_PREFIX_N)
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")  # 100 rows — driver-sized
+    return prefix.withColumn("pos", F.row_number().over(w))
+
+
 def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers ordering in both 1995 and 1996 but gone by 2001
     (INTERSECT then EXCEPT — planned as left-semi / left-anti joins;
@@ -412,6 +436,16 @@ ORACLE = {
                 ELSE {_DEFAULT_PCT}
               END
     """,
+    "sample_shuffle_prefix": f"""
+        SELECT doc_id, source, shuffle_key,
+               CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos
+        FROM (
+          SELECT doc_id, source,
+                 {phash32_sql("doc_id::VARCHAR", "shuffle")} AS shuffle_key
+          FROM documents
+          ORDER BY shuffle_key, doc_id LIMIT {SHUFFLE_PREFIX_N}
+        ) t
+    """,
     "sample_reservoir_per_source": f"""
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source
@@ -527,6 +561,7 @@ QUERIES = {
     "timeseries_gapfill": timeseries_gapfill,
     "sample_stratified": sample_stratified,
     "sample_reservoir_per_source": sample_reservoir_per_source,
+    "sample_shuffle_prefix": sample_shuffle_prefix,
     "set_intersect_except": set_intersect_except,
     "text_bigram_topk": text_bigram_topk,
 }
