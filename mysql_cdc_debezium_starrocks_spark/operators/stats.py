@@ -151,6 +151,31 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for lineitem.l_suppkey: per-key row counts
+    reduced to the stats that decide a salting/AQE strategy — max/mean
+    ratio, p99-vs-median, and the share held by the hottest key.
+
+    This is the profiling query run BEFORE picking ``storage.salted_join``:
+    one partial-agg'd groupBy on the key, then a single-row reduction of
+    the (tiny) per-key count table.  At 100 TB the count table is |keys|
+    rows — the only full-data pass is the first groupBy.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    dec = lambda c, s=4: F.round(c, s).cast(f"decimal(18,{s})")  # noqa: E731
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        dec(F.max("n") / F.avg("n")).alias("max_over_mean"),
+        dec(
+            F.expr("percentile(n, 0.99)") / F.expr("percentile(n, 0.5)")
+        ).alias("p99_over_median"),
+        dec(F.max("n") / F.sum("n"), 6).alias("hottest_share"),
+    )
+
+
 SHUFFLE_PREFIX_N = 100
 
 
@@ -436,6 +461,15 @@ ORACLE = {
                 ELSE {_DEFAULT_PCT}
               END
     """,
+    "stats_key_skew": """
+        WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey)
+        SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_key_rows,
+               CAST(round(max(n)::DOUBLE / avg(n), 4) AS DECIMAL(18,4)) AS max_over_mean,
+               CAST(round(quantile_cont(n, 0.99) / quantile_cont(n, 0.5), 4)
+                    AS DECIMAL(18,4)) AS p99_over_median,
+               CAST(round(max(n)::DOUBLE / sum(n), 6) AS DECIMAL(18,6)) AS hottest_share
+        FROM c
+    """,
     "sample_shuffle_prefix": f"""
         SELECT doc_id, source, shuffle_key,
                CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos
@@ -562,6 +596,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_reservoir_per_source": sample_reservoir_per_source,
     "sample_shuffle_prefix": sample_shuffle_prefix,
+    "stats_key_skew": stats_key_skew,
     "set_intersect_except": set_intersect_except,
     "text_bigram_topk": text_bigram_topk,
 }
