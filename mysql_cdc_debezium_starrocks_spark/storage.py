@@ -149,3 +149,31 @@ def compact_files(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_before, int(n_after)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    shards: int = 8,
+) -> None:
+    """Terminal training-data export: deterministic hash-sharded layout,
+    sorted by the (seeded-hash) shuffle key inside each shard.
+
+    Shard assignment is ``key % shards`` — pure arithmetic, so the layout
+    is bit-reproducible across runs and cluster sizes (range partitioning
+    would sample, which is not).  One shuffle routes rows to their shard's
+    single task; ``sortWithinPartitions`` orders each shard without any
+    global sort.  Training readers consume ``_shard=k`` directories in
+    parallel and interleave — every epoch sees the same order for the same
+    seed.
+    """
+    out = df.withColumn(
+        "_shard", F.pmod(F.col(key_col), F.lit(shards)).cast("int")
+    )
+    (
+        out.repartition(shards, "_shard")
+        .sortWithinPartitions("_shard", key_col)
+        .write.partitionBy("_shard")
+        .parquet(path)
+    )

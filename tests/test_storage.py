@@ -190,3 +190,31 @@ def test_orc_roundtrip_alternate_columnar_sink(spark, tmp_path):
     a = sorted(map(tuple, orders.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_training_shards_deterministic_and_sorted(spark, tmp_path):
+    """Hash-sharded export: every row lands in key%N's directory, rows
+    inside each shard file are key-sorted, and a re-export is
+    byte-deterministic (same rows per shard)."""
+    import os
+
+    from mysql_cdc_debezium_starrocks_spark.functions import phash32
+    from mysql_cdc_debezium_starrocks_spark.storage import write_training_shards
+
+    d = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", phash32(F.col("doc_id"), "shuffle").alias("k")
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(d, p1, "k", shards=4)
+    write_training_shards(d, p2, "k", shards=4)
+
+    dirs = sorted(x for x in os.listdir(p1) if x.startswith("_shard="))
+    assert dirs == [f"_shard={i}" for i in range(4)]
+    for i in range(4):
+        rows = spark.read.parquet(os.path.join(p1, f"_shard={i}")).collect()
+        keys = [r.k for r in rows]
+        assert all(k % 4 == i for k in keys), "wrong shard routing"
+        assert keys == sorted(keys), "shard not sorted by shuffle key"
+        again = {r.doc_id for r in
+                 spark.read.parquet(os.path.join(p2, f"_shard={i}")).collect()}
+        assert {r.doc_id for r in rows} == again, "export not deterministic"
