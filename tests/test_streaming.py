@@ -457,3 +457,71 @@ def test_benchmark_orders_bounded_update_workload(spark, tmp_path):
         assert rows[i].status == "pending"
         assert rows[i].notes == f"note{i}"
     assert rows[3].quantity == 3 and rows[3].amount == "103.50"
+
+
+def test_incremental_scd2_matches_batch_derivation(spark, tmp_path):
+    """The incrementally-maintained SCD2 history (3 micro-batches with
+    update, delete, and resurrection) must equal the one-shot interval
+    derivation over the full event log; a replayed batch must change
+    nothing (snapshot idempotency)."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        scd2_view,
+        start_scd2_load,
+    )
+
+    def ev(seq, k, status, deleted="false"):
+        p = {"order_key": k, "__deleted": deleted}
+        if deleted == "false":
+            p.update({"cust_key": 10 + k, "status": status,
+                      "total_price": "9.99"})
+        return {"_seq": seq, "payload": p}
+
+    b1 = [ev(1, 1, "pending"), ev(2, 2, "pending")]
+    b2 = [ev(3, 1, "shipped"), ev(4, 2, None, deleted="true")]
+    b3 = [ev(5, 2, "reborn"), ev(6, 1, "done")]
+    events_dir = str(tmp_path / "events")
+    for i, batch in enumerate([b1, b2, b3]):
+        _write_events(events_dir, f"b{i + 1}.json", batch)
+        t = 1_700_000_000 + i * 10  # pin mtimes: file source orders by them
+        os.utime(os.path.join(events_dir, f"b{i + 1}.json"), (t, t))
+
+    state = str(tmp_path / "scd2")
+    src = spark.readStream.schema("`_seq` LONG, value STRING").option(
+        "maxFilesPerTrigger", 1
+    ).json(events_dir)
+    q = start_scd2_load(spark, src, state, str(tmp_path / "ck"),
+                        available_now=True)
+    q.awaitTermination(120)
+
+    view = scd2_view(spark, state)
+    got = {
+        (r.order_key, r.version): (r.valid_from_seq, r.valid_to_seq,
+                                   r.status, r.is_current)
+        for r in view.collect()
+    }
+    want = {
+        (1, 1): (1, 3, "pending", False),
+        (1, 2): (3, 6, "shipped", False),
+        (1, 3): (6, None, "done", True),
+        (2, 1): (2, 4, "pending", False),
+        (2, 2): (5, None, "reborn", True),
+    }
+    assert got == want
+
+    # replay the LAST batch (same batch_id) — snapshots must make it a no-op
+    import json as _json
+
+    replay = [ev(5, 2, "reborn"), ev(6, 1, "done")]
+    wire = spark.createDataFrame(
+        [(e["_seq"], _json.dumps({"payload": e["payload"]})) for e in replay],
+        "`_seq` LONG, value STRING",
+    )
+    last_bid = 2  # availableNow with 1 file/trigger -> batches 0,1,2
+    merge_scd2_batch(spark, state, wire, last_bid)
+    again = {
+        (r.order_key, r.version): (r.valid_from_seq, r.valid_to_seq,
+                                   r.status, r.is_current)
+        for r in scd2_view(spark, state).collect()
+    }
+    assert again == want, "replaying the last batch must be idempotent"
