@@ -182,3 +182,14 @@ def start_scd2_load(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def scd2_asof(history: DataFrame, seq: int) -> DataFrame:
+    """Table state AS OF a log position, from the maintained history: the
+    version whose validity interval contains ``seq``.  Interval containment
+    is a partition-pruned filter over the history — no replay needed (the
+    log-replay alternative is ``operators.cdc_queries.cdc_asof_snapshot``)."""
+    return history.filter(
+        (F.col("valid_from_seq") <= seq)
+        & (F.col("valid_to_seq").isNull() | (F.col("valid_to_seq") > seq))
+    )

@@ -525,3 +525,36 @@ def test_incremental_scd2_matches_batch_derivation(spark, tmp_path):
         for r in scd2_view(spark, state).collect()
     }
     assert again == want, "replaying the last batch must be idempotent"
+
+
+def test_scd2_asof_reads_history(spark, tmp_path):
+    """AS-OF over the maintained history: picks exactly the version whose
+    interval contains the position, including 'key absent' after delete."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        scd2_asof,
+        scd2_view,
+    )
+    import json as _json
+
+    def wire(events):
+        return spark.createDataFrame(
+            [(s, _json.dumps({"payload": p})) for s, p in events],
+            "`_seq` LONG, value STRING",
+        )
+
+    state = str(tmp_path / "st")
+    merge_scd2_batch(spark, state, wire([
+        (1, {"order_key": 1, "cust_key": 11, "status": "a", "total_price": "1.00", "__deleted": "false"}),
+        (2, {"order_key": 2, "cust_key": 12, "status": "b", "total_price": "2.00", "__deleted": "false"}),
+    ]), 0)
+    merge_scd2_batch(spark, state, wire([
+        (3, {"order_key": 1, "cust_key": 11, "status": "a2", "total_price": "1.50", "__deleted": "false"}),
+        (4, {"order_key": 2, "__deleted": "true"}),
+    ]), 1)
+
+    hist = scd2_view(spark, state)
+    at2 = {r.order_key: r.status for r in scd2_asof(hist, 2).collect()}
+    assert at2 == {1: "a", 2: "b"}
+    at4 = {r.order_key: r.status for r in scd2_asof(hist, 4).collect()}
+    assert at4 == {1: "a2"}, "key 2 deleted at seq 4"
