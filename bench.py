@@ -129,6 +129,34 @@ def main() -> None:
         print(f"timed {name}: {best:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+
+    # CDC pipeline metrics — the numbers BASELINE.md actually publishes
+    # (throughput to visible, E2E latency, delete propagation); compact run
+    # so the whole bench stays bounded.  Failures here must not lose the
+    # query timings.
+    cdc = None
+    try:
+        import shutil as _sh
+        import tempfile as _tmp
+
+        from tools.bench_cdc import (
+            bench_delete_propagation,
+            bench_insert_throughput,
+            bench_visible_latency,
+        )
+
+        root = _tmp.mkdtemp(prefix="bench_cdc_inline_")
+        try:
+            cdc = {
+                "insert_throughput": bench_insert_throughput(spark, root, [1000, 5000]),
+                "visible_latency": bench_visible_latency(spark, root, iters=5),
+                "delete_propagation": bench_delete_propagation(spark, root),
+            }
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+    except Exception as ex:  # noqa: BLE001
+        print(f"cdc bench skipped: {ex}", file=sys.stderr, flush=True)
+
     print(
         json.dumps(
             {
@@ -137,6 +165,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cdc": cdc,
             }
         )
     )
