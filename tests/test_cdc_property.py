@@ -108,3 +108,83 @@ def test_merge_changes_equals_sequential(spark, target, changes):
     )
     got = {r.k: (r.v, r.w) for r in merge_changes(tdf, cdf, "k").collect()}
     assert got == _merge_sequential(target, changes)
+
+
+SCD2_EVENTS = st.lists(
+    st.tuples(st.integers(1, 4), st.sampled_from(["upsert", "delete"]),
+              st.integers(0, 9)),
+    min_size=1,
+    max_size=12,
+)
+SCD2_SPLITS = st.lists(st.integers(1, 11), max_size=2, unique=True)
+
+
+@given(SCD2_EVENTS, SCD2_SPLITS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_incremental_equals_oneshot(spark, events, splits):
+    """For ANY seq-ordered event sequence cut into arbitrary contiguous
+    micro-batches, the incrementally-maintained SCD2 history must equal the
+    one-shot lead()-interval derivation over the full log — including
+    deletes, resurrection, and keys churning within one batch."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mysql_cdc_debezium_starrocks_spark.cdc.apply import parse_envelope
+    from mysql_cdc_debezium_starrocks_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        scd2_view,
+    )
+
+    def wire_rows(evs):
+        out = []
+        for seq, (k, op, val) in evs:
+            p = {"order_key": k, "__deleted": "true" if op == "delete" else "false"}
+            if op != "delete":
+                p.update({"cust_key": 100 + val, "status": f"s{val}",
+                          "total_price": f"{val}.00"})
+            out.append((seq, _json.dumps({"payload": p})))
+        return out
+
+    seq_events = list(enumerate(events, start=1))
+    cuts = sorted({c for c in splits if c < len(seq_events)})
+    bounds = [0, *cuts, len(seq_events)]
+    batches = [seq_events[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+
+    state = tempfile.mkdtemp(prefix="scd2_prop_")
+    try:
+        for bid, chunk in enumerate(batches):
+            df = spark.createDataFrame(wire_rows(chunk), "`_seq` LONG, value STRING")
+            merge_scd2_batch(spark, state, df, bid)
+        view = scd2_view(spark, state)
+        got = sorted(
+            (r.order_key, r.valid_from_seq, r.valid_to_seq, r.status, r.version)
+            for r in view.collect()
+        )
+
+        all_df = spark.createDataFrame(
+            wire_rows(seq_events), "`_seq` LONG, value STRING"
+        )
+        parsed = parse_envelope(all_df)
+        w = Window.partitionBy("order_key").orderBy("_seq")
+        hist = (
+            parsed.withColumn("valid_from_seq", F.col("_seq"))
+            .withColumn("valid_to_seq", F.lead("_seq").over(w))
+            .filter(F.col("__deleted") != "true")
+        )
+        wv = Window.partitionBy("order_key").orderBy("valid_from_seq")
+        hist = hist.withColumn("version", F.row_number().over(wv))
+        want = sorted(
+            (r.order_key, r.valid_from_seq, r.valid_to_seq, r.status, r.version)
+            for r in hist.collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
