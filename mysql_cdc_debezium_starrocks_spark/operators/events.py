@@ -392,3 +392,31 @@ QUERIES = {
     "events_transitions": events_transitions,
     "events_conversion_within_hour": events_conversion_within_hour,
 }
+
+
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality: events and decimal value stats per day-of-week
+    (1=Sunday..7=Saturday, Spark's dayofweek convention; the oracle shifts
+    DuckDB's 0-based dow to match).  One partial-agg'd shuffle on a 7-row
+    key space — the load-shaping profile behind ingest capacity planning.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        e.groupBy(F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("sum_value"),
+            F.round(F.avg(v), 4).cast("decimal(18,4)").alias("avg_value"),
+        )
+    )
+
+
+QUERIES["events_weekday_profile"] = events_weekday_profile
+ORACLE["events_weekday_profile"] = """
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           CAST(round(avg(CAST(value AS DECIMAL(18,2))), 4) AS DECIMAL(18,4)) AS avg_value
+    FROM events GROUP BY 1
+"""
