@@ -283,3 +283,34 @@ ORACLE = {
         FROM orders GROUP BY 1
     """,
 }
+
+
+def agg_top1_per_group_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most expensive order per customer via ``max_by`` — the
+    partial-aggregatable argmax, NOT a ranking window: map-side combine
+    reduces each partition to one candidate per customer before the
+    shuffle, where row_number-top-1 would move every row.  (This is the
+    same reduction the CDC apply uses for last-write-wins.)
+
+    Deterministic tie-break: the ordering key packs (price_cents, -orderkey)
+    into one comparable bigint (price_cents * 1e8 - orderkey), so equal
+    prices resolve to the smallest orderkey identically on both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = (_dec("o_totalprice") * 100).cast("long")
+    ordk = cents * F.lit(100_000_000).cast("long") - F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordk).alias("top_orderkey"),
+        F.max(_dec("o_totalprice")).alias("top_price"),
+    )
+
+
+QUERIES["agg_top1_per_group_argmax"] = agg_top1_per_group_argmax
+ORACLE["agg_top1_per_group_argmax"] = """
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     * 100000000 - o_orderkey) AS top_orderkey,
+           max(CAST(o_totalprice AS DECIMAL(12,2))) AS top_price
+    FROM orders GROUP BY o_custkey
+"""

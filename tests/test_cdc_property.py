@@ -188,3 +188,84 @@ def test_scd2_incremental_equals_oneshot(spark, events, splits):
         assert got == want
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+ROLLUP_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # hour offset
+        st.integers(0, 59),         # minute
+        st.sampled_from(["click", "buy"]),
+        st.integers(-50, 50),       # value (scaled to .5 steps)
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(ROLLUP_EVENTS, st.lists(st.integers(1, 14), max_size=2, unique=True))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rollup_incremental_equals_oneshot(spark, events, splits):
+    """For ANY event sequence cut into arbitrary micro-batches, the
+    incrementally-maintained minute partials must re-aggregate to the
+    one-shot daily stats, and replaying the final batch must be a no-op."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.rollup import (
+        daily_view,
+        merge_rollup_batch,
+        read_rollup,
+    )
+
+    rows = [
+        (i + 1, f"2024-03-0{1 + h // 24} {h % 24:02d}:{m:02d}:00", 1, t, v / 2.0)
+        for i, (h, m, t, v) in enumerate(events)
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def df_of(chunk):
+        return spark.createDataFrame(chunk, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    cuts = sorted({c for c in splits if c < len(rows)})
+    bounds = [0, *cuts, len(rows)]
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+
+    state = tempfile.mkdtemp(prefix="rollup_prop_")
+    try:
+        for bid, chunk in enumerate(batches):
+            merge_rollup_batch(spark, state, df_of(chunk), batch_id=bid)
+        got = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
+
+        merge_rollup_batch(  # replay last batch
+            spark, state, df_of(batches[-1]), batch_id=len(batches) - 1
+        )
+        replay = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
+        assert replay == got
+
+        v = F.col("value").cast("decimal(18,2)")
+        direct = df_of(rows).groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v).alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        ).withColumn(
+            "avg_value",
+            F.round(F.col("sum_value").cast("double") / F.col("n_events"), 4).cast(
+                "decimal(18,4)"
+            ),
+        ).select("day", "event_type", "n_events", "sum_value", "min_value",
+                 "max_value", "avg_value")
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
