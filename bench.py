@@ -69,7 +69,10 @@ HEADLINE = [
     "group_count",
 ]
 
-TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "1"))
+# best-of-2 by default: single-shot timings on this micro-VM swing ±30%
+# from neighbor noise; the min of two runs is a far steadier steady-state
+# estimate (override with BENCH_RUNS=1 for quick iteration)
+TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 
 
 def _settle(spark) -> None:
