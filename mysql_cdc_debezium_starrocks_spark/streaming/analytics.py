@@ -246,3 +246,31 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame, on: str = "user_id"
     """
     enriched = events.join(F.broadcast(dim), on, "left")
     return enriched.withColumn("dim_matched", F.col(dim.columns[-1]).isNotNull())
+
+
+def windowed_unique_users(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    window_length: str = "1 hour",
+    ts_col: str = "ts",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Distinct-user cardinality per tumbling window on the stream.
+
+    Exact streaming distinct would keep every user id in state; HLL++
+    (``approx_count_distinct``) keeps a fixed-size sketch per (window,
+    type) — the cardinality analog of the bounded-state windowed counts,
+    and the only formulation whose state survives 100 TB of keys.  At
+    rsd=0.01 the sketch is ~24 KB per group; the watermark bounds how many
+    window groups stay live.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_length).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "approx_users",
+        )
+    )

@@ -459,3 +459,52 @@ def test_rollup_replay_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, daily_view(cur).collect())) == before
     ids = {r[0] for r in cur.select("batch_id").distinct().collect()}
     assert ids == {-1, 2}, f"old batches must fold into baseline, got {ids}"
+
+
+def test_windowed_unique_users_matches_batch(spark, tmp_path):
+    """Streaming HLL distinct-users per window must land within the sketch's
+    error bound of the exact batch count for every closed window."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.streaming.analytics import (
+        windowed_unique_users,
+    )
+
+    from .conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    src = str(tmp_path / "ev_json")
+    events.coalesce(4).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        windowed_unique_users(stream, "10 minutes", "1 hour")
+        .writeStream.format("memory")
+        .queryName("t_uniq_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start, r.event_type): r.approx_users
+        for r in spark.table("t_uniq_win").collect()
+    }
+    exact = {
+        (r.w, r.event_type): r.n
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "event_type"
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got, "windows must close and emit"
+    for key, approx in got.items():
+        n = exact[key]
+        assert abs(approx - n) <= max(2, 0.05 * n), f"{key}: {approx} vs {n}"
