@@ -215,3 +215,16 @@ def test_centroid_is_partial_agg(spark):
     plan = plan_of(emb_centroid_by_label(spark, SF_SMOKE))
     assert partial_aggregates(plan)
     assert shuffle_count(plan) <= 2  # fixture spread + the agg exchange
+
+
+def test_argmax_top1_is_partial_agg_no_window(spark):
+    """max_by top-1-per-group must plan as a partial-aggregated hash agg —
+    no ranking window, one exchange on the group key."""
+    from mysql_cdc_debezium_starrocks_spark.operators.relational_ext import (
+        agg_top1_per_group_argmax,
+    )
+
+    plan = plan_of(agg_top1_per_group_argmax(spark, SF_SMOKE))
+    assert partial_aggregates(plan)
+    assert "Window" not in plan
+    assert shuffle_count(plan) == 1
