@@ -26,6 +26,7 @@ REPL = {
     "documents": ["doc_id"],
     "events": ["event_id", "user_id"],
     "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
 }
 
 # query name -> (callable path, tables it needs replicated)
@@ -35,6 +36,11 @@ CASES = {
     "events_transitions": ("operators.events", ["events"]),
     "events_retention": ("operators.stats", ["events"]),
     "window_range_rolling_revenue": ("operators.relational", ["lineitem"]),
+    "events_conversion_within_hour": ("operators.events", ["events"]),
+    "text_normalize": ("operators.text", ["documents"]),
+    "sample_shuffle_prefix": ("operators.stats", ["documents"]),
+    "agg_top1_per_group_argmax": ("operators.relational_ext", ["orders"]),
+    "merge_upsert_orders": ("operators.merge_ops", ["orders"]),
 }
 
 
