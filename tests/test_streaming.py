@@ -558,3 +558,30 @@ def test_scd2_asof_reads_history(spark, tmp_path):
     assert at2 == {1: "a", 2: "b"}
     at4 = {r.order_key: r.status for r in scd2_asof(hist, 4).collect()}
     assert at4 == {1: "a2"}, "key 2 deleted at seq 4"
+
+
+def test_stop_live_continuous_load(spark, tmp_path):
+    """STOP on a live processingTime-trigger job (the reference's STOP
+    ROUTINE LOAD): the job reports RUNNING while up, STOPPED after, and
+    state written so far remains readable."""
+    import time
+
+    events_dir = str(tmp_path / "events")
+    _write_events(events_dir, "b1.json", [dict(e) for e in SEED])
+    cfg = _cfg(tmp_path, name="t_stop", trigger_seconds=1)
+    mgr = LoadJobManager(spark)
+    q = mgr.create(cfg)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (q.lastProgress or {}).get("numInputRows"):
+                break
+            time.sleep(0.5)
+        [job] = mgr.show()
+        assert job["State"] == "RUNNING"
+    finally:
+        mgr.stop("t_stop")
+    q.awaitTermination(30)
+    [job] = mgr.show()
+    assert job["State"] == "STOPPED"
+    assert {r.order_key for r in read_state(spark, cfg).collect()} == {1, 2, 3}
