@@ -787,3 +787,37 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_pagerank"] = dedup_pagerank
+
+
+def signature_table(docs: DataFrame) -> DataFrame:
+    """Banded MinHash signature rows for an arbitrary docs DataFrame
+    (``doc_id``, ``text``): one row per (doc, band) with the band bucket
+    hash and the doc's shingle-hash set — the reusable substrate for both
+    the batch self-join (:func:`dedup_minhash_lsh`) and the streaming
+    dedup-at-ingest store (``streaming.dedup_ingest``)."""
+    sh = docs.select(
+        "doc_id", word_shingles(words(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hs = F.array_distinct(F.transform(F.col("sh"), lambda s: phash32(s, "shg")))
+    sigs = _minhash_sig(sh.select("doc_id", hs.alias("hs")))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                phash32(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[b * ROWS_PER_BAND + r]
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    ),
+                    f"band{b}",
+                ).alias("bhash"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sigs.select("doc_id", "hs", F.explode(bands).alias("bd")).select(
+        "doc_id", "hs", "bd.band", "bd.bhash"
+    )

@@ -1,0 +1,130 @@
+"""Dedup-at-ingest: incremental near-duplicate detection on a document stream.
+
+The batch suite finds near-dups with a corpus-wide self-join
+(``operators.dedup.dedup_minhash_lsh``); at ingest time that re-scan per
+batch would be O(corpus) forever.  This maintainer keeps a **signature
+store** (banded MinHash rows) and, per micro-batch, joins ONLY the new
+docs' bands against it — cost O(batch x matching buckets), never O(corpus):
+
+1. ``signature_table`` folds the new docs to (doc_id, hs, band, bhash);
+2. candidates = new bands ⋈ (store ∪ new) on (band, bhash) with
+   ``doc_a < doc_b`` — catches new-vs-old AND new-vs-new pairs once;
+3. exact Jaccard on the shingle-hash sets verifies candidates (same
+   sketch-then-verify discipline as the batch path);
+4. verified pairs append under ``pairs/batch=<id>``, new signatures under
+   ``sigs/batch=<id>`` — batch-id-keyed overwrites, and the store read
+   EXCLUDES batches >= the current id, so a crash-replay regenerates
+   byte-identical output (same idempotency scheme as ``rollup``/``scd2``).
+
+Scale: the store carries each doc's band rows (hs set duplicated per band —
+trades ~BANDS x storage for O(1) candidate lookup with no store-wide
+recompute; at very large corpora the hs sets would move to a side table
+joined only for verification).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import JACCARD_MIN, signature_table
+
+
+def _batch_ids(state_dir: str, sub: str) -> list[int]:
+    root = os.path.join(state_dir, sub)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        m = re.fullmatch(r"batch=(\d+)", d)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def ingest_dedup_batch(
+    spark: SparkSession,
+    state_dir: str,
+    docs: DataFrame,
+    batch_id: int,
+    jaccard_min: float = JACCARD_MIN,
+) -> None:
+    new = signature_table(docs).persist()
+    try:
+        if new.isEmpty():
+            return
+        prev = [i for i in _batch_ids(state_dir, "sigs") if i < batch_id]
+        probe = new
+        if prev:
+            store = spark.read.parquet(
+                *[
+                    os.path.join(state_dir, "sigs", f"batch={i}")
+                    for i in prev
+                ]
+            )
+            probe = store.unionByName(new)
+        a, b = probe.alias("a"), new.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bhash") == F.col("b.bhash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.hs").alias("sha"),
+                F.col("b.hs").alias("shb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        jac = F.size(F.array_intersect("sha", "shb")) / F.size(
+            F.array_union("sha", "shb")
+        )
+        pairs = cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).cast("decimal(7,4)").alias("jaccard"),
+        ).filter(F.col("jaccard") >= jaccard_min)
+
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "pairs", f"batch={batch_id}")
+        )
+        new.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "sigs", f"batch={batch_id}")
+        )
+    finally:
+        new.unpersist()
+
+
+def dup_pairs(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """All near-dup pairs found so far (every new-vs-seen pair exactly once)."""
+    ids = _batch_ids(state_dir, "pairs")
+    if not ids:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(state_dir, "pairs", f"batch={i}") for i in ids]
+    )
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    source: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+):
+    """Wire a document stream (doc_id, text, ...) into the maintainer."""
+    writer = source.writeStream.foreachBatch(
+        lambda df, bid: ingest_dedup_batch(df.sparkSession, state_dir, df, bid)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

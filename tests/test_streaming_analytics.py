@@ -508,3 +508,53 @@ def test_windowed_unique_users_matches_batch(spark, tmp_path):
     for key, approx in got.items():
         n = exact[key]
         assert abs(approx - n) <= max(2, 0.05 * n), f"{key}: {approx} vs {n}"
+
+
+def test_dedup_at_ingest_finds_cross_batch_pairs(spark, tmp_path):
+    """Streaming dedup-at-ingest: a later batch's copy of an earlier doc is
+    caught against the signature store; within-batch copies are caught
+    once; unrelated docs produce no pairs; replay is idempotent."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.dedup_ingest import (
+        dup_pairs,
+        ingest_dedup_batch,
+        start_dedup_ingest,
+    )
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark shuffles and parquet files"
+    text_c = "a third unrelated corpus document mentioning neither foxes nor dogs"
+    b0 = [(1, text_a), (2, text_b)]
+    b1 = [(3, text_a), (4, text_c), (5, text_c)]  # 3≈1 cross-batch, 5≈4 within
+
+    src = str(tmp_path / "docs")
+    _write_batches(
+        src,
+        [
+            [{"doc_id": i, "text": t} for i, t in b0],
+            [{"doc_id": i, "text": t} for i, t in b1],
+        ],
+    )
+    state = str(tmp_path / "dd")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = start_dedup_ingest(spark, stream, state, str(tmp_path / "ck"),
+                           available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_a, r.doc_b): float(r.jaccard)
+        for r in dup_pairs(spark, state).collect()
+    }
+    assert set(got) == {(1, 3), (4, 5)}, f"unexpected pairs: {got}"
+    assert got[(1, 3)] == 1.0 and got[(4, 5)] == 1.0
+
+    # replay the last batch: same batch_id reads only earlier sigs -> no-op
+    df = spark.createDataFrame([(i, t) for i, t in b1], "doc_id long, text string")
+    ingest_dedup_batch(spark, state, df, batch_id=1)
+    again = {
+        (r.doc_a, r.doc_b) for r in dup_pairs(spark, state).collect()
+    }
+    assert again == {(1, 3), (4, 5)}
