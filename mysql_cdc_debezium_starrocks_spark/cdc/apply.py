@@ -103,3 +103,29 @@ def materialize_orders(events_json: DataFrame) -> DataFrame:
         F.to_timestamp_ntz(F.col("order_ts"), F.lit(TS_WIRE_FORMAT)).alias("order_ts"),
         "priority",
     )
+
+
+def to_envelope_wire(
+    df: DataFrame, seq_col: str = "_seq", deleted_col: str = "__deleted"
+) -> DataFrame:
+    """Inverse of :func:`parse_envelope`: serialize typed rows back into the
+    Debezium-shaped wire format (envelope shape 1, ``{"payload": {...}}``)
+    — the outbound CDC sink that lets THIS engine feed another pipeline
+    instance (or any Debezium-compatible consumer) over Kafka/files.
+
+    Columns other than ``seq_col`` become payload fields; a missing
+    ``deleted_col`` is emitted as "false" (pure inserts).  Decimal columns
+    should already be strings per the wire convention (README.md:324
+    decimal-as-string).  Output schema matches the ingest side exactly:
+    (``_seq`` LONG, ``value`` STRING) — so emit -> parse is lossless, which
+    tests/test_cdc.py asserts round-trip.
+    """
+    data_cols = [c for c in df.columns if c != seq_col]
+    if deleted_col not in data_cols:
+        df = df.withColumn(deleted_col, F.lit("false"))
+        data_cols.append(deleted_col)
+    payload = F.struct(*[F.col(c) for c in data_cols]).alias("payload")
+    return df.select(
+        F.col(seq_col),
+        F.to_json(F.struct(payload)).alias("value"),
+    )

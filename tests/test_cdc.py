@@ -113,3 +113,29 @@ def test_parse_tolerates_schema_drift(spark):
     assert out[0].order_key == 1 and out[0].status == "pending"
     assert "brand_new_col" not in out[0].asDict()
     assert out[1].order_key == 2 and out[1].status is None
+
+
+def test_envelope_wire_roundtrip(spark):
+    """emit -> parse must be lossless: typed rows serialized to the wire
+    envelope and re-parsed equal the originals (including the delete flag
+    and decimal-as-string payloads)."""
+    from mysql_cdc_debezium_starrocks_spark.cdc.apply import to_envelope_wire
+
+    rows = [
+        (1, 1, 11, "pending", "99.99", "false"),
+        (2, 2, 12, "shipped", "149.50", "false"),
+        (3, 1, None, None, None, "true"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`_seq` LONG, order_key LONG, cust_key LONG, status STRING, "
+        "total_price STRING, `__deleted` STRING",
+    )
+    wire = to_envelope_wire(df)
+    assert wire.columns == ["_seq", "value"]
+    back = parse_envelope(wire).orderBy("_seq")
+    got = [
+        (r["_seq"], r.order_key, r.cust_key, r.status, r.total_price, r["__deleted"])
+        for r in back.collect()
+    ]
+    assert got == rows
