@@ -585,3 +585,48 @@ def test_stop_live_continuous_load(spark, tmp_path):
     [job] = mgr.show()
     assert job["State"] == "STOPPED"
     assert {r.order_key for r in read_state(spark, cfg).collect()} == {1, 2, 3}
+
+
+def test_engine_to_engine_replication(spark, tmp_path):
+    """Replication loop: engine A materializes a CDC log; its live state is
+    emitted back to the wire (`to_envelope_wire`) and streamed into engine
+    B, whose state must equal A's — the outbound-sink capability the
+    reference delegates to Kafka retention, closed end-to-end here."""
+    import json as _json
+
+    from mysql_cdc_debezium_starrocks_spark.cdc.apply import to_envelope_wire
+
+    # engine A: seed + update + delete
+    a_events = str(tmp_path / "a_events")
+    _write_events(a_events, "b1.json", [dict(e) for e in SEED])
+    _write_events(a_events, "b2.json", [
+        {"_seq": 5, "order_key": 1, "cust_key": 11, "status": "completed",
+         "total_price": "99.99", "__deleted": "false"},
+        {"_seq": 6, "payload": {"order_key": 2, "__deleted": "true"}},
+    ])
+    cfg_a = CdcLoadConfig(name="rep_a", source_dir=a_events,
+                          state_dir=str(tmp_path / "st_a"),
+                          checkpoint_dir=str(tmp_path / "ck_a"))
+    LoadJobManager(spark).create(cfg_a).awaitTermination(120)
+    state_a = read_state(spark, cfg_a)
+
+    # emit A's live state as a fresh snapshot wire log for engine B
+    wire = to_envelope_wire(
+        state_a.withColumn("_seq", F.col("order_key"))
+        .withColumn("order_ts", F.col("order_ts").cast("string"))
+    )
+    b_events = str(tmp_path / "b_events")
+    os.makedirs(b_events, exist_ok=True)
+    with open(os.path.join(b_events, "snap.json"), "w") as f:
+        for r in wire.collect():
+            f.write(_json.dumps({"_seq": r["_seq"], "value": r["value"]}) + "\n")
+
+    cfg_b = CdcLoadConfig(name="rep_b", source_dir=b_events,
+                          state_dir=str(tmp_path / "st_b"),
+                          checkpoint_dir=str(tmp_path / "ck_b"))
+    LoadJobManager(spark).create(cfg_b).awaitTermination(120)
+    state_b = read_state(spark, cfg_b)
+
+    a = {r.order_key: (r.status, r.total_price) for r in state_a.collect()}
+    b = {r.order_key: (r.status, r.total_price) for r in state_b.collect()}
+    assert a == b and set(a) == {1, 3}, f"replicated state differs: {a} vs {b}"
