@@ -143,8 +143,10 @@ def main() -> None:
         import tempfile as _tmp
 
         from tools.bench_cdc import (
+            bench_concurrent_mixed,
             bench_delete_propagation,
             bench_insert_throughput,
+            bench_update_throughput,
             bench_visible_latency,
         )
 
@@ -153,12 +155,44 @@ def main() -> None:
             cdc = {
                 "insert_throughput": bench_insert_throughput(spark, root, [1000, 5000]),
                 "visible_latency": bench_visible_latency(spark, root, iters=5),
+                "update_throughput": bench_update_throughput(spark, root),
                 "delete_propagation": bench_delete_propagation(spark, root),
+                "concurrent_mixed": bench_concurrent_mixed(spark, root, seconds=30),
             }
         finally:
             _sh.rmtree(root, ignore_errors=True)
     except Exception as ex:  # noqa: BLE001
         print(f"cdc bench skipped: {ex}", file=sys.stderr, flush=True)
+
+    # diff against the newest committed BENCH_r{N}.json (stable query keys):
+    # flags any query regressing >1.3x so round-over-round drift is visible
+    vs_prev = None
+    try:
+        import glob
+
+        prior = sorted(
+            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_r*.json"))
+        )
+        if prior:
+            with open(prior[-1]) as f:
+                prev = json.load(f)
+            pq = prev.get("queries") or {}
+            regressed = {
+                n: {"prev": pq[n], "now": t, "ratio": round(t / pq[n], 2)}
+                for n, t in timings.items()
+                if n in pq and pq[n] > 0 and t > 1.3 * pq[n] and t > 0.5
+            }
+            vs_prev = {
+                "baseline_file": os.path.basename(prior[-1]),
+                "prev_total": prev.get("value"),
+                "total_ratio": (
+                    round(total / prev["value"], 3) if prev.get("value") else None
+                ),
+                "regressed_over_1p3x": regressed,
+            }
+    except Exception as ex:  # noqa: BLE001
+        print(f"vs_prev diff skipped: {ex}", file=sys.stderr, flush=True)
 
     print(
         json.dumps(
@@ -169,6 +203,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cdc": cdc,
+                "vs_prev": vs_prev,
             }
         )
     )

@@ -37,16 +37,36 @@ FRAME_STRIDE = 4  # sample every 4th frame
 CHECKSUM_MOD = 9973
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode hook — requires an image codec, absent in this container.
+try:  # soft codec dependency: feature-gated, never required at import time
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # container ships no codec; byte-path operators still run
+    _PILImage = None
 
-    A deployment would plug pillow/opencv here; the engine's plumbing
-    (mm_fake_features / mm_frame_sample) is codec-agnostic.
+IMAGE_CODEC_AVAILABLE = _PILImage is not None
+
+
+def decode_image(payload: bytes):
+    """Decode image bytes to an HxWx3 uint8 numpy array (RGB).
+
+    Pillow-backed when available (``IMAGE_CODEC_AVAILABLE``); otherwise
+    raises ``NotImplementedError`` and the byte-level operators
+    (mm_fake_features / mm_frame_sample / mm_resize) remain the tested
+    fallback.  Inside a Pandas-UDF batch this is called per blob — the
+    decode is C-side (libjpeg et al.), so the Python-loop overhead is
+    amortized over megapixel payloads, not rows.
     """
-    raise NotImplementedError(
-        "image decode needs a codec library (pillow/opencv) not present in "
-        "this environment; use mm_fake_features for the tested byte path"
-    )
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decode needs a codec library (pillow/opencv) not present "
+            "in this environment; use mm_fake_features for the tested byte "
+            "path"
+        )
+    import io
+
+    import numpy as np
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def _with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,12 +121,44 @@ def compact_files(
     turns every scan into a driver-side listing storm and per-file open
     overhead.  Compaction is the maintenance pass every table format runs
     (OPTIMIZE in Delta/Iceberg terms): read once, coalesce to the byte
-    budget, atomically swap directories.  ``coalesce`` (not repartition)
-    keeps it shuffle-free — each output task concatenates whole input
-    splits.
+    budget, swap directories.  ``coalesce`` (not repartition) keeps it
+    shuffle-free — each output task concatenates whole input splits.
+
+    **Leaf directories only**: ``path`` must not contain ``key=value``
+    partition subdirectories — a flat rewrite would flatten the partition
+    layout.  Partitioned datasets are compacted per leaf partition (raises
+    ``ValueError`` otherwise; round-1 advice).
+
+    **Crash recovery**: the two-rename swap is not atomic; every call first
+    repairs any interrupted swap (complete it if the tmp dir finished —
+    ``_SUCCESS`` present — else restore the old dir), so a crash at any
+    point leaves a recoverable dataset rather than a missing one.
     """
     import os
     import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+
+    # repair an interrupted previous swap before touching anything
+    if not os.path.isdir(path) and os.path.isdir(old):
+        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)  # finish the swap: tmp was fully written
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, path)  # roll back: tmp was incomplete
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    part_dirs = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"compact_files targets leaf parquet dirs; {path} is partitioned "
+            f"(e.g. {part_dirs[0]}) — compact each leaf partition instead"
+        )
 
     files = [
         os.path.join(dp, f)
@@ -140,10 +172,8 @@ def compact_files(
     if n_after >= n_before:
         return n_before, n_before
 
-    tmp = path.rstrip("/") + "._compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     spark.read.parquet(path).coalesce(int(n_after)).write.parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)

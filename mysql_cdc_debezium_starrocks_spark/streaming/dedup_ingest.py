@@ -67,16 +67,22 @@ def ingest_dedup_batch(
             )
             probe = store.unionByName(new)
         a, b = probe.alias("a"), new.alias("b")
+        # Join on != then normalize with least/greatest: a `<` predicate here
+        # would silently drop any new-vs-stored pair whose new doc_id sorts
+        # BELOW the stored one (doc_ids are not guaranteed monotonic across
+        # batches).  Jaccard is symmetric, so orientation of (sha, shb) does
+        # not matter; dropDuplicates on the normalized key keeps each pair
+        # exactly once even when both new-vs-new orientations match.
         cand = (
             a.join(
                 b,
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.bhash") == F.col("b.bhash"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
             )
             .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
                 F.col("a.hs").alias("sha"),
                 F.col("b.hs").alias("shb"),
             )

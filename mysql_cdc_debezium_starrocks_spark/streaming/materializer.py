@@ -242,23 +242,39 @@ def register_live_view(
     state.createOrReplaceTempView(view_name)
 
 
+def kafka_project(records: DataFrame) -> DataFrame:
+    """Project Kafka's record schema (key/value binary, topic, partition,
+    offset, timestamp) onto the engine's ingest contract (_seq, value).
+
+    The offset becomes the LWW sequence: Kafka guarantees offset order per
+    (topic, partition), and Debezium keys every change by PK so a key's
+    events share a partition (reference docker-compose.yml:44-51 single-
+    partition topic; create-routine-load.sh:24-30 maps columns off the
+    consumed value the same way).  Pure column projection — unit-testable on
+    canned batch rows without a broker (tests/test_streaming.py), identical
+    for the streaming path.
+    """
+    return records.select(
+        F.col("offset").alias("_seq"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def kafka_stream(spark: SparkSession, bootstrap: str, topics: str, starting: str = "earliest") -> DataFrame:
     """Kafka source builder (S4/S5) — the production ingress.
 
-    Not exercisable in this container (no broker); the returned plan is the
-    documented deployment path: value bytes -> string -> the same
-    parse_envelope/merge pipeline, with kafka offset as the sequence column.
+    The broker read is not exercisable in this container; the projection it
+    feeds (``kafka_project``) is unit-tested against canned Kafka-shaped
+    rows, so the only untested piece is the format="kafka" read itself:
+    value bytes -> string -> the same parse_envelope/merge pipeline, with
+    the kafka offset as the sequence column.
     """
-    return (
+    return kafka_project(
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topics)
         .option("startingOffsets", starting)
         .load()
-        .select(
-            F.col("offset").alias("_seq"),
-            F.col("value").cast("string").alias("value"),
-        )
     )
 
 

@@ -6,47 +6,60 @@ incrementally from a stream — the hypertable continuous-aggregate /
 incremental-view-maintenance pattern the reference's Routine Load plays for
 raw rows (create-routine-load.sh:15-48), applied to an aggregate instead.
 
-Per micro-batch (``foreachBatch``):
+Per micro-batch (``foreachBatch``): fold the batch to minute partials
+(n, sum, min, max per (minute, type)) — map-side partial aggregation, so the
+shuffle carries one row per (minute, type) per task, never the events — and
+write them to the batch's OWN directory ``contrib/batch=<id>``.  No shared
+file is ever rewritten on the hot path, which gives three properties at once:
 
-1. fold the batch to minute partials (n, sum, min, max per (minute, type)) —
-   map-side partial aggregation, so the shuffle carries one row per
-   (minute, type) per task, never the events;
-2. read back ONLY the day partitions the batch touches (partition-pruned
-   scan of the state table);
-3. re-aggregate old ∪ new — legal because every kept stat is re-aggregatable
-   (sum-of-sums, min-of-mins, max-of-maxes, count-as-sum); averages are
-   derived by readers at query time;
-4. dynamic-partition-overwrite just those day directories.
+- **replay idempotency**: Structured Streaming re-running a batch after a
+  crash overwrites only that batch's directory (additive partials are not
+  naturally idempotent; the per-batch write key makes them so — the same
+  idempotency-by-write-key trick Delta's txn-id dedup uses);
+- **crash safety**: a crash mid-write can corrupt at most the in-flight
+  batch's directory, never other batches' contributions (round-1 advice:
+  the previous design dynamically overwrote shared day partitions it had
+  just read, so a mid-commit crash could lose OTHER batches' rows for the
+  touched days);
+- **O(batch) merge cost**: no state read-back per batch at all.
 
-Scale: state size is the (minute × type × live-batch) cardinality —
-time-bounded, not data-bounded.
+Readers re-aggregate across contributions (``minute_view``/``daily_view``) —
+legal because every kept stat is re-aggregatable (sum-of-sums, min-of-mins,
+max-of-maxes, count-as-sum); averages are derived at read time.
 
-**Replay safety.** Additive partials are NOT naturally idempotent the way
-the LWW key-merge is: if a batch's state write lands but the checkpoint
-commit doesn't, Structured Streaming re-runs the batch and a naive
-sum-merge would double-count it.  Every contribution row therefore carries
-its ``batch_id``; the merge first drops any existing rows of that batch_id
-in the touched day partitions, then unions the fresh partials — replaying a
-batch overwrites its own contribution instead of adding to it (the same
-idempotency-by-write-key trick Delta's txn-id dedup uses).  Readers
-re-aggregate across batch_ids (``minute_view`` / ``daily_view``);
-``compact_rollup`` folds committed batches into a baseline row to keep the
-per-key row count bounded.
+**Compaction.** Contribution dirs accrete one per batch; ``compact_rollup``
+folds all but the newest ``keep_last`` batches into a versioned baseline
+``baseline/v=<k>`` whose ``_FOLDED`` manifest records exactly which batch ids
+it absorbed, with a ``_COMMITTED`` marker written last.  ``read_rollup``
+takes the newest COMMITTED baseline and excludes the contribution dirs its
+manifest lists — so a crash at ANY point of compaction (before the marker:
+reader ignores the half-written baseline; after the marker but before GC:
+reader skips the now-folded dirs via the manifest) never double-counts or
+loses rows.  Folded dirs and superseded baselines are deleted best-effort
+after commit; leftovers are invisible to readers and swept by the next pass.
 
-Late data: events later than their day's last compaction still merge
-correctly (their day partition is simply touched again); an optional
-watermark on the source stream bounds how late that can happen.
+Scale: state size is the (minute x type x live-batch) cardinality —
+time-bounded, not data-bounded.  Late data merges correctly regardless of
+compaction state (its minute keys simply re-aggregate at read time); an
+optional watermark on the source stream bounds how late that can happen.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _DAY = "day"
 _KEYS = (_DAY, "minute", "event_type")
+_CONTRIB = "contrib"
+_BASELINE = "baseline"
+_FOLDED = "_FOLDED"
+_COMMITTED = "_COMMITTED"
 
 
 def _minute_partials(events: DataFrame) -> DataFrame:
@@ -72,80 +85,108 @@ def _combine(parts: DataFrame) -> DataFrame:
     )
 
 
+def _list_ids(root: str, pattern: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        m = re.fullmatch(pattern, d)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _contrib_ids(state_dir: str) -> list[int]:
+    return _list_ids(os.path.join(state_dir, _CONTRIB), r"batch=(\d+)")
+
+
+def _committed_baseline(state_dir: str) -> tuple[str, set[int]] | None:
+    """Newest baseline dir bearing the _COMMITTED marker, with its folded-id
+    set.  Uncommitted (crashed-mid-write) baselines are simply ignored."""
+    root = os.path.join(state_dir, _BASELINE)
+    for k in reversed(_list_ids(root, r"v=(\d+)")):
+        d = os.path.join(root, f"v={k}")
+        if os.path.exists(os.path.join(d, _COMMITTED)):
+            with open(os.path.join(d, _FOLDED)) as f:
+                return d, set(json.load(f))
+    return None
+
+
 def read_rollup(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    if not os.path.isdir(state_dir) or not any(
-        not e.startswith("_") for e in os.listdir(state_dir)
-    ):
+    """Current state: committed baseline (batch_id = -1) plus every live
+    contribution dir the baseline has not folded."""
+    base = _committed_baseline(state_dir)
+    folded = base[1] if base else set()
+    paths = [
+        os.path.join(state_dir, _CONTRIB, f"batch={i}")
+        for i in _contrib_ids(state_dir)
+        if i not in folded
+    ]
+    if base:
+        paths.append(os.path.join(base[0], "data"))
+    if not paths:
         return None
-    return spark.read.parquet(state_dir)
+    return spark.read.parquet(*paths)
 
 
 def merge_rollup_batch(
     spark: SparkSession, state_dir: str, batch: DataFrame, batch_id: int = 0
 ) -> None:
-    """Merge one micro-batch of raw events into the minute-partial state.
+    """Write one micro-batch's minute partials to its own contribution dir.
 
-    Idempotent per ``batch_id``: re-running the same batch replaces its own
-    contribution rows (see module docstring's replay-safety note).
+    Idempotent per ``batch_id`` (replay overwrites the same dir); touches no
+    shared state, so cost is O(batch partials) and crash-safe by layout.
     """
-    partials = (
-        _minute_partials(batch).withColumn("batch_id", F.lit(int(batch_id))).persist()
+    partials = _minute_partials(batch).withColumn("batch_id", F.lit(int(batch_id)))
+    partials.repartition(F.col(_DAY)).write.mode("overwrite").parquet(
+        os.path.join(state_dir, _CONTRIB, f"batch={batch_id}")
     )
-    try:
-        days = [r[0] for r in partials.select(_DAY).distinct().collect()]
-        if not days:
-            return
-        merged = partials
-        current = read_rollup(spark, state_dir)
-        if current is not None:
-            merged = (
-                current.filter(F.col(_DAY).isin(days))
-                .filter(F.col("batch_id") != int(batch_id))
-                .unionByName(partials)
-            )
-        (
-            merged.repartition(F.col(_DAY))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(_DAY)
-            .parquet(state_dir)
-        )
-    finally:
-        partials.unpersist()
 
 
 def compact_rollup(
     spark: SparkSession, state_dir: str, keep_last: int = 2
 ) -> None:
-    """Fold all but the newest ``keep_last`` batch contributions into a
-    baseline row (batch_id = -1) per (day, minute, type).
+    """Fold all but the newest ``keep_last`` contribution dirs (plus the old
+    baseline) into a new committed baseline, then GC what it absorbed.
 
     Only batches the checkpoint has durably committed can still replay, and
     Structured Streaming replays at most the newest uncommitted batch —
-    keeping the last few batch_ids un-folded preserves replay idempotency
-    while bounding state rows at keys x (keep_last + 1).
+    keeping the last few batch dirs un-folded preserves replay idempotency
+    while bounding live dirs at keep_last + 1.
     """
-    cur = read_rollup(spark, state_dir)
-    if cur is None:
-        return
-    ids = sorted(
-        r[0] for r in cur.select("batch_id").distinct().collect() if r[0] >= 0
-    )
-    fold = set(ids[:-keep_last]) if keep_last else set(ids)
+    base = _committed_baseline(state_dir)
+    folded = base[1] if base else set()
+    live = [i for i in _contrib_ids(state_dir) if i not in folded]
+    fold = live[:-keep_last] if keep_last else live
     if not fold:
         return
-    base = _combine(
-        cur.filter(F.col("batch_id").isin([-1, *fold]))
-    ).withColumn("batch_id", F.lit(-1))
-    keep = cur.filter(~F.col("batch_id").isin([-1, *fold]))
-    # cut lineage BEFORE overwriting the files the plan reads from
-    merged = base.unionByName(keep).localCheckpoint(eager=True)
-    (
-        merged.repartition(F.col(_DAY))
-        .write.mode("overwrite")
-        .partitionBy(_DAY)
-        .parquet(state_dir)
+
+    parts = [os.path.join(state_dir, _CONTRIB, f"batch={i}") for i in fold]
+    if base:
+        parts.append(os.path.join(base[0], "data"))
+    merged = (
+        _combine(spark.read.parquet(*parts))
+        .withColumn("batch_id", F.lit(-1))
+        # cut lineage before any FS mutation below
+        .localCheckpoint(eager=True)
     )
+
+    root = os.path.join(state_dir, _BASELINE)
+    ks = _list_ids(root, r"v=(\d+)")
+    new_dir = os.path.join(root, f"v={(ks[-1] + 1) if ks else 0}")
+    merged.repartition(F.col(_DAY)).write.mode("overwrite").parquet(
+        os.path.join(new_dir, "data")
+    )
+    with open(os.path.join(new_dir, _FOLDED), "w") as f:
+        json.dump(sorted(folded | set(fold)), f)
+    with open(os.path.join(new_dir, _COMMITTED), "w") as f:
+        f.write("")  # marker LAST: readers only trust marked baselines
+
+    # best-effort GC — a crash here leaves dirs readers already ignore
+    for p in parts[: len(fold)]:
+        shutil.rmtree(p, ignore_errors=True)
+    for k in ks:
+        shutil.rmtree(os.path.join(root, f"v={k}"), ignore_errors=True)
 
 
 def start_incremental_rollup(

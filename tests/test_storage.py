@@ -178,6 +178,52 @@ def test_compact_files_preserves_data(spark, tmp_path):
     assert again == (1, 1)
 
 
+def test_compact_files_rejects_partitioned_root(spark, tmp_path):
+    """Round-1 advice: running compaction on a partitioned dataset root would
+    flatten the day=/bucket= layout — it must refuse, not corrupt."""
+    import pytest
+
+    from mysql_cdc_debezium_starrocks_spark.storage import compact_files
+
+    path = str(tmp_path / "parted")
+    df = spark.range(0, 100).withColumn("p", F.col("id") % 3)
+    df.write.partitionBy("p").parquet(path)
+    with pytest.raises(ValueError, match="leaf"):
+        compact_files(spark, path)
+    # leaf partitions remain individually compactable
+    n_b, n_a = compact_files(spark, path + "/p=0", target_file_bytes=1 << 30)
+    assert n_a <= n_b
+
+
+def test_compact_files_recovers_interrupted_swap(spark, tmp_path):
+    """Crash mid-swap (dataset renamed away, tmp complete or not) must be
+    repaired on the next call instead of leaving no dataset at `path`."""
+    import os
+    import shutil
+
+    from mysql_cdc_debezium_starrocks_spark.storage import compact_files
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    # crash AFTER tmp fully written and path renamed away
+    tmp, old = path + "._compact_tmp", path + "._compact_old"
+    spark.read.parquet(path).coalesce(1).write.parquet(tmp)
+    os.rename(path, old)
+    compact_files(spark, path, target_file_bytes=1 << 30)  # repairs: tmp -> path
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+    # crash BEFORE tmp finished (no _SUCCESS): roll back to old
+    spark.read.parquet(path).coalesce(1).write.parquet(tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    os.rename(path, old)
+    compact_files(spark, path, target_file_bytes=1 << 30)  # repairs: old -> path
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_orc_roundtrip_alternate_columnar_sink(spark, tmp_path):
     """ORC as the alternate built-in columnar format: full-fidelity
     round-trip of a fixture table (schema + values), for deployments whose

@@ -387,22 +387,40 @@ def test_rollup_state_compacts_per_partition(spark, tmp_path):
     before = sorted(
         map(tuple, daily_view(read_rollup(spark, state)).collect())
     )
-    day_dirs = [
-        os.path.join(state, d) for d in os.listdir(state) if d.startswith("day=")
-    ]
-    assert day_dirs, "state must be day-partitioned"
+    contrib_root = os.path.join(state, "contrib")
+    assert os.listdir(contrib_root), "per-batch contribution dirs must exist"
+
+    # design property: contribution dirs accrete one-per-batch (append-only
+    # crash-safe hot path); compact_rollup folds them into a committed
+    # baseline, bounding live dirs at keep_last + baseline
+    from mysql_cdc_debezium_starrocks_spark.streaming.rollup import (
+        compact_rollup,
+        merge_rollup_batch,
+    )
+
+    next_id = 1 + max(
+        int(d.split("=")[1]) for d in os.listdir(contrib_root)
+    )
+    extra = events.limit(50)
+    merge_rollup_batch(spark, state, extra, batch_id=next_id)
+    merge_rollup_batch(spark, state, extra, batch_id=next_id + 1)
+    before = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
+    assert len(os.listdir(contrib_root)) >= 3
+
+    compact_rollup(spark, state, keep_last=1)
+    live = os.listdir(contrib_root)
+    assert len(live) == 1, f"folded batches must be GC'd, left: {live}"
+    folded = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
+    assert folded == before, "compaction must not change any value"
+
+    # baseline data dir is a plain leaf parquet dir -> compact_files applies
+    base_root = os.path.join(state, "baseline")
+    (ver,) = os.listdir(base_root)
+    frag = os.path.join(base_root, ver, "data")
 
     def files_in(d):
         return [f for f in os.listdir(d) if f.endswith(".parquet")]
 
-    # design property: the merge rewrites whole day partitions via
-    # repartition(day), so batches never accrete files — state stays compact
-    for d in day_dirs:
-        assert len(files_in(d)) == 1, f"{d} fragmented: {files_in(d)}"
-
-    # fragment one partition by hand (simulating an append-based maintainer),
-    # then the compaction op must restore it without changing any value
-    frag = day_dirs[0]
     part = spark.read.parquet(frag).cache()
     part.count()
     part.repartition(8).write.mode("overwrite").parquet(frag)
@@ -459,6 +477,61 @@ def test_rollup_replay_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, daily_view(cur).collect())) == before
     ids = {r[0] for r in cur.select("batch_id").distinct().collect()}
     assert ids == {-1, 2}, f"old batches must fold into baseline, got {ids}"
+
+
+def test_rollup_compaction_crash_windows_are_safe(spark, tmp_path):
+    """Round-1 advice follow-through: a crash at any point of compaction must
+    never lose or double-count contributions.  (a) an UNcommitted baseline
+    (no _COMMITTED marker) is invisible to readers; (b) a committed baseline
+    with its folded contribution dirs still on disk (crash before GC) does
+    not double-count them."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.rollup import (
+        compact_rollup,
+        daily_view,
+        merge_rollup_batch,
+        read_rollup,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:30", 1, "click", 2.0),
+        (2, "2024-01-01 11:00:45", 1, "click", 4.0),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = str(tmp_path / "st")
+    for bid in (0, 1, 2):
+        merge_rollup_batch(spark, state, batch, batch_id=bid)
+    truth = sorted(map(tuple, daily_view(read_rollup(spark, state)).collect()))
+
+    # (a) crash between baseline data write and _COMMITTED marker
+    snapshot = str(tmp_path / "snap")
+    shutil.copytree(state, snapshot)
+    compact_rollup(spark, state, keep_last=1)
+    base_root = os.path.join(state, "baseline")
+    (ver,) = os.listdir(base_root)
+    uncommitted = str(tmp_path / "uncommitted")
+    shutil.copytree(snapshot, uncommitted)
+    shutil.copytree(
+        os.path.join(base_root, ver), os.path.join(uncommitted, "baseline", ver)
+    )
+    os.remove(os.path.join(uncommitted, "baseline", ver, "_COMMITTED"))
+    got = sorted(map(tuple, daily_view(read_rollup(spark, uncommitted)).collect()))
+    assert got == truth, "uncommitted baseline must be ignored"
+
+    # (b) crash after _COMMITTED but before GC of folded contribution dirs
+    committed = str(tmp_path / "committed")
+    shutil.copytree(snapshot, committed)  # all 3 contrib dirs still present
+    shutil.copytree(
+        os.path.join(base_root, ver), os.path.join(committed, "baseline", ver)
+    )
+    got = sorted(map(tuple, daily_view(read_rollup(spark, committed)).collect()))
+    assert got == truth, "manifest must exclude folded-but-not-yet-GC'd dirs"
 
 
 def test_windowed_unique_users_matches_batch(spark, tmp_path):
@@ -558,3 +631,24 @@ def test_dedup_at_ingest_finds_cross_batch_pairs(spark, tmp_path):
         (r.doc_a, r.doc_b) for r in dup_pairs(spark, state).collect()
     }
     assert again == {(1, 3), (4, 5)}
+
+
+def test_dedup_at_ingest_nonmonotonic_doc_ids(spark, tmp_path):
+    """Regression (round-1 advice): a new doc whose id sorts BELOW a stored
+    duplicate's id must still pair with it — doc_ids are not monotonic."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.dedup_ingest import (
+        dup_pairs,
+        ingest_dedup_batch,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark shuffles and parquet files"
+    state = str(tmp_path / "dd")
+    b0 = spark.createDataFrame([(100, text), (200, other)],
+                               "doc_id long, text string")
+    ingest_dedup_batch(spark, state, b0, batch_id=0)
+    b1 = spark.createDataFrame([(5, text)], "doc_id long, text string")
+    ingest_dedup_batch(spark, state, b1, batch_id=1)
+
+    got = {(r.doc_a, r.doc_b) for r in dup_pairs(spark, state).collect()}
+    assert got == {(5, 100)}, f"new id 5 must pair with stored id 100: {got}"

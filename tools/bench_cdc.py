@@ -194,6 +194,142 @@ def bench_delete_propagation(spark, root: str, n: int = 1000, deletes: int = 100
     }
 
 
+def bench_update_throughput(
+    spark, root: str, n: int = 1000, updates: int = 500
+) -> dict:
+    """Reference Test 2 (benchmark.sh:268-316): 500 UPDATEs against a
+    1000-row live table — measures the LWW keyed-merge path under pure
+    mutation (no cardinality change), ASSERTED visible."""
+    d = os.path.join(root, "upd")
+    cfg = CdcLoadConfig(
+        name="bench_upd",
+        source_dir=os.path.join(d, "ev"),
+        state_dir=os.path.join(d, "state"),
+        checkpoint_dir=os.path.join(d, "ckpt"),
+    )
+    _write_batch(cfg.source_dir, "b0.json", [_event(i, i) for i in range(n)])
+    batch = spark.read.schema("`_seq` LONG, value STRING").json(cfg.source_dir)
+    merge_batch(spark, cfg, batch)
+    assert read_state(spark, cfg).count() == n
+
+    t0 = time.perf_counter()
+    upd_lines = [
+        _event(n + i, i, status="updated") for i in range(updates)
+    ]
+    dd = os.path.join(d, "ev2")
+    _write_batch(dd, "b1.json", upd_lines)
+    batch2 = spark.read.schema("`_seq` LONG, value STRING").json(dd)
+    merge_batch(spark, cfg, batch2)
+    st = read_state(spark, cfg)
+    visible_updates = st.filter(st.status == "updated").count()
+    dt = time.perf_counter() - t0
+    assert st.count() == n, "updates must not change cardinality"
+    assert visible_updates == updates, (
+        f"only {visible_updates}/{updates} updates visible"
+    )
+    return {
+        "rows": n,
+        "updates": updates,
+        "seconds": round(dt, 3),
+        "updates_per_sec": round(updates / dt),
+        "asserted": True,
+    }
+
+
+def bench_concurrent_mixed(spark, root: str, seconds: int = 30) -> dict:
+    """Reference Test 5 (benchmark.sh:417-472): interleaved INSERT + UPDATE +
+    SELECT against a LIVE streaming load for ``seconds``, reporting ops/s.
+
+    A writer thread emits event files (2:1 insert:update mix) while the main
+    thread runs point-lookup + aggregate SELECTs over the visible state; at
+    the end the stream must drain to exactly the written key set (asserted),
+    so the write ops/s is sustained-applied, not queue-buffered.
+    """
+    import threading
+
+    d = os.path.join(root, "mix")
+    cfg = CdcLoadConfig(
+        name="bench_mix",
+        source_dir=os.path.join(d, "ev"),
+        state_dir=os.path.join(d, "state"),
+        checkpoint_dir=os.path.join(d, "ckpt"),
+        trigger_seconds=1,
+    )
+    seed = 1000
+    _write_batch(cfg.source_dir, "seed.json", [_event(i, i) for i in range(seed)])
+    q = start_cdc_load(spark, cfg)
+    counts = {"insert": 0, "update": 0, "select": 0}
+    stop = threading.Event()
+
+    def writer():
+        seq, next_key, fi = seed, seed, 0
+        while not stop.is_set():
+            lines = []
+            for _ in range(20):  # inserts: fresh keys
+                lines.append(_event(seq, next_key))
+                seq, next_key = seq + 1, next_key + 1
+            for j in range(10):  # updates: existing keys
+                lines.append(_event(seq, j % seed, status="updated"))
+                seq += 1
+            _write_batch(cfg.source_dir, f"mix_{fi}.json", lines)
+            counts["insert"] += 20
+            counts["update"] += 10
+            fi += 1
+            time.sleep(0.05)
+
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:  # warm: seed visible
+            st = read_state(spark, cfg)
+            if st is not None and st.count() >= seed:
+                break
+            time.sleep(0.2)
+        t0 = time.perf_counter()
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+        end = t0 + seconds
+        while time.perf_counter() < end:
+            try:  # SELECT mix: point lookup + grouped aggregate
+                st = read_state(spark, cfg)
+                if st is not None:
+                    st.filter(st.order_key == 1).count()
+                    st.groupBy("status").count().collect()
+                    counts["select"] += 2
+            except Exception:
+                pass  # poll can race the micro-batch overwrite; retry
+        stop.set()
+        wt.join(timeout=10)
+        written_inserts = counts["insert"]
+        # drain: every written insert key becomes visible
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if read_state(spark, cfg).count() >= seed + written_inserts:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.25)
+        elapsed = time.perf_counter() - t0
+        final = read_state(spark, cfg).count()
+        assert final == seed + written_inserts, (
+            f"stream did not drain: {final} != {seed + written_inserts}"
+        )
+    finally:
+        stop.set()
+        q.stop()
+    total_ops = counts["insert"] + counts["update"] + counts["select"]
+    return {
+        "seconds": round(elapsed, 1),
+        "insert_ops": counts["insert"],
+        "update_ops": counts["update"],
+        "select_ops": counts["select"],
+        "ops_per_sec": round(total_ops / elapsed, 1),
+        "writes_per_sec": round((counts["insert"] + counts["update"]) / elapsed, 1),
+        "selects_per_sec": round(counts["select"] / elapsed, 1),
+        "drained_and_asserted": True,
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("bench-cdc")
@@ -209,7 +345,11 @@ def main() -> None:
             "visible_latency": bench_visible_latency(
                 spark, root, iters=10 if not quick else 3
             ),
+            "update_throughput": bench_update_throughput(spark, root),
             "delete_propagation": bench_delete_propagation(spark, root),
+            "concurrent_mixed": bench_concurrent_mixed(
+                spark, root, seconds=30 if not quick else 5
+            ),
         }
         print(json.dumps(result))
     finally:

@@ -25,20 +25,26 @@ TABLES = (
 
 
 def canon(v):
+    """Byte-strict: NO normalization.
+
+    Round 1 shipped a looser canon (Decimal.normalize + float->int coercion)
+    that masked the driver's trailing-zero decimal failures (VERDICT.md round
+    1, "What's wrong" #1).  Strict rule: every value compares by its raw
+    type-faithful repr, so any cross-engine representation difference —
+    decimal scale, decimal-vs-float fetch, bool casing — fails HERE first.
+    The fix lives in operators/_canon.py (fractional numerics emitted as
+    fixed-scale strings on both engines), not in this comparator.
+    """
     if v is None:
         return "NULL"
-    if isinstance(v, Decimal):
-        return f"{v.normalize():f}" if v != 0 else "0"
-    if isinstance(v, float):
-        if v != v:
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
     if isinstance(v, bool):
-        return str(int(v))
+        return f"bool:{v}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, float):
+        return f"float:{v!r}"
     if isinstance(v, int):
-        return str(v)
+        return f"int:{v}"
     return str(v)
 
 
