@@ -83,19 +83,24 @@ def _read_state_raw(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
 
 
 def read_state(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
-    """Current materialized table (empty-schema-safe)."""
+    """Current materialized table: live rows only (empty-schema-safe).
+
+    The stored state RETAINS delete tombstones (``__deleted='true'`` rows
+    with their sequence) so the LWW merge is correct under any arrival
+    order — a late or re-delivered event with a lower sequence (checkpoint
+    replay, an incremental-snapshot chunk carrying the staging watermark)
+    can never resurrect a deleted key, because the tombstone is still there
+    to outrank it.  This mirrors a primary-key LSM table's delete markers
+    (StarRocks PK tables work the same way; the markers disappear only at
+    compaction — ``gc_tombstones``).  Readers see only live rows.
+    """
     raw = _read_state_raw(spark, cfg)
-    return None if raw is None else raw.drop(_BUCKET_COL)
-
-
-def _delete_dirs(spark: SparkSession, paths: list[str]) -> None:
-    """Remove partition directories via the Hadoop FS API (portable to
-    HDFS/S3 committers, not just the local filesystem)."""
-    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    for p in paths:
-        jp = spark._jvm.org.apache.hadoop.fs.Path(p)  # noqa: SLF001
-        fs = jp.getFileSystem(hconf)
-        fs.delete(jp, True)
+    if raw is None:
+        return None
+    return raw.filter(
+        F.col(cfg.deleted_col).isNull()
+        | (F.col(cfg.deleted_col) != F.lit("true"))
+    ).drop(_BUCKET_COL)
 
 
 def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> None:
@@ -107,33 +112,32 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
 
     Incremental: only the hash buckets the batch touches are read (partition
     pruned) and rewritten (dynamic partition overwrite); untouched bucket
-    directories are left byte-identical.  A bucket whose keys are ALL
-    deleted produces no rows to overwrite with, so its directory is removed
-    explicitly.
+    directories are left byte-identical.
+
+    Deletes are stored as TOMBSTONES (the ``__deleted='true'`` row with its
+    sequence), not removed — see :func:`read_state`.  That keeps the merge
+    order-independent: a late event with a lower sequence (replay, an
+    incremental-snapshot chunk) meets the tombstone and loses, instead of
+    resurrecting the key.  Tombstones are swept by :func:`gc_tombstones`
+    once no producer can still emit a lower sequence.
     """
     # persist the parsed batch: merge_batch runs several actions (dead-letter
-    # probe, bucket-set collect, state write, emptied-bucket collect) and
-    # without a cache each one would re-run the JSON parse of the whole batch
-    # — this persist alone is ~3x batch throughput
+    # probe, bucket-set collect, state write) and without a cache each one
+    # would re-run the JSON parse of the whole batch — this persist alone is
+    # ~3x batch throughput
     parsed = parse_envelope(batch, cfg.envelope, seq_col=cfg.seq_col).persist()
     try:
-        # ONE small job yields the dead-letter count (bucket -1), the
-        # touched-bucket set, and whether any bucket saw a delete —
-        # merge-batch overhead is dominated by job count, not data volume,
-        # at streaming batch sizes, so the malformed-row probe (T8,
-        # reference: docs/TROUBLESHOOTING.md:54-67) rides the same
-        # aggregation instead of its own isEmpty() action.
+        # ONE small job yields the dead-letter count (bucket -1) and the
+        # touched-bucket set — merge-batch overhead is dominated by job
+        # count, not data volume, at streaming batch sizes, so the
+        # malformed-row probe (T8, reference: docs/TROUBLESHOOTING.md:54-67)
+        # rides the same aggregation instead of its own isEmpty() action.
         probe_bucket = F.when(F.col(cfg.key).isNull(), F.lit(-1)).otherwise(
             _bucket_of(cfg.key, cfg.buckets)
         )
         bucket_stats = (
             parsed.groupBy(probe_bucket.alias(_BUCKET_COL))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(
-                    F.when(F.col(cfg.deleted_col) == "true", 1).otherwise(0)
-                ).alias("has_del"),
-            )
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
         if any(r[_BUCKET_COL] == -1 for r in bucket_stats):
@@ -147,9 +151,6 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
             _BUCKET_COL, _bucket_of(cfg.key, cfg.buckets)
         )
         affected = sorted(r[_BUCKET_COL] for r in bucket_stats if r[_BUCKET_COL] >= 0)
-        any_deletes = any(
-            r["has_del"] == 1 for r in bucket_stats if r[_BUCKET_COL] >= 0
-        )
         if not affected:
             return
 
@@ -162,42 +163,51 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
                 _BUCKET_COL, _bucket_of(cfg.key, cfg.buckets)
             )
 
-        live = latest.filter(
-            F.col(cfg.deleted_col).isNull()
-            | (F.col(cfg.deleted_col) != F.lit("true"))
-        ).persist()  # reused: emptied-bucket probe + the state write
-
-        # which buckets still hold rows — only a delete can empty one, so the
-        # probe is skipped entirely for insert/update-only batches; computed
-        # BEFORE the overwrite, because `live` is lazy and re-executing it
-        # afterwards would re-read state files the write just replaced
-        # (persist also pins the result)
-        present = (
-            {r[0] for r in live.select(_BUCKET_COL).distinct().collect()}
-            if current is not None and any_deletes
-            else set(affected)
-        )
-
-        final = _state_path(cfg)
         (
-            live.repartition(F.col(_BUCKET_COL))
+            latest.repartition(F.col(_BUCKET_COL))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_BUCKET_COL)
-            .parquet(final)
+            .parquet(_state_path(cfg))
         )
-        live.unpersist()
-
-        # a fully-deleted bucket emits no rows, so dynamic overwrite left its
-        # old directory in place — drop it
-        emptied = [b for b in affected if b not in present]
-        if emptied:
-            _delete_dirs(
-                spark,
-                [os.path.join(final, f"{_BUCKET_COL}={b}") for b in emptied],
-            )
     finally:
         parsed.unpersist()
+
+
+def gc_tombstones(
+    spark: SparkSession, cfg: CdcLoadConfig, before_seq: int
+) -> None:
+    """Compaction sweep: drop delete tombstones with ``_seq < before_seq``.
+
+    Safe once no producer can still deliver an event with a sequence below
+    ``before_seq`` (e.g. the checkpoint's committed offset horizon, or the
+    staging watermark of the newest incremental snapshot).  The analog of a
+    PK-LSM engine's major compaction discarding delete markers past the
+    retention horizon.  Rewrites every bucket once; run it as maintenance,
+    not per batch.  Scale-safe: the filtered state streams to a sibling tmp
+    directory (never through driver/executor memory), then swaps in — a
+    crash before the swap leaves the old state intact; after, the sweep is
+    simply done.  Must not run concurrently with an active merge.
+    """
+    import shutil
+
+    current = _read_state_raw(spark, cfg)
+    if current is None:
+        return
+    kept = current.filter(
+        F.col(cfg.deleted_col).isNull()
+        | (F.col(cfg.deleted_col) != F.lit("true"))
+        | (F.col(cfg.seq_col) >= F.lit(int(before_seq)))
+    )
+    final = _state_path(cfg)
+    tmp = final + "._gc_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.repartition(F.col(_BUCKET_COL)).write.partitionBy(_BUCKET_COL).parquet(tmp)
+    old = final + "._gc_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
