@@ -8,24 +8,35 @@ from .analytics import (
     sessionize,
     windowed_counts,
 )
+from .incremental_snapshot import (
+    plan_incremental_snapshot,
+    run_incremental_snapshot,
+)
 from .jobs import LoadJobManager
 from .materializer import (
     CdcLoadConfig,
+    gc_tombstones,
     kafka_stream,
     merge_batch,
     read_state,
     register_live_view,
     start_cdc_load,
 )
+from .schema_drift import detect_schema_drift, read_drift_log
 
 __all__ = [
     "CdcLoadConfig",
     "LoadJobManager",
     "dedup_within_watermark",
+    "detect_schema_drift",
+    "gc_tombstones",
     "kafka_stream",
     "merge_batch",
+    "plan_incremental_snapshot",
+    "read_drift_log",
     "read_state",
     "register_live_view",
+    "run_incremental_snapshot",
     "running_user_stats",
     "sessionize",
     "start_cdc_load",

@@ -61,6 +61,7 @@ class CdcLoadConfig:
     trigger_seconds: int | None = None   # None -> availableNow (drain & stop)
     max_files_per_trigger: int | None = None  # micro-batch sizing (T1)
     buckets: int = 4             # PK hash buckets (reference: BUCKETS 4)
+    drift_dir: str | None = None  # enable schema-drift probe (schema_drift.py)
 
 
 _BUCKET_COL = "_bucket"
@@ -121,6 +122,14 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
     resurrecting the key.  Tombstones are swept by :func:`gc_tombstones`
     once no producer can still emit a lower sequence.
     """
+    if cfg.drift_dir is not None:
+        # observability probe for undeclared wire fields (upstream ALTERs the
+        # fixed envelope would silently drop — see schema_drift.py); one
+        # aggregated job, no I/O unless drift exists
+        from .schema_drift import record_drift
+
+        record_drift(spark, cfg.drift_dir, batch, cfg.envelope)
+
     # persist the parsed batch: merge_batch runs several actions (dead-letter
     # probe, bucket-set collect, state write) and without a cache each one
     # would re-run the JSON parse of the whole batch — this persist alone is
