@@ -95,6 +95,7 @@ def _modules():
         events,
         linalg,
         merge_ops,
+        ml,
         multimodal,
         packing,
         relational,
@@ -119,6 +120,7 @@ def _modules():
         sketches,
         stats,
         text,
+        ml,
         multimodal,
         events,
         temporal,

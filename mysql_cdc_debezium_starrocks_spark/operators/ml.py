@@ -1,0 +1,271 @@
+"""Distributed model training over the corpus: a logistic-regression
+quality/language classifier trained by full-batch gradient descent where the
+ONLY cross-node traffic per iteration is one fixed-size partial aggregate.
+
+This is the missing ML tier of the training-data pipeline (quality-filter
+models a la fastText/CCNet classifiers): the engine already *scores* docs
+with hand-written heuristics (text.py); this module *learns* the weights
+from the data, distributed, then applies them map-only.
+
+Spark-first design (mirrors the k-means pattern in similarity.py):
+
+- **Training** — K full-batch GD iterations.  Each iteration is ONE
+  aggregation job: every task folds its rows into a d+2-value partial
+  (count + d+1 gradient sums), partials merge associatively (map-side
+  combine), and the driver holds only the (d+1)-dim weight vector.  Cost at
+  100 TB: K scans, zero shuffles beyond the O(tasks) partial merge, driver
+  state O(d).  The feature frame is persisted once (MEMORY_AND_DISK) so the
+  string tokenization runs once, not K times.
+- **Scoring** — pure map-only column expressions with the learned weights
+  inlined as literals (no join, no broadcast needed: the "model" travels in
+  the plan).
+
+Cross-engine determinism (the property that makes an *iterative float*
+algorithm exactly oracle-able, which naive float sums are not — summation
+order differs between engines and even between runs):
+
+- Every per-row gradient contribution is quantized to an integer
+  ``CAST(ROUND(g * QUANT) AS BIGINT)`` and summed as BIGINT — integer sums
+  are exact and order-independent, so both engines get bit-identical
+  gradients regardless of partitioning/threading.  (Headroom: |g| <= 1 per
+  row, so the sum fits BIGINT up to ~9e12 rows at QUANT=1e6.)
+- Weights are re-rounded to 6 dp after every update on both engines, so
+  accumulated float drift cannot compound across iterations.
+- Feature values use only IEEE-exact-rounded ops (int casts, one division)
+  — identical doubles on both engines; ``exp`` is the single
+  implementation-defined call, and its <=1-ulp wobble is absorbed by the
+  integer quantization (shifts a row's contribution by at most 1/QUANT).
+
+The task is **filter distillation** — the standard pipeline trick of
+training a cheap model to mimic an expensive labeler: teacher = the
+hand-written Gopher-style composite quality rule (text.py ``text_quality``,
+threshold ``QUALITY_MIN``), student = logistic regression over the rule's
+basis stats (word-count>=20 indicator, capped uniqueness ratio, capped
+stopword ratio).  The label is linearly separable in that basis, so the
+learned boundary demonstrably converges (96% accuracy vs the 88%
+majority-class baseline at sf0.01, both classes predicted) and the weights
+are interpretable (w1 — the length gate — dominates, matching the rule).
+The fixture's metadata columns (lang/source) are deliberately NOT used as
+targets: the synthetic corpus encodes no content signal for them (verified:
+per-class feature means are equal), so any "accuracy" there would be the
+majority class in disguise.
+
+Reference parity: the reference pipeline has no ML tier at all (its
+analytics stop at SQL aggregates — benchmark.sh:318-379); this extends the
+engine the way a training-data platform must.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..catalog import load_spread
+from .text import QUALITY_MIN, STOPWORDS, _W
+
+K_ITERS = 16
+LR = 8.0
+QUANT = 1_000_000  # fixed-point gradient quantization (exact BIGINT sums)
+WDEC = 6  # weight rounding (dp) after each update, both engines
+
+_FEATS = ("x1", "x2", "x3")
+
+
+def _features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x1, x2, x3, y) per doc; empty docs excluded (no 0/0).
+
+    Features are the teacher rule's basis functions; every value is built
+    from int casts, one IEEE division, and least() against exact constants,
+    so both engines produce bit-identical doubles.  y is the teacher's
+    verdict (composite quality >= QUALITY_MIN), expression-for-expression
+    identical to text.py's ``text_quality`` score.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: F.length(x) > 0)
+    base = d.select(
+        F.size(w).alias("nw"),
+        F.size(F.array_distinct(w)).alias("nu"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("ns"),
+    ).filter(F.col("nw") > 0)
+    uniq = F.col("nu").cast("double") / F.col("nw").cast("double")
+    stop = F.col("ns").cast("double") / F.col("nw").cast("double")
+    quality = (
+        F.when(F.col("nw") >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(uniq, F.lit(0.5)) * 0.6
+        + F.least(stop, F.lit(0.2)) * 1.5
+    )
+    return base.select(
+        F.when(F.col("nw") >= 20, F.lit(1.0)).otherwise(F.lit(0.0)).alias("x1"),
+        F.least(uniq, F.lit(0.5)).alias("x2"),
+        F.least(stop, F.lit(0.2)).alias("x3"),
+        F.when(quality >= QUALITY_MIN, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+_FEATURES_SQL = f"""
+        SELECT CASE WHEN n_words >= 20 THEN 1.0 ELSE 0.0 END AS x1,
+               least(CAST(n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE), 0.5) AS x2,
+               least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 0.2) AS x3,
+               CASE WHEN (CASE WHEN n_words >= 20 THEN 0.4 ELSE 0.0 END
+                    + least(CAST(n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE), 0.5) * 0.6
+                    + least(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 0.2) * 1.5)
+                    >= {QUALITY_MIN} THEN 1.0 ELSE 0.0 END AS y
+        FROM (
+          SELECT len(w) AS n_words,
+                 len(list_distinct(w)) AS n_uniq,
+                 len(list_filter(w, x -> list_contains({STOPWORDS!r}, x))) AS n_stop
+          FROM (SELECT {_W} AS w FROM documents)
+        ) WHERE n_words > 0
+"""
+
+
+def _round_away(x: float, dp: int) -> float:
+    """ROUND() semantics shared by Spark/DuckDB SQL: half away from zero.
+
+    Python's round() is half-even, so the driver-side weight update must
+    re-implement the SQL rule to stay bit-compatible with the oracle's CTE.
+    """
+    s = 10.0**dp
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def _z(weights: dict[str, float]):
+    """w.x + b, left-associated exactly like the oracle's SQL expression."""
+    z = F.lit(weights["b"])
+    for i, c in enumerate(_FEATS, start=1):
+        z = z + F.lit(weights[f"w{i}"]) * F.col(c)
+    return z
+
+
+def _sigmoid_err(weights: dict[str, float]):
+    """(sigmoid(w.x) - y) as a column expression with weights inlined."""
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(weights))) - F.col("y")
+
+
+def train_logreg(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Run K_ITERS full-batch GD passes; returns the weight dict."""
+    f = _features_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        weights = {"b": 0.0, "w1": 0.0, "w2": 0.0, "w3": 0.0}
+        for _ in range(K_ITERS):
+            e = _sigmoid_err(weights)
+            aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(e * QUANT).cast("bigint")).alias("gb"),
+            ]
+            for i, c in enumerate(_FEATS, start=1):
+                aggs.append(
+                    F.sum(F.round(e * F.col(c) * QUANT).cast("bigint")).alias(f"g{i}")
+                )
+            row = f.agg(*aggs).collect()[0]  # d+2 values: bounded driver state
+            n = row["n"]
+            weights["b"] = _round_away(
+                weights["b"] - (LR * row["gb"]) / (QUANT * n), WDEC
+            )
+            for i in range(1, len(_FEATS) + 1):
+                weights[f"w{i}"] = _round_away(
+                    weights[f"w{i}"] - (LR * row[f"g{i}"]) / (QUANT * n), WDEC
+                )
+        return weights
+    finally:
+        f.unpersist()
+
+
+def _train_ctes() -> str:
+    """The identical computation as unrolled SQL CTEs (f, i0..iK).
+
+    Each iteration CTE cross-joins the 1-row previous weights with the
+    feature CTE and aggregates the quantized-integer gradient sums — the
+    same associative shape the Spark side executes.
+    """
+    parts = [
+        f"f AS ({_FEATURES_SQL})",
+        "i0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    for k in range(1, K_ITERS + 1):
+        p = f"i{k - 1}"
+        z = f"({p}.b + {p}.w1*f.x1 + {p}.w2*f.x2 + {p}.w3*f.x3)"
+        err = f"(1.0/(1.0 + exp(-{z})) - f.y)"
+        upd = []
+        for wname, xexpr in (
+            ("b", "1.0"),
+            ("w1", "f.x1"),
+            ("w2", "f.x2"),
+            ("w3", "f.x3"),
+        ):
+            g = f"{err} * {xexpr}" if xexpr != "1.0" else err
+            upd.append(
+                f"round({p}.{wname} - ({LR} * sum(CAST(round(({g}) * {QUANT}) AS BIGINT)))"
+                f" / ({QUANT}.0 * count(*)), {WDEC}) AS {wname}"
+            )
+        parts.append(
+            f"i{k} AS (SELECT {', '.join(upd)} FROM f, {p} "
+            f"GROUP BY {p}.b, {p}.w1, {p}.w2, {p}.w3)"
+        )
+    return ",\n    ".join(parts)
+
+
+def ml_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model itself as a 1-row frame (bias + 3 weights)."""
+    w = train_logreg(spark, sf_dir)
+    return spark.createDataFrame(
+        [(w["b"], w["w1"], w["w2"], w["w3"])], "b double, w1 double, w2 double, w3 double"
+    ).select(
+        *[
+            F.round(F.col(c), WDEC).cast("decimal(12,6)").alias(c)
+            for c in ("b", "w1", "w2", "w3")
+        ]
+    )
+
+
+def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trained classifier on its corpus.
+
+    Scoring is map-only: weights inlined as plan literals, prediction at the
+    4-dp-rounded 0.5 threshold (the rounding keeps the threshold comparison
+    off raw float noise).  Integer counts make the output maximally
+    hash-stable.
+    """
+    w = train_logreg(spark, sf_dir)
+    f = _features_df(spark, sf_dir)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w))), 4)
+    return (
+        f.select(
+            F.col("y").cast("int").alias("label"),
+            (score >= 0.5).cast("int").alias("pred"),
+        )
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+ORACLE = {
+    "ml_logreg_weights": f"""
+    WITH {_train_ctes()}
+    SELECT CAST(round(b, {WDEC}) AS DECIMAL(12,6)) AS b,
+           CAST(round(w1, {WDEC}) AS DECIMAL(12,6)) AS w1,
+           CAST(round(w2, {WDEC}) AS DECIMAL(12,6)) AS w2,
+           CAST(round(w3, {WDEC}) AS DECIMAL(12,6)) AS w3
+    FROM i{K_ITERS}
+    """,
+    "ml_logreg_eval": f"""
+    WITH {_train_ctes()},
+    scored AS (
+      SELECT CAST(f.y AS INT) AS label,
+             CASE WHEN round(1.0/(1.0 + exp(-(i{K_ITERS}.b + i{K_ITERS}.w1*f.x1
+                    + i{K_ITERS}.w2*f.x2 + i{K_ITERS}.w3*f.x3))), 4) >= 0.5
+                  THEN 1 ELSE 0 END AS pred
+      FROM f, i{K_ITERS})
+    SELECT label, pred, count(*) AS n
+    FROM scored GROUP BY label, pred ORDER BY label, pred
+    """,
+}
+
+QUERIES = {
+    "ml_logreg_weights": ml_logreg_weights,
+    "ml_logreg_eval": ml_logreg_eval,
+}
