@@ -207,3 +207,125 @@ def write_training_shards(
         .write.partitionBy("_shard")
         .parquet(path)
     )
+
+
+def _cluster_long(c, dt) -> "F.Column":
+    """Map a cluster column to an orderable BIGINT (dates/timestamps/ints)."""
+    t = dt.simpleString()
+    if t == "date":
+        return F.unix_date(c)
+    if t.startswith("timestamp"):
+        return c.cast("timestamp").cast("long")
+    if t in ("decimal", "double", "float") or t.startswith("decimal"):
+        # fixed 4-dp fixed-point keeps ordering and stays integral
+        return F.round(c.cast("double") * 10000).cast("long")
+    return c.cast("long")
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
+    """Morton (Z-order) key over up to 4 columns as a column expression.
+
+    Each column is min-max scaled to ``bits`` levels (one tiny driver-side
+    agg for the bounds — O(cols) values), then the level bits are
+    interleaved JVM-side with shift/or expressions (unrolled, whole-stage
+    codegen — no UDF).  Rows close in every dimension land close in z-value,
+    so range-partitioning by the key gives *multi-column* file locality:
+    a predicate on ANY clustered column prunes most files, which
+    single-column linear clustering cannot do.
+    """
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_key supports 1-4 columns")
+    dts = {f.name: f.dataType for f in df.schema.fields}
+    longs = [_cluster_long(F.col(c), dts[c]) for c in cols]
+    bounds = df.agg(
+        *[F.min(lc).alias(f"mn{i}") for i, lc in enumerate(longs)],
+        *[F.max(lc).alias(f"mx{i}") for i, lc in enumerate(longs)],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    scaled = []
+    for i, lc in enumerate(longs):
+        mn, mx = bounds[f"mn{i}"], bounds[f"mx{i}"]
+        span = max(1, (mx or 0) - (mn or 0))
+        scaled.append(
+            F.least(
+                F.lit(levels),
+                ((lc - F.lit(mn)) * levels / F.lit(span)).cast("long"),
+            )
+        )
+    if len(scaled) == 1:
+        return scaled[0]
+    z = F.lit(0)
+    for b in range(bits):  # unrolled bit interleave, all JVM expressions
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(scaled) + i))
+    return z
+
+
+def write_clustered(
+    df: DataFrame, path: str, cols: list[str], files: int | None = None
+) -> None:
+    """Cluster-on-write: range-partition by a (z-order) cluster key and sort
+    inside each file, so parquet footer min/max statistics become a free
+    file-level index.
+
+    This is the batch-layout counterpart of StarRocks' sort keys /
+    Delta-Iceberg OPTIMIZE ZORDER: at 100 TB a selective scan over an
+    unclustered table reads every file; over a clustered one it opens only
+    the files whose [min,max] intersects the predicate — the footer check is
+    driver-side metadata, no data IO.  Spark's parquet reader applies the
+    same stats per row group automatically once the layout exists; use
+    ``clustered_file_ranges``/``pruned_fraction`` to *prove* the layout
+    (tests do).
+
+    One shuffle (range exchange) at write time buys every later scan its
+    pruning — the same write-once/read-many trade as ``write_bucketed``.
+    """
+    n = files or df.sparkSession.sparkContext.defaultParallelism
+    out = df.withColumn("_ck", zorder_key(df, cols))
+    (
+        out.repartitionByRange(n, "_ck")
+        .sortWithinPartitions("_ck")
+        .drop("_ck")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def clustered_file_ranges(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file [min,max] of ``column`` from parquet footers (no data IO)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for dp, _dn, fns in os.walk(path):
+        for fn in sorted(fns):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(dp, fn)
+            md = pq.ParquetFile(fp).metadata
+            idx = md.schema.names.index(column)
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mns, mxs = [], []
+                    break
+                mns.append(st.min)
+                mxs.append(st.max)
+            out.append((fp, min(mns) if mns else None, max(mxs) if mxs else None))
+    return out
+
+
+def pruned_fraction(ranges, lo, hi) -> float:
+    """Fraction of files a [lo,hi] predicate can SKIP given footer ranges."""
+    total = len(ranges)
+    if not total:
+        return 0.0
+    hit = sum(
+        1
+        for _f, mn, mx in ranges
+        if mn is None or mx is None or not (mx < lo or mn > hi)
+    )
+    return (total - hit) / total
