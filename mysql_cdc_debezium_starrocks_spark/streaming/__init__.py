@@ -8,6 +8,11 @@ from .analytics import (
     sessionize,
     windowed_counts,
 )
+from .heavy_hitters import (
+    heavy_hitters_view,
+    merge_heavy_hitters_batch,
+    start_heavy_hitters_load,
+)
 from .incremental_snapshot import (
     plan_incremental_snapshot,
     run_incremental_snapshot,
@@ -30,7 +35,10 @@ __all__ = [
     "dedup_within_watermark",
     "detect_schema_drift",
     "gc_tombstones",
+    "heavy_hitters_view",
     "kafka_stream",
+    "merge_heavy_hitters_batch",
+    "start_heavy_hitters_load",
     "merge_batch",
     "plan_incremental_snapshot",
     "read_drift_log",
