@@ -145,22 +145,32 @@ def _sigmoid_err(weights: dict[str, float]):
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(weights))) - F.col("y")
 
 
+def gradient_agg(f: DataFrame, weights: dict[str, float]) -> DataFrame:
+    """One GD iteration's aggregate: 1 row of (n, quantized gradient sums).
+
+    This is the entire per-iteration distributed plan — a count plus d+1
+    BIGINT sums, partial-aggregated map-side (plan-asserted in
+    tests/test_plans.py), so the shuffle moves O(tasks) longs.
+    """
+    e = _sigmoid_err(weights)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(e * QUANT).cast("bigint")).alias("gb"),
+    ]
+    for i, c in enumerate(_FEATS, start=1):
+        aggs.append(
+            F.sum(F.round(e * F.col(c) * QUANT).cast("bigint")).alias(f"g{i}")
+        )
+    return f.agg(*aggs)
+
+
 def train_logreg(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Run K_ITERS full-batch GD passes; returns the weight dict."""
     f = _features_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         weights = {"b": 0.0, "w1": 0.0, "w2": 0.0, "w3": 0.0}
         for _ in range(K_ITERS):
-            e = _sigmoid_err(weights)
-            aggs = [
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.round(e * QUANT).cast("bigint")).alias("gb"),
-            ]
-            for i, c in enumerate(_FEATS, start=1):
-                aggs.append(
-                    F.sum(F.round(e * F.col(c) * QUANT).cast("bigint")).alias(f"g{i}")
-                )
-            row = f.agg(*aggs).collect()[0]  # d+2 values: bounded driver state
+            row = gradient_agg(f, weights).collect()[0]  # d+2 values only
             n = row["n"]
             weights["b"] = _round_away(
                 weights["b"] - (LR * row["gb"]) / (QUANT * n), WDEC

@@ -228,3 +228,21 @@ def test_argmax_top1_is_partial_agg_no_window(spark):
     assert partial_aggregates(plan)
     assert "Window" not in plan
     assert shuffle_count(plan) == 1
+
+
+def test_logreg_gradient_is_one_partial_agg(spark):
+    """Each GD iteration must shuffle only O(tasks) longs: a single
+    map-side-combined aggregate, no Python UDFs, no extra exchanges."""
+    from mysql_cdc_debezium_starrocks_spark.operators.ml import (
+        _features_df,
+        gradient_agg,
+    )
+
+    f = _features_df(spark, SF_SMOKE)
+    p = plan_of(gradient_agg(f, {"b": 0.1, "w1": 0.2, "w2": 0.3, "w3": 0.4}))
+    assert partial_aggregates(p)
+    # one exchange is load_spread's fixture-split repartition (absent on a
+    # real multi-split layout); the aggregate itself adds exactly one more
+    assert shuffle_count(p) <= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert not has_cartesian(p)
