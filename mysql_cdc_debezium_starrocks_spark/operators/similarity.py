@@ -354,6 +354,74 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+SEM_TAU = 0.35  # within-cell near-dup cosine threshold (p99 of cell pairs)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings into centroid
+    cells, compare ONLY within-cell pairs, drop every vector that has a
+    smaller-id in-cell neighbor at cosine >= SEM_TAU.
+
+    This is the embedding analog of MinHash-LSH banding (Abbas et al.'s
+    SemDeDup recipe): the cell assignment caps candidate pairs at
+    O(cell_size * n) instead of O(n^2) — cells here are the same
+    deterministic 1/CENT_MOD data-vector centroids the IVF index uses, so
+    the whole operator (assignment included) is exactly oracle-able with no
+    iterative k-means.  Plan shape: broadcast centroids -> one
+    partial-aggregatable max_by assignment shuffle -> equi-join on cell
+    (never cartesian) -> partial-agg min_by keeper selection.
+
+    Output: (removed_id, kept_id, cell, cosine) — kept_id is the smallest
+    qualifying neighbor (greedy keep-minimum rule, deterministic), cosine
+    is that specific pair's similarity.
+    """
+    e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") % CENT_MOD == CENT_RES).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", "cent_id", ccos.alias("ccos")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id",
+            F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc")),
+        ).alias("cell"),
+        F.first("v").alias("v"),
+        F.first("norm").alias("norm"),
+    )
+    a = assign.select(
+        F.col("cell"),
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = assign.select(
+        F.col("cell"),
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    ).cast("decimal(9,6)")
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("cell", "ia", "ib", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEM_TAU)
+    )
+    return pairs.groupBy(F.col("ib").alias("removed_id")).agg(
+        F.min("ia").alias("kept_id"),
+        F.min("cell").alias("cell"),
+        F.min_by("cosine", "ia").alias("cosine"),
+    )
+
+
 _DOT_SQL = (
     "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
     "p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
@@ -511,11 +579,41 @@ ORACLE["emb_quantize_int8"] = """
     FROM e
 """
 
+
+ORACLE["dedup_semantic"] = f"""
+    WITH {_NORM_CTE},
+    cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+    scored AS (
+      SELECT e.vec_id, e.v, e.norm, c.cent_id,
+             {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, v, norm, cent_id AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cent_id) AS rnk FROM scored) t
+      WHERE rnk = 1
+    ),
+    pairs AS (
+      SELECT a.cell, a.vec_id AS ia, b.vec_id AS ib,
+             CAST(round({_DOT_SQL.format(a='a.v', b='b.v')} / (a.norm * b.norm), 6)
+                  AS DECIMAL(9,6)) AS cosine
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT ib AS removed_id, min(ia) AS kept_id, min(cell) AS cell,
+           min_by(cosine, ia) AS cosine
+    FROM pairs WHERE cosine >= {SEM_TAU}
+    GROUP BY ib
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_range_search": ann_range_search,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "dedup_semantic": dedup_semantic,
     # no ORACLE entry: iterative fixpoint -> driver rows-only check
     "ann_kmeans_assign": ann_kmeans_assign,
     "emb_quantize_int8": emb_quantize_int8,

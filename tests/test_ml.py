@@ -14,9 +14,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_train_deterministic(spark):
-    w1 = ml.train_logreg(spark, SF)
-    w2 = ml.train_logreg(spark, SF)
+    w1 = ml.train_logreg(spark, SF, use_cache=False)
+    w2 = ml.train_logreg(spark, SF, use_cache=False)
     assert w1 == w2  # bit-identical: integer-quantized gradients, 6dp weights
+    assert ml.train_logreg(spark, SF) == w1  # registry path agrees
 
 
 def test_student_beats_majority_baseline(spark):
