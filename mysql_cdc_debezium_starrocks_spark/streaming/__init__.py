@@ -18,6 +18,7 @@ from .incremental_snapshot import (
     run_incremental_snapshot,
 )
 from .jobs import LoadJobManager
+from .join_mv import JoinMVConfig, merge_join_mv_batch, read_join_mv
 from .materializer import (
     CdcLoadConfig,
     gc_tombstones,
@@ -36,7 +37,10 @@ __all__ = [
     "detect_schema_drift",
     "gc_tombstones",
     "heavy_hitters_view",
+    "JoinMVConfig",
     "kafka_stream",
+    "merge_join_mv_batch",
+    "read_join_mv",
     "merge_heavy_hitters_batch",
     "start_heavy_hitters_load",
     "merge_batch",
