@@ -194,3 +194,59 @@ def read_join_mv(spark: SparkSession, cfg: JoinMVConfig) -> DataFrame:
     return mv.filter(
         F.col(cfg.deleted_col).isNull() | (F.col(cfg.deleted_col) != "true")
     ).drop(_BUCKET)
+
+
+def start_join_mv_load(
+    spark: SparkSession,
+    cfg: JoinMVConfig,
+    source: DataFrame,
+    fact_table: str,
+    dim_table: str,
+    fact_envelope,
+    dim_envelope,
+    checkpoint_dir: str,
+    table_col: str = "_table",
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+):
+    """Maintain the MV directly from a multi-table CDC wire stream.
+
+    Debezium publishes every captured table onto its own topic; consumed
+    together they form one stream with a table discriminator (the
+    ``source.table`` field / topic name — reference debezium-connector.json
+    include-list).  Each micro-batch splits on ``table_col``, parses each
+    side with its own envelope, and folds BOTH deltas in one
+    ``merge_join_mv_batch`` call — a single maintenance loop, so the two
+    state stores never race.
+    """
+    from ..cdc.apply import parse_envelope
+
+    def _fold(df: DataFrame, _bid: int) -> None:
+        df = df.persist()
+        try:
+            fact_rows = df.filter(F.col(table_col) == fact_table)
+            dim_rows = df.filter(F.col(table_col) == dim_table)
+            fact_delta = (
+                parse_envelope(fact_rows, fact_envelope, seq_col=cfg.seq_col)
+                if not fact_rows.isEmpty()
+                else None
+            )
+            dim_delta = (
+                parse_envelope(dim_rows, dim_envelope, seq_col=cfg.seq_col)
+                if not dim_rows.isEmpty()
+                else None
+            )
+            merge_join_mv_batch(
+                df.sparkSession, cfg, fact_delta=fact_delta, dim_delta=dim_delta
+            )
+        finally:
+            df.unpersist()
+
+    writer = source.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -164,3 +164,57 @@ def test_dim_propagation_is_partition_pruned(spark, tmp_path):
     assert len(changed_buckets) <= 1, changed_buckets
     view = {r["order_key"]: r for r in read_join_mv(spark, cfg).collect()}
     assert view[105]["c_tier"] == "vip"
+
+
+def test_cdc_wire_e2e(spark, tmp_path):
+    """Multi-table Debezium-shaped wire stream -> maintained view."""
+    import json
+    import os
+
+    from mysql_cdc_debezium_starrocks_spark.cdc.schemas import (
+        envelope_schema,
+        payload_fields,
+    )
+    from mysql_cdc_debezium_starrocks_spark.streaming.join_mv import (
+        start_join_mv_load,
+    )
+
+    fact_env = envelope_schema(
+        payload_fields("order_key", [("cust_key", "long"), ("amount", "long")])
+    )
+    dim_env = envelope_schema(
+        payload_fields("cust_key", [("c_name", "string"), ("c_tier", "string")])
+    )
+    cfg = _cfg(tmp_path)
+    src = str(tmp_path / "wire")
+    os.makedirs(src)
+
+    def wire(seq, table, payload):
+        return (seq, table, json.dumps({"payload": payload}))
+
+    rows1 = [
+        wire(1, "customers", {"cust_key": 1, "c_name": "alice", "c_tier": "gold"}),
+        wire(2, "orders", {"order_key": 10, "cust_key": 1, "amount": 100}),
+        wire(3, "orders", {"order_key": 11, "cust_key": 2, "amount": 50}),  # orphan
+    ]
+    rows2 = [
+        wire(4, "customers", {"cust_key": 2, "c_name": "bob", "c_tier": "silver"}),
+        wire(5, "orders", {"order_key": 10, "cust_key": 1, "amount": 100,
+                           "__deleted": "true"}),
+    ]
+    schema = "_seq long, _table string, value string"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_join_mv_load(
+        spark, cfg, stream,
+        fact_table="orders", dim_table="customers",
+        fact_envelope=fact_env, dim_envelope=dim_env,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(180)
+
+    view = {r["order_key"]: r for r in read_join_mv(spark, cfg).collect()}
+    assert set(view) == {11}  # order 10 deleted
+    assert view[11]["c_name"] == "bob"  # orphan healed by later dim insert
