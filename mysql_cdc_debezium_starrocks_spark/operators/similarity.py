@@ -580,6 +580,59 @@ ORACLE["emb_quantize_int8"] = """
 """
 
 
+PQ_SUB = 4  # product-quantization subspaces over the 64-dim fixture vectors
+PQ_SUBDIM = 16
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: compress each embedding to PQ_SUB one-byte-ish
+    codes (nearest codebook entry per 16-dim subspace) plus the exact
+    reconstruction MSE — the memory tier below int8 quantization
+    (emb_quantize_int8) in a vector-search stack (Jegou et al., PAMI'11).
+
+    The codebooks are the same deterministic data-vector sample the IVF
+    index uses (vec_id % CENT_MOD == CENT_RES), so assignment is exactly
+    oracle-able with no iterative k-means.  Plan shape: ONE broadcast of
+    the codebook, per-row codegen folds for the PQ_SUB subspace distances,
+    then ONE partial-aggregatable min(struct) shuffle carrying a row per
+    vector — at 100 TB the corpus streams through once.  Ties break to the
+    smallest cent_id on both engines.
+    """
+    e = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") % CENT_MOD == CENT_RES).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+
+    def sub_dist(s: int):
+        xs = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cs = F.slice(F.col("cv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        sq = F.zip_with(
+            xs, cs,
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "cent_id", *[sub_dist(s).alias(f"d{s}") for s in range(PQ_SUB)]
+    )
+    agg = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{s}").alias("d"), F.col("cent_id").alias("c"))
+            ).alias(f"m{s}")
+            for s in range(PQ_SUB)
+        ]
+    )
+    dim = PQ_SUB * PQ_SUBDIM
+    total = sum((F.col(f"m{s}.d") for s in range(1, PQ_SUB)), F.col("m0.d"))
+    return agg.select(
+        "vec_id",
+        *[F.col(f"m{s}.c").alias(f"code{s}") for s in range(PQ_SUB)],
+        F.round(total / dim, 6).cast("decimal(12,6)").alias("mse"),
+    )
+
+
 ORACLE["dedup_semantic"] = f"""
     WITH {_NORM_CTE},
     cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
@@ -608,6 +661,37 @@ ORACLE["dedup_semantic"] = f"""
 """
 
 
+
+ORACLE["emb_pq_codes"] = """
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+    scored AS (
+      SELECT e.vec_id, c.cent_id,
+             list_reduce(list_prepend(0.0, list_transform(list_zip(e.v[1:16], c.cv[1:16]), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), (a, b) -> a + b) AS d0,
+             list_reduce(list_prepend(0.0, list_transform(list_zip(e.v[17:32], c.cv[17:32]), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), (a, b) -> a + b) AS d1,
+             list_reduce(list_prepend(0.0, list_transform(list_zip(e.v[33:48], c.cv[33:48]), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), (a, b) -> a + b) AS d2,
+             list_reduce(list_prepend(0.0, list_transform(list_zip(e.v[49:64], c.cv[49:64]), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), (a, b) -> a + b) AS d3
+      FROM e CROSS JOIN cents c
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d0, cent_id) AS r0,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d1, cent_id) AS r1,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d3, cent_id) AS r3
+      FROM scored
+    )
+    SELECT vec_id,
+           max(CASE WHEN r0 = 1 THEN cent_id END) AS code0,
+           max(CASE WHEN r1 = 1 THEN cent_id END) AS code1,
+           max(CASE WHEN r2 = 1 THEN cent_id END) AS code2,
+           max(CASE WHEN r3 = 1 THEN cent_id END) AS code3,
+           CAST(round((max(CASE WHEN r0 = 1 THEN d0 END) + max(CASE WHEN r1 = 1 THEN d1 END) + max(CASE WHEN r2 = 1 THEN d2 END) + max(CASE WHEN r3 = 1 THEN d3 END)) / 64, 6) AS DECIMAL(12,6)) AS mse
+    FROM r GROUP BY vec_id
+""".format(CENT_MOD=CENT_MOD, CENT_RES=CENT_RES)
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_range_search": ann_range_search,
@@ -617,4 +701,5 @@ QUERIES = {
     # no ORACLE entry: iterative fixpoint -> driver rows-only check
     "ann_kmeans_assign": ann_kmeans_assign,
     "emb_quantize_int8": emb_quantize_int8,
+    "emb_pq_codes": emb_pq_codes,
 }
