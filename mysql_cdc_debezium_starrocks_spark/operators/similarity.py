@@ -582,6 +582,10 @@ ORACLE["emb_quantize_int8"] = """
 
 PQ_SUB = 4  # product-quantization subspaces over the 64-dim fixture vectors
 PQ_SUBDIM = 16
+# Codebook size must NOT grow with the corpus (n x K distance work turns
+# quadratic): cap the deterministic sample at <=256 entries, the standard
+# 1-byte PQ codebook.
+PQ_CENT_CAP = CENT_MOD * 256
 
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,9 +603,9 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest cent_id on both engines.
     """
     e = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") % CENT_MOD == CENT_RES).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
-    )
+    cents = e.filter(
+        (F.col("vec_id") % CENT_MOD == CENT_RES) & (F.col("vec_id") < PQ_CENT_CAP)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
 
     def sub_dist(s: int):
         xs = F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
@@ -665,7 +669,7 @@ ORACLE["dedup_semantic"] = f"""
 ORACLE["emb_pq_codes"] = """
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+              WHERE vec_id % {CENT_MOD} = {CENT_RES} AND vec_id < {PQ_CENT_CAP}),
     scored AS (
       SELECT e.vec_id, c.cent_id,
              list_reduce(list_prepend(0.0, list_transform(list_zip(e.v[1:16], c.cv[1:16]), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), (a, b) -> a + b) AS d0,
@@ -689,7 +693,7 @@ ORACLE["emb_pq_codes"] = """
            max(CASE WHEN r3 = 1 THEN cent_id END) AS code3,
            CAST(round((max(CASE WHEN r0 = 1 THEN d0 END) + max(CASE WHEN r1 = 1 THEN d1 END) + max(CASE WHEN r2 = 1 THEN d2 END) + max(CASE WHEN r3 = 1 THEN d3 END)) / 64, 6) AS DECIMAL(12,6)) AS mse
     FROM r GROUP BY vec_id
-""".format(CENT_MOD=CENT_MOD, CENT_RES=CENT_RES)
+""".format(CENT_MOD=CENT_MOD, CENT_RES=CENT_RES, PQ_CENT_CAP=PQ_CENT_CAP)
 
 
 QUERIES = {

@@ -27,6 +27,7 @@ REPL = {
     "events": ["event_id", "user_id"],
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
+    "embeddings": ["vec_id"],
 }
 
 # query name -> (callable path, tables it needs replicated)
@@ -41,6 +42,8 @@ CASES = {
     "sample_shuffle_prefix": ("operators.stats", ["documents"]),
     "agg_top1_per_group_argmax": ("operators.relational_ext", ["orders"]),
     "merge_upsert_orders": ("operators.merge_ops", ["orders"]),
+    "dedup_semantic": ("operators.similarity", ["embeddings"]),
+    "emb_pq_codes": ("operators.similarity", ["embeddings"]),
 }
 
 
