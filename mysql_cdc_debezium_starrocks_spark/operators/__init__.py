@@ -46,12 +46,12 @@ DRIVER_PRIORITY = (
     "sketch_cms_heavy", "monthly_revenue", "mm_fake_features",
     "agg_top1_per_group_argmax", "dedup_components", "q8_market_share",
     "text_token_count", "q9_product_profit", "mix_weights_by_source",
-    "q10_returned_items", "q11_important_stock", "q3_shipping_priority",
+    "q10_returned_items", "q11_important_stock", "join_dims_broadcast",
     "ml_logreg_weights", "filter_eq", "topk_orders", "group_count",
     "ml_logreg_eval", "window_topn_per_group",
-    # families below are redundantly evidenced inside the prefix (J2 via q3
-    # + the round-1-green join suite); they follow immediately after it
-    "q5_region_revenue", "join_dims_broadcast",
+    # entries below duplicate families already evidenced inside the 50-wide
+    # window (J2/TPC-H join coverage); they follow immediately after it
+    "q3_shipping_priority", "q5_region_revenue",
 )
 
 

