@@ -70,6 +70,18 @@ HEADLINE = [
         "of the documents.",
     ),
     (
+        "dedup_semantic",
+        "SemDeDup: broadcast deterministic centroids, partial max_by cell "
+        "assignment, equi-join on cell (no cartesian), partial min_by "
+        "keeper selection.",
+    ),
+    (
+        "emb_pq_codes",
+        "Product quantization: one codebook broadcast, codegen subspace "
+        "distance folds, one partial-agg min(struct) shuffle (a row per "
+        "vector on the wire).",
+    ),
+    (
         "dedup_passage_exact",
         "Passage-dedup profile: chunking is an array fold in codegen; both "
         "exchanges key on the 8-byte chunk hash, never passage text.",
