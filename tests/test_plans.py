@@ -246,3 +246,28 @@ def test_logreg_gradient_is_one_partial_agg(spark):
     assert shuffle_count(p) <= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert not has_cartesian(p)
+
+
+def test_advisor_flags_antipatterns(spark):
+    """The plan linter catches a deliberate cartesian + row-Python-UDF plan
+    and passes the engine's own clean scan-agg."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    from mysql_cdc_debezium_starrocks_spark.plans.advisor import advise
+
+    bad_udf = udf(lambda x: x + 1, LongType())
+    a = spark.range(100).withColumnRenamed("id", "a")
+    b = spark.range(100).withColumnRenamed("id", "b")
+    bad = a.crossJoin(b).withColumn("c", bad_udf(a["a"]))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rules = {w["rule"] for w in advise(bad)}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "cartesian-product" in rules
+    assert "row-python-udf" in rules
+
+    clean = q1_pricing_summary(spark, SF_SMOKE)
+    errors = [w for w in advise(clean) if w["severity"] == "error"]
+    assert errors == [], errors
