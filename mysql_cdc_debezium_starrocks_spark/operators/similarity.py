@@ -365,19 +365,32 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the embedding analog of MinHash-LSH banding (Abbas et al.'s
     SemDeDup recipe): the cell assignment caps candidate pairs at
-    O(cell_size * n) instead of O(n^2) — cells here are the same
-    deterministic 1/CENT_MOD data-vector centroids the IVF index uses, so
-    the whole operator (assignment included) is exactly oracle-able with no
-    iterative k-means.  Plan shape: broadcast centroids -> one
-    partial-aggregatable max_by assignment shuffle -> equi-join on cell
-    (never cartesian) -> partial-agg min_by keeper selection.
+    O(cell_size * n) instead of O(n^2) — cells are deterministic
+    data-vector centroids (the IVF scheme), so the whole operator
+    (assignment included) is exactly oracle-able with no iterative
+    k-means.  Plan shape: broadcast centroids -> one partial-aggregatable
+    max_by assignment shuffle -> equi-join on cell (never cartesian) ->
+    partial-agg min_by keeper selection.
+
+    **Scaling exponent (deliberate):** the centroid modulus adapts to
+    ``max(CENT_MOD, ceil(sqrt(n)))``, giving ~sqrt(n) cells of ~sqrt(n)
+    vectors — assignment O(n*sqrt(n)) and within-cell pairwise
+    O(n*sqrt(n)), the balanced blocked-exact-pairwise optimum.  A static
+    1/CENT_MOD sample (the first cut) made assignment O(n^2/CENT_MOD):
+    scale-sanity measured 12.5x wall at 10x data and flagged it.  n^1.5
+    is inherent to exact within-cluster comparison; sub-linear variants
+    trade recall (LSH band pre-filter inside cells).
 
     Output: (removed_id, kept_id, cell, cosine) — kept_id is the smallest
     qualifying neighbor (greedy keep-minimum rule, deterministic), cosine
     is that specific pair's similarity.
     """
+    import math
+
     e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") % CENT_MOD == CENT_RES).select(
+    n = e.count()  # one cheap scan; both engines derive the same modulus
+    mod = max(CENT_MOD, math.ceil(math.sqrt(n)))
+    cents = e.filter(F.col("vec_id") % mod == CENT_RES).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
@@ -640,7 +653,9 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dedup_semantic"] = f"""
     WITH {_NORM_CTE},
     cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
-              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+              WHERE vec_id % (SELECT greatest({CENT_MOD},
+                       CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)
+                    = {CENT_RES}),
     scored AS (
       SELECT e.vec_id, e.v, e.norm, c.cent_id,
              {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
