@@ -2,6 +2,7 @@
 and event-time analytics (watermarked/session windows, keyed dedup,
 stateful running counters)."""
 
+from .ann_ingest import ann_index_query, ingest_ann_batch, read_ann_index, start_ann_ingest
 from .audit import audit_state
 from .analytics import (
     dedup_within_watermark,
@@ -33,7 +34,11 @@ from .schema_drift import detect_schema_drift, read_drift_log
 
 __all__ = [
     "CdcLoadConfig",
+    "ann_index_query",
     "audit_state",
+    "ingest_ann_batch",
+    "read_ann_index",
+    "start_ann_ingest",
     "LoadJobManager",
     "dedup_within_watermark",
     "detect_schema_drift",

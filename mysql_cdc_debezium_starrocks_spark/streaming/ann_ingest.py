@@ -1,0 +1,130 @@
+"""ANN-index-at-ingest: maintain the LSH bucket index incrementally as
+vectors stream in, so similarity queries never rebuild the sketch.
+
+The batch path (``operators.similarity.ann_lsh_topk``) computes every
+vector's hyperplane bucket per query — fine for one-shot analytics, O(corpus
+sketch work) per query at scale.  This maintainer materializes the bucket
+table ONCE per vector at ingest:
+
+1. per micro-batch, fold new vectors to (vec_id, v, norm, bucket) — the
+   same deterministic hyperplane sketch the batch path uses (map-only);
+2. append under ``index/batch=<id>/bucket=<b>`` — batch-id-keyed overwrite,
+   so crash-replay regenerates byte-identical files (the rollup/scd2/
+   dedup_ingest idempotency scheme), and the two-level key=value layout
+   gives query-time PARTITION PRUNING on bucket;
+3. queries compute only their own buckets, read just those partitions
+   (plan-asserted: PartitionFilters on bucket), and exact-rerank — cost
+   O(queries x bucket size), independent of corpus growth.
+
+Same-result contract: a query against the maintained index returns exactly
+what the batch LSH top-k returns over the union of all ingested batches
+(asserted in tests/test_ann_ingest.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.similarity import _bucket, _dot
+
+_INDEX = "index"
+
+
+def _batch_ids(state_dir: str) -> list[int]:
+    root = os.path.join(state_dir, _INDEX)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        m = re.fullmatch(r"batch=(\d+)", d)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def ingest_ann_batch(
+    spark: SparkSession, state_dir: str, vectors: DataFrame, batch_id: int
+) -> None:
+    """Sketch one micro-batch of (vec_id, embedding) rows into the index."""
+    rows = vectors.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        _bucket(F.col("embedding")).alias("bucket"),
+    )
+    (
+        rows.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(state_dir, _INDEX, f"batch={batch_id}"))
+    )
+
+
+def read_ann_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The full maintained index with its bucket partition column."""
+    ids = _batch_ids(state_dir)
+    if not ids:
+        raise FileNotFoundError(f"no ANN index under {state_dir}")
+    return spark.read.option("basePath", os.path.join(state_dir, _INDEX)).parquet(
+        *[os.path.join(state_dir, _INDEX, f"batch={i}") for i in ids]
+    )
+
+
+def ann_index_query(
+    spark: SparkSession, state_dir: str, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-k same-bucket neighbors for each (vec_id, embedding) query row.
+
+    The bucket filter lands as a partition filter on the index read — only
+    the queries' bucket directories are listed/scanned.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("qnorm"),
+        _bucket(F.col("embedding")).alias("qbucket"),
+    )
+    qbuckets = [r["qbucket"] for r in q.select("qbucket").distinct().collect()]
+    idx = read_ann_index(spark, state_dir).filter(F.col("bucket").isin(qbuckets))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+    ).cast("decimal(9,6)")
+    cand = idx.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
+def start_ann_ingest(
+    spark: SparkSession,
+    source: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger_seconds: int = 1,
+):
+    """Wire a (vec_id, embedding) stream into the index maintainer."""
+    writer = source.writeStream.foreachBatch(
+        lambda df, bid: ingest_ann_batch(df.sparkSession, state_dir, df, bid)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
