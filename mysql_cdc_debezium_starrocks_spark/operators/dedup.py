@@ -821,3 +821,42 @@ def signature_table(docs: DataFrame) -> DataFrame:
     return sigs.select("doc_id", "hs", F.explode(bands).alias("bd")).select(
         "doc_id", "hs", "bd.band", "bd.bhash"
     )
+
+
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by NEAR-DUP COMPONENT,
+    not by document, so two near-duplicates can never straddle splits (the
+    classic eval-contamination bug a doc-level hash split ships silently).
+
+    group_id = the doc's duplicate-component id (its own id for
+    singletons); the split decision hashes the GROUP, so every member
+    inherits the same assignment — 80/10/10 via the portable hash family,
+    reproducible on any cluster size.  Cost: the components pass plus one
+    broadcastable left join; the split itself is map-only.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_components(spark, sf_dir)
+    g = d.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("group_id")
+    )
+    b = phash32(F.col("group_id").cast("string"), "split") % 10
+    split = (
+        F.when(b < 8, F.lit("train")).when(b < 9, F.lit("val")).otherwise("test")
+    )
+    return g.select("doc_id", "group_id", split.alias("split"))
+
+
+QUERIES["corpus_split_leakage_safe"] = corpus_split_leakage_safe
+
+ORACLE["corpus_split_leakage_safe"] = f"""
+    WITH cc AS ({ORACLE["dedup_components"]}),
+    g AS (
+      SELECT d.doc_id, coalesce(cc.component_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+    SELECT doc_id, group_id,
+           CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, group_id,
+                 ({phash32_sql("group_id::VARCHAR", "split")} % 10) AS b
+          FROM g)
+"""

@@ -162,3 +162,29 @@ def test_pandas_udf_scalar_surface(spark):
     )
     bad = both.filter(F.abs(F.col("py") - F.col("jvm")) > 1e-9).count()
     assert bad == 0
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """Every near-dup pair must land in the SAME split — the property the
+    operator exists for."""
+    from mysql_cdc_debezium_starrocks_spark.operators.dedup import (
+        corpus_split_leakage_safe,
+        dedup_simhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split = corpus_split_leakage_safe(spark, sf).select("doc_id", "split")
+    pairs = dedup_simhash_pairs(spark, sf).select("doc_a", "doc_b")
+    a = split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa")
+    b = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb")
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    assert joined.count() > 0  # the property is vacuous without pairs
+    straddlers = joined.filter("sa <> sb").count()
+    assert straddlers == 0
+    # and all three splits are populated with ~80/10/10 shape
+    dist = dict(
+        (r["split"], r["count"])
+        for r in split.groupBy("split").count().collect()
+    )
+    assert set(dist) == {"train", "val", "test"}
+    assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
