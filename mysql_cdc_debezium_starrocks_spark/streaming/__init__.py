@@ -31,6 +31,7 @@ from .materializer import (
     start_cdc_load,
 )
 from .schema_drift import detect_schema_drift, read_drift_log
+from .table_stats import read_stats, recommend_broadcast, update_stats_batch
 
 __all__ = [
     "CdcLoadConfig",
@@ -53,11 +54,14 @@ __all__ = [
     "merge_batch",
     "plan_incremental_snapshot",
     "read_drift_log",
+    "read_stats",
+    "recommend_broadcast",
     "read_state",
     "register_live_view",
     "run_incremental_snapshot",
     "running_user_stats",
     "sessionize",
     "start_cdc_load",
+    "update_stats_batch",
     "windowed_counts",
 ]
