@@ -1,0 +1,109 @@
+"""Generic incremental aggregate MV (streaming/agg_mv.py): incremental ==
+one-shot for every mergeable aggregate class, holistic aggregates refused,
+replay idempotent, E2E under foreachBatch.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_debezium_starrocks_spark.streaming.agg_mv import (
+    merge_agg_mv_batch,
+    read_agg_mv,
+    start_agg_mv_load,
+)
+
+SF = "/root/testdata/sf0.001"
+KEYS = ["o_orderstatus"]
+SPEC = {
+    "n": ("count", None),
+    "total": ("sum", "o_totalprice"),
+    "lo": ("min", "o_totalprice"),
+    "hi": ("max", "o_totalprice"),
+    "avg_price": ("avg", "o_totalprice"),
+    "custs": ("ndv", "o_custkey"),
+}
+
+
+def _thirds(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    return [o.filter(f"o_orderkey % 3 = {i}") for i in range(3)]
+
+
+def test_incremental_equals_oneshot(spark, tmp_path):
+    state = str(tmp_path / "mv")
+    for i, part in enumerate(_thirds(spark)):
+        merge_agg_mv_batch(spark, state, part, KEYS, SPEC, i)
+    got = {
+        r["o_orderstatus"]: r for r in read_agg_mv(spark, state, KEYS, SPEC).collect()
+    }
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    want = {
+        r["o_orderstatus"]: r
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.avg("o_totalprice").alias("avg_price"),
+            F.countDistinct("o_custkey").alias("custs"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        g, w = got[k], want[k]
+        assert g["n"] == w["n"] and g["lo"] == w["lo"] and g["hi"] == w["hi"]
+        assert g["total"] == pytest.approx(w["total"], rel=1e-12)
+        assert g["avg_price"] == pytest.approx(w["avg_price"], rel=1e-12)
+        assert abs(g["custs"] - w["custs"]) <= max(2, 0.05 * w["custs"])
+
+
+def test_holistic_aggregate_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="non-mergeable"):
+        merge_agg_mv_batch(
+            spark,
+            str(tmp_path / "mv"),
+            spark.range(1),
+            ["id"],
+            {"p50": ("median", "id")},
+            0,
+        )
+
+
+def test_replay_idempotent(spark, tmp_path):
+    state = str(tmp_path / "mv")
+    parts = _thirds(spark)
+    for i, part in enumerate(parts):
+        merge_agg_mv_batch(spark, state, part, KEYS, SPEC, i)
+    spec_nosketch = {k: v for k, v in SPEC.items() if v[0] != "ndv"}
+    before = sorted(
+        map(tuple, read_agg_mv(spark, state, KEYS, spec_nosketch).collect())
+    )
+    merge_agg_mv_batch(spark, state, parts[2], KEYS, SPEC, 2)  # crash replay
+    after = sorted(
+        map(tuple, read_agg_mv(spark, state, KEYS, spec_nosketch).collect())
+    )
+    assert before == after
+
+
+def test_streaming_e2e(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    parts = _thirds(spark)
+    schema = parts[0].schema
+    parts[0].write.mode("append").parquet(src)
+    parts[1].unionByName(parts[2]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_agg_mv_load(
+        spark, stream, state, str(tmp_path / "ckpt"), KEYS, SPEC,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    view = read_agg_mv(spark, state, KEYS, SPEC)
+    total = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert view.agg(F.sum("n")).collect()[0][0] == total
