@@ -1,0 +1,108 @@
+"""Fluent corpus-curation pipeline: the operator suite as a product API.
+
+``corpus_curate`` (operators/text.py) is the fixed reference funnel; this
+facade exposes the same building blocks compositionally so a user assembles
+their OWN funnel without touching operator internals:
+
+    CorpusPipeline(spark, sf_dir)
+        .quality(min_score=0.65)
+        .dedup()                 # near-dup canonicalization (keep min id)
+        .decontaminate()         # 4-gram overlap vs the held-out eval split
+        .drop_eval_split()
+        .split()                 # leakage-safe train/val/test column
+        .export(path, shards=8)  # deterministic sorted-shard layout
+
+Laziness contract: every step only COMPOSES DataFrames (filters and
+broadcastable anti-joins over the running frame); nothing executes until
+``df``/``count``/``export``.  Steps therefore fuse into one Catalyst plan —
+the corpus streams through once, exactly like the hand-written funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .functions import phash32
+
+
+class CorpusPipeline:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._df = load(spark, sf_dir, "documents")
+        self.steps: list[str] = []
+
+    # -- steps (each returns self; all lazy) --------------------------------
+
+    def quality(self, min_score: float | None = None) -> "CorpusPipeline":
+        from .operators.text import QUALITY_MIN, text_quality
+
+        q = text_quality(self.spark, self.sf_dir).select("doc_id", "quality")
+        thr = QUALITY_MIN if min_score is None else min_score
+        self._df = self._df.join(q, "doc_id").filter(
+            F.col("quality") >= thr
+        ).drop("quality")
+        self.steps.append(f"quality>={thr}")
+        return self
+
+    def dedup(self) -> "CorpusPipeline":
+        """Near-dup canonicalization: keep each component's min doc_id."""
+        from .operators.dedup import dedup_components
+
+        removals = (
+            dedup_components(self.spark, self.sf_dir)
+            .filter(F.col("doc_id") != F.col("component_id"))
+            .select("doc_id")
+        )
+        self._df = self._df.join(removals, "doc_id", "left_anti")
+        self.steps.append("dedup")
+        return self
+
+    def decontaminate(self) -> "CorpusPipeline":
+        from .operators.text import text_decontaminate
+
+        contaminated = text_decontaminate(self.spark, self.sf_dir).select("doc_id")
+        self._df = self._df.join(contaminated, "doc_id", "left_anti")
+        self.steps.append("decontaminate")
+        return self
+
+    def drop_eval_split(self) -> "CorpusPipeline":
+        from .operators.text import EVAL_SPLIT_MOD
+
+        keep = phash32(F.col("doc_id").cast("string"), "evalsplit") % EVAL_SPLIT_MOD != 0
+        self._df = self._df.filter(keep)
+        self.steps.append("drop_eval_split")
+        return self
+
+    def split(self) -> "CorpusPipeline":
+        """Attach the leakage-safe train/val/test column (split by near-dup
+        component, so duplicates never straddle splits)."""
+        from .operators.dedup import corpus_split_leakage_safe
+
+        s = corpus_split_leakage_safe(self.spark, self.sf_dir).select(
+            "doc_id", "split"
+        )
+        self._df = self._df.join(s, "doc_id")
+        self.steps.append("split")
+        return self
+
+    def filter(self, condition) -> "CorpusPipeline":
+        self._df = self._df.filter(condition)
+        self.steps.append("filter")
+        return self
+
+    # -- terminals ----------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def export(self, path: str, shards: int = 8) -> None:
+        from .storage import write_training_shards
+
+        write_training_shards(self._df, path, key_col="doc_id", shards=shards)

@@ -1,0 +1,41 @@
+"""Fluent corpus pipeline (pipeline.py): the composed funnel must equal the
+hand-written corpus_curate reference, stay lazy until a terminal, and
+export runnable shards.
+"""
+
+import glob
+
+from mysql_cdc_debezium_starrocks_spark.pipeline import CorpusPipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_facade_matches_reference_funnel(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.text import corpus_curate
+
+    p = (
+        CorpusPipeline(spark, SF)
+        .drop_eval_split()
+        .quality()
+        .dedup()
+        .decontaminate()
+    )
+    got = sorted(r["doc_id"] for r in p.df.select("doc_id").collect())
+    want = sorted(r["doc_id"] for r in corpus_curate(spark, SF).collect())
+    assert got == want and got
+    assert p.steps == ["drop_eval_split", "quality>=0.65", "dedup", "decontaminate"]
+
+
+def test_split_column_and_export(spark, tmp_path):
+    p = CorpusPipeline(spark, SF).quality().split()
+    df = p.df
+    assert "split" in df.columns
+    splits = {r["split"] for r in df.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+    out = str(tmp_path / "shards")
+    p.export(out, shards=4)
+    files = glob.glob(f"{out}/_shard=*/*.parquet")
+    assert files
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
