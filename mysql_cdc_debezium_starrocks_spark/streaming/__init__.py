@@ -3,7 +3,7 @@ and event-time analytics (watermarked/session windows, keyed dedup,
 stateful running counters)."""
 
 from .ann_ingest import ann_index_query, ingest_ann_batch, read_ann_index, start_ann_ingest
-from .agg_mv import merge_agg_mv_batch, read_agg_mv, start_agg_mv_load
+from .agg_mv import compact_agg_mv, merge_agg_mv_batch, read_agg_mv, start_agg_mv_load
 from .audit import audit_state
 from .analytics import (
     dedup_within_watermark,
@@ -38,6 +38,7 @@ __all__ = [
     "CdcLoadConfig",
     "ann_index_query",
     "audit_state",
+    "compact_agg_mv",
     "merge_agg_mv_batch",
     "read_agg_mv",
     "start_agg_mv_load",

@@ -24,13 +24,18 @@ Spec: ``{"out_col": ("fn", "in_col")}`` with fn in COUNT/SUM/MIN/MAX/AVG/NDV.
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CONTRIB = "contrib"
+_BASELINE = "baseline"
+_FOLDED = "_FOLDED"
+_COMMITTED = "_COMMITTED"
 MERGEABLE = ("count", "sum", "min", "max", "avg", "ndv")
 
 
@@ -98,6 +103,90 @@ def _merge_aggs(spec: dict) -> list:
     return out
 
 
+def _refold_aggs(spec: dict) -> list:
+    """Merge partials INTO partials (for baseline compaction): same
+    associative functions, partial-shaped output columns."""
+    out = []
+    for name, (fn, _col) in spec.items():
+        if fn in ("count",):
+            out.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
+        elif fn == "sum":
+            out.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
+        elif fn == "min":
+            out.append(F.min(f"{name}__min").alias(f"{name}__min"))
+        elif fn == "max":
+            out.append(F.max(f"{name}__max").alias(f"{name}__max"))
+        elif fn == "avg":
+            out.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
+            out.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
+        elif fn == "ndv":
+            out.append(F.hll_union_agg(f"{name}__hll").alias(f"{name}__hll"))
+    return out
+
+
+def _committed_baseline(state_dir: str) -> tuple[str, set[int]] | None:
+    root = os.path.join(state_dir, _BASELINE)
+    if not os.path.isdir(root):
+        return None
+    best = None
+    for d in sorted(os.listdir(root)):
+        m = re.fullmatch(r"v=(\d+)", d)
+        full = os.path.join(root, d)
+        if m and os.path.exists(os.path.join(full, _COMMITTED)):
+            best = full
+    if best is None:
+        return None
+    with open(os.path.join(best, _FOLDED)) as f:
+        return best, set(json.load(f))
+
+
+def compact_agg_mv(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    spec: dict,
+    keep_last: int = 2,
+) -> None:
+    """Fold all but the newest ``keep_last`` contribution dirs (plus the old
+    baseline) into a new committed baseline of PARTIAL rows, then GC what it
+    absorbed — the rollup.py scheme: only the newest uncommitted batch can
+    replay, so un-folded tail dirs preserve replay idempotency while live
+    dirs stay bounded at keep_last + 1.
+    """
+    _check_spec(spec)
+    base = _committed_baseline(state_dir)
+    folded = base[1] if base else set()
+    live = [i for i in _batch_ids(state_dir) if i not in folded]
+    fold = live[:-keep_last] if keep_last else live
+    if not fold:
+        return
+    parts = [os.path.join(state_dir, _CONTRIB, f"batch={i}") for i in fold]
+    if base:
+        parts.append(os.path.join(base[0], "data"))
+    merged = (
+        spark.read.parquet(*parts)
+        .groupBy(*keys)
+        .agg(*_refold_aggs(spec))
+        .localCheckpoint(eager=True)  # cut lineage before FS mutation
+    )
+    root = os.path.join(state_dir, _BASELINE)
+    ks = sorted(
+        int(m.group(1))
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    new_dir = os.path.join(root, f"v={(ks[-1] + 1) if ks else 0}")
+    merged.write.mode("overwrite").parquet(os.path.join(new_dir, "data"))
+    with open(os.path.join(new_dir, _FOLDED), "w") as f:
+        json.dump(sorted(folded | set(fold)), f)
+    with open(os.path.join(new_dir, _COMMITTED), "w") as f:
+        f.write("")  # marker LAST: readers only trust marked baselines
+    for p in parts[: len(fold)]:
+        shutil.rmtree(p, ignore_errors=True)
+    for k in ks:
+        shutil.rmtree(os.path.join(root, f"v={k}"), ignore_errors=True)
+
+
 def merge_agg_mv_batch(
     spark: SparkSession,
     state_dir: str,
@@ -119,12 +208,15 @@ def read_agg_mv(
 ) -> DataFrame:
     """The view: all contributions re-merged with the associative finals."""
     _check_spec(spec)
-    ids = _batch_ids(state_dir)
-    if not ids:
+    base = _committed_baseline(state_dir)
+    folded = base[1] if base else set()
+    ids = [i for i in _batch_ids(state_dir) if i not in folded]
+    parts = [os.path.join(state_dir, _CONTRIB, f"batch={i}") for i in ids]
+    if base:
+        parts.append(os.path.join(base[0], "data"))
+    if not parts:
         raise FileNotFoundError(f"no agg-MV state under {state_dir}")
-    contribs = spark.read.parquet(
-        *[os.path.join(state_dir, _CONTRIB, f"batch={i}") for i in ids]
-    )
+    contribs = spark.read.parquet(*parts)
     return contribs.groupBy(*keys).agg(*_merge_aggs(spec))
 
 

@@ -107,3 +107,57 @@ def test_streaming_e2e(spark, tmp_path):
     view = read_agg_mv(spark, state, KEYS, SPEC)
     total = spark.read.parquet(f"{SF}/orders.parquet").count()
     assert view.agg(F.sum("n")).collect()[0][0] == total
+
+
+def test_compaction_preserves_view_and_bounds_dirs(spark, tmp_path):
+    import os
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.agg_mv import (
+        compact_agg_mv,
+    )
+
+    state = str(tmp_path / "mv")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    parts = [o.filter(f"o_orderkey % 5 = {i}") for i in range(5)]
+    for i, part in enumerate(parts):
+        merge_agg_mv_batch(spark, state, part, KEYS, SPEC, i)
+    spec_nosketch = {k: v for k, v in SPEC.items() if v[0] != "ndv"}
+    before = sorted(
+        map(tuple, read_agg_mv(spark, state, KEYS, spec_nosketch).collect())
+    )
+    full_before = sorted(
+        map(tuple, read_agg_mv(spark, state, KEYS, SPEC).drop(*[
+            k for k in SPEC if SPEC[k][0] == "ndv"
+        ]).collect())
+    )
+    compact_agg_mv(spark, state, KEYS, SPEC, keep_last=2)
+    after = sorted(
+        map(tuple, read_agg_mv(spark, state, KEYS, spec_nosketch).collect())
+    )
+    assert before == after
+    # ndv path survives compaction too (sketches re-union)
+    ndv_after = {
+        r["o_orderstatus"]: r["custs"]
+        for r in read_agg_mv(spark, state, KEYS, SPEC).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["c"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("c"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(ndv_after[k] - v) <= max(2, 0.05 * v)
+    # folded contrib dirs removed; only keep_last remain
+    remaining = [
+        d for d in os.listdir(os.path.join(state, "contrib"))
+        if d.startswith("batch=")
+    ]
+    assert len(remaining) == 2
+    # replay of the newest (unfolded) batch stays idempotent post-compaction
+    merge_agg_mv_batch(spark, state, parts[4], KEYS, SPEC, 4)
+    replay = sorted(
+        map(tuple, read_agg_mv(spark, state, KEYS, spec_nosketch).collect())
+    )
+    assert replay == after
+    assert full_before is not None
