@@ -54,6 +54,11 @@ class JoinMVConfig:
     buckets: int = 8
     seq_col: str = "_seq"
     deleted_col: str = "__deleted"
+    # DDL types for dim_cols, positionally.  Needed when a fact batch
+    # arrives before ANY dim state exists: the NULL enrichment must be
+    # typed (parquet cannot store NullType) and must match the type later
+    # dim batches will write into the same view.
+    dim_types: tuple = ()
 
     @property
     def mv_path(self) -> str:
@@ -108,8 +113,9 @@ def _enrich(fact: DataFrame, dim: DataFrame | None, cfg: JoinMVConfig) -> DataFr
     """LEFT-join latest dim payload onto fact rows (dim tombstones -> NULL)."""
     if dim is None:
         out = fact
-        for c in cfg.dim_cols:
-            out = out.withColumn(c, F.lit(None))
+        types = cfg.dim_types or ("string",) * len(cfg.dim_cols)
+        for c, t in zip(cfg.dim_cols, types):
+            out = out.withColumn(c, F.lit(None).cast(t))
         return out
     live = dim.filter(
         F.col(cfg.deleted_col).isNull() | (F.col(cfg.deleted_col) != "true")

@@ -54,7 +54,10 @@ def update_stats_batch(
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
         )
-    row = batch.agg(*aggs)
+    # materialize the 1-row aggregate BEFORE reshaping: the union below has
+    # one branch per column, and without this each branch would re-run the
+    # full batch aggregation (cols x scans instead of 1)
+    row = batch.agg(*aggs).localCheckpoint(eager=True)
     # reshape the single wide row into (col, rows, nulls, sketch) rows
     parts = [
         row.select(

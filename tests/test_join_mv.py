@@ -218,3 +218,20 @@ def test_cdc_wire_e2e(spark, tmp_path):
     view = {r["order_key"]: r for r in read_join_mv(spark, cfg).collect()}
     assert set(view) == {11}  # order 10 deleted
     assert view[11]["c_name"] == "bob"  # orphan healed by later dim insert
+
+
+def test_fact_before_any_dim_state(spark, tmp_path):
+    """A fact batch arriving before ANY dim batch must materialize with
+    typed NULL enrichment (parquet cannot store NullType), and heal once
+    the dim rows arrive."""
+    cfg = _cfg(tmp_path)
+    facts = [(10, 1, 100, 1, None)]
+    merge_join_mv_batch(spark, cfg, fact_delta=_fact(spark, facts))
+    row = read_join_mv(spark, cfg).collect()[0]
+    assert row["c_name"] is None and row["c_tier"] is None
+
+    merge_join_mv_batch(
+        spark, cfg, dim_delta=_dim(spark, [(1, "alice", "gold", 2, None)])
+    )
+    row = read_join_mv(spark, cfg).collect()[0]
+    assert row["c_name"] == "alice" and row["c_tier"] == "gold"
