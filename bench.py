@@ -153,6 +153,7 @@ def main() -> None:
             bench_concurrent_mixed,
             bench_delete_propagation,
             bench_insert_throughput,
+            bench_join_mv,
             bench_update_throughput,
             bench_visible_latency,
         )
@@ -165,6 +166,7 @@ def main() -> None:
                 "update_throughput": bench_update_throughput(spark, root),
                 "delete_propagation": bench_delete_propagation(spark, root),
                 "concurrent_mixed": bench_concurrent_mixed(spark, root, seconds=30),
+                "join_mv_maintenance": bench_join_mv(spark, root),
             }
         finally:
             _sh.rmtree(root, ignore_errors=True)

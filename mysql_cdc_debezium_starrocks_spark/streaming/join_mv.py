@@ -176,11 +176,21 @@ def merge_join_mv_batch(
             _overwrite_buckets(redone, cfg.mv_path)
 
     if fact_delta is not None:
-        latest = latest_by_key(fact_delta, cfg.fact_key, cfg.seq_col)
-        enriched = _enrich(latest, dim_state, cfg).withColumn(
+        latest = latest_by_key(fact_delta, cfg.fact_key, cfg.seq_col).withColumn(
             _BUCKET, _bucket_expr(cfg.fk, cfg.buckets)
         )
-        touched = _touched_buckets(enriched, cfg.fk)
+        touched = _touched_buckets(latest, cfg.fk)
+        # the dim side shares the bucket hash space (same expr over dim_key
+        # as over fk), so the enrichment join only needs the dim buckets
+        # this delta touches — partition-pruned read, O(touched), not O(dim)
+        dim_side = (
+            dim_state.filter(F.col(_BUCKET).isin(touched))
+            if dim_state is not None
+            else None
+        )
+        enriched = _enrich(latest.drop(_BUCKET), dim_side, cfg).withColumn(
+            _BUCKET, _bucket_expr(cfg.fk, cfg.buckets)
+        )
         mv = _read_or_none(spark, cfg.mv_path)
         if mv is not None:
             cur = mv.filter(F.col(_BUCKET).isin(touched))

@@ -336,6 +336,86 @@ def bench_concurrent_mixed(spark, root: str, seconds: int = 30) -> dict:
     }
 
 
+def bench_join_mv(spark, root: str, facts: int = 5000, batches: int = 5) -> dict:
+    """Join-MV maintenance throughput: seed facts+dims, then apply update
+    batches touching both sides; asserts the final enrichment propagated.
+
+    The measured number is end-to-end maintenance events/s for the
+    two-sided delta propagation path (streaming/join_mv.py).
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.join_mv import (
+        JoinMVConfig,
+        merge_join_mv_batch,
+        read_join_mv,
+    )
+
+    cfg = JoinMVConfig(
+        state_dir=_os.path.join(root, "join_mv"),
+        fact_key="order_key",
+        fk="cust_key",
+        dim_key="cust_key",
+        dim_cols=("c_name", "c_tier"),
+        buckets=8,
+    )
+    dims = spark.range(100).select(
+        F.col("id").alias("cust_key"),
+        F.concat(F.lit("c"), F.col("id")).alias("c_name"),
+        F.lit("std").alias("c_tier"),
+        F.col("id").alias("_seq"),
+        F.lit(None).cast("string").alias("__deleted"),
+    )
+    fact = spark.range(facts).select(
+        F.col("id").alias("order_key"),
+        (F.col("id") % 100).alias("cust_key"),
+        (F.col("id") % 900 + 100).alias("amount"),
+        (F.col("id") + 1000).alias("_seq"),
+        F.lit(None).cast("string").alias("__deleted"),
+    )
+    merge_join_mv_batch(spark, cfg, fact_delta=fact, dim_delta=dims)
+
+    per_batch_facts = max(2000, facts // 2)  # amortize the per-batch job floor
+    t0 = time.perf_counter()
+    for b in range(batches):
+        seq0 = 100_000 + b * 10_000
+        fd = spark.range(per_batch_facts).select(
+            (F.col("id") * batches + b).alias("order_key"),
+            ((F.col("id") * batches + b) % 100).alias("cust_key"),
+            F.lit(7).alias("amount"),
+            (F.col("id") + seq0).alias("_seq"),
+            F.lit(None).cast("string").alias("__deleted"),
+        )
+        dd = spark.range(10).select(
+            (F.col("id") + b * 10).alias("cust_key"),
+            F.concat(F.lit("c"), F.col("id") + b * 10).alias("c_name"),
+            F.lit(f"tier{b}").alias("c_tier"),
+            (F.col("id") + seq0 + 9000).alias("_seq"),
+            F.lit(None).cast("string").alias("__deleted"),
+        )
+        merge_join_mv_batch(spark, cfg, fact_delta=fd, dim_delta=dd)
+    secs = time.perf_counter() - t0
+
+    view = read_join_mv(spark, cfg)
+    n = view.count()
+    # dim propagation check: cust 0 was re-tiered in batch 0
+    tier = view.filter(F.col("cust_key") == 0).select("c_tier").distinct().collect()
+    assert [r["c_tier"] for r in tier] == ["tier0"], tier
+    events = batches * (per_batch_facts + 10)
+    return {
+        "seed_facts": facts,
+        "batches": batches,
+        "maintenance_events": events,
+        "seconds": round(secs, 2),
+        "events_per_sec": round(events / secs, 1),
+        "view_rows": n,
+        "asserted": True,
+    }
+
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("bench-cdc")
@@ -356,6 +436,7 @@ def main() -> None:
             "concurrent_mixed": bench_concurrent_mixed(
                 spark, root, seconds=30 if not quick else 5
             ),
+            "join_mv_maintenance": bench_join_mv(spark, root),
         }
         print(json.dumps(result))
     finally:
