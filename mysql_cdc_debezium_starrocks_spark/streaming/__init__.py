@@ -32,6 +32,7 @@ from .materializer import (
     start_cdc_load,
 )
 from .schema_drift import detect_schema_drift, read_drift_log
+from .secondary_index import build_secondary_index, lookup_by_index
 from .table_stats import read_stats, recommend_broadcast, update_stats_batch
 
 __all__ = [
@@ -58,6 +59,8 @@ __all__ = [
     "start_heavy_hitters_load",
     "merge_batch",
     "plan_incremental_snapshot",
+    "build_secondary_index",
+    "lookup_by_index",
     "read_drift_log",
     "read_stats",
     "recommend_broadcast",

@@ -1,0 +1,92 @@
+"""Secondary index over the materialized CDC state: point lookups on
+NON-key columns without scanning the table — the StarRocks secondary/bitmap
+index analog (the PK path is ``materializer.point_lookup``).
+
+The index is a hash-bucketed projection ``(col, pk, pk_bucket)``: a lookup
+prunes to ONE index bucket (partition filter on the indexed value's hash),
+reads the matching pk + pk_bucket pairs, then reads ONLY those state
+buckets and semi-joins on pk.  Cost: O(index/buckets) + O(matching state
+buckets) — both partition-pruned, independent of table width and bucket
+count growth.
+
+Freshness: the index is a derived structure built from the state it
+indexes; rebuild it after merges (cheap: one projection scan, a few
+columns wide, no shuffle except the bucket route) or on a maintenance
+cadence.  ``lookup_by_index`` optionally re-verifies against the live row
+(``verify=True``, default) so a stale index can only MISS rows merged
+since the build, never return deleted/stale values — the standard
+lag-tolerant secondary-index contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .materializer import CdcLoadConfig, _BUCKET_COL, _read_state_raw
+
+_IBUCKET = "_ibucket"
+
+
+def _index_dir(cfg: CdcLoadConfig, col: str) -> str:
+    return os.path.join(cfg.state_dir, "index", col)
+
+
+def build_secondary_index(
+    spark: SparkSession, cfg: CdcLoadConfig, col: str, buckets: int | None = None
+) -> str:
+    """(Re)build the hash-bucketed index projection for ``col``."""
+    raw = _read_state_raw(spark, cfg)
+    if raw is None:
+        raise FileNotFoundError(f"no materialized state under {cfg.state_dir}")
+    n = buckets or cfg.buckets
+    idx = raw.select(
+        F.col(col),
+        F.col(cfg.key),
+        F.col(_BUCKET_COL).alias("pk_bucket"),
+    ).withColumn(_IBUCKET, F.pmod(F.hash(F.col(col)), F.lit(n)).cast("int"))
+    out = _index_dir(cfg, col)
+    (
+        idx.repartition(F.col(_IBUCKET))
+        .write.mode("overwrite")
+        .partitionBy(_IBUCKET)
+        .parquet(out)
+    )
+    return out
+
+
+def lookup_by_index(
+    spark: SparkSession,
+    cfg: CdcLoadConfig,
+    col: str,
+    value,
+    verify: bool = True,
+) -> DataFrame:
+    """Live rows where ``col == value`` via the secondary index.
+
+    Reads one index bucket + only the state buckets holding matches.  With
+    ``verify`` (default) the indexed predicate re-applies on the live row,
+    so a lagging index cannot surface stale values.
+    """
+    idx_path = _index_dir(cfg, col)
+    idx = spark.read.parquet(idx_path)
+    v = F.lit(value).cast(dict(idx.dtypes)[col])
+    n = idx.select(F.max(_IBUCKET)).collect()[0][0] + 1
+    ib = F.pmod(F.hash(v), F.lit(n)).cast("int")
+    hits = idx.filter(F.col(_IBUCKET) == ib).filter(F.col(col) == v)
+    pk_buckets = [
+        r["pk_bucket"] for r in hits.select("pk_bucket").distinct().collect()
+    ]
+    raw = _read_state_raw(spark, cfg)
+    live = (
+        raw.filter(F.col(_BUCKET_COL).isin(pk_buckets))
+        .filter(
+            F.col(cfg.deleted_col).isNull()
+            | (F.col(cfg.deleted_col) != F.lit("true"))
+        )
+        .join(hits.select(cfg.key), cfg.key, "left_semi")
+        .drop(_BUCKET_COL)
+    )
+    return live.filter(F.col(col) == v) if verify else live
