@@ -329,3 +329,39 @@ def pruned_fraction(ranges, lo, hi) -> float:
         if mn is None or mx is None or not (mx < lo or mn > hi)
     )
     return (total - hit) / total
+
+
+def enforce_retention(
+    path: str,
+    partition_col: str,
+    keep_from: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """TTL enforcement by PARTITION DROP: remove every ``col=value``
+    directory whose value sorts below ``keep_from``; returns dropped values.
+
+    At 100 TB, retention as row-level DELETE means rewriting every file;
+    retention on a partitioned layout is metadata-only — whole directories
+    unlink, zero data IO, and concurrent readers that already planned
+    their scan just read fewer dirs.  This is why time-series facts
+    partition on the retention column (``write_partitioned``).
+
+    Values compare as strings (partition dir names are strings); zero-pad
+    or ISO-format the partition values at write time — date strings like
+    ``2024-01-31`` order correctly as-is.  A value equal to ``keep_from``
+    is KEPT (half-open window).
+    """
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    dropped = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(prefix) or not os.path.isdir(os.path.join(path, d)):
+            continue
+        value = d[len(prefix):]
+        if value < keep_from:
+            dropped.append(value)
+            if not dry_run:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return dropped

@@ -78,3 +78,35 @@ def test_clustered_write_preserves_data(spark, orders, tmp_path):
     a = orders.agg(F.sum("o_orderkey"), F.sum(F.hash("o_orderstatus"))).collect()
     b = back.agg(F.sum("o_orderkey"), F.sum(F.hash("o_orderstatus"))).collect()
     assert a == b
+
+
+def test_retention_drops_only_old_partitions(spark, orders, tmp_path):
+    """TTL = partition drop: old day dirs unlink, newer data byte-identical."""
+    import os
+
+    from mysql_cdc_debezium_starrocks_spark.storage import (
+        enforce_retention,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events_by_day")
+    df = orders.withColumn("day", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    write_partitioned(df, path, ["day"])
+    days = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    assert len(days) > 3
+    cutoff = days[len(days) // 2]
+
+    preview = enforce_retention(path, "day", cutoff, dry_run=True)
+    assert preview == [d for d in days if d < cutoff]
+    assert sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("day=")
+    ) == days  # dry run touched nothing
+
+    dropped = enforce_retention(path, "day", cutoff)
+    assert dropped == preview
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("day") < cutoff).count() == 0
+    expected = df.filter(F.col("day") >= cutoff).count()
+    assert back.count() == expected
