@@ -17,7 +17,15 @@ entire query surface Spark-first:
                    operators and their DuckDB oracles.
 - ``sources``    : batch/stream readers for parquet fixtures, JSON event
                    dirs, Kafka, and the rate-driven synthesizer.
-- ``plans``      : plan-inspection helpers (explain, shuffle audit).
+- ``plans``      : plan-inspection helpers (explain, shuffle audit) and the
+                   ``plans.advisor.advise`` anti-pattern linter.
+- ``storage``    : physical-layout tools — bucketed/partitioned/z-order
+                   clustered writes, salted joins, compaction, retention.
+- ``pipeline``   : ``CorpusPipeline``, the fluent curation facade.
+
+Round-2 streaming additions: incremental join MV (``streaming.join_mv``),
+generic aggregate MV (``streaming.agg_mv``), heavy hitters, ANN-at-ingest,
+table statistics, state audit, secondary indexes — see COVERAGE.md.
 """
 
 __version__ = "0.1.0"
