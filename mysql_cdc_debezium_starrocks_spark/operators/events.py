@@ -229,8 +229,8 @@ ORACLE = {
                sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
                min(CAST(value AS DECIMAL(18,2))) AS min_value,
                max(CAST(value AS DECIMAL(18,2))) AS max_value,
-               CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                          / count(*), 4) AS DECIMAL(18,4)) AS avg_value
+               (2 * CAST(sum(CAST(value AS DECIMAL(18,2))) * 10000 AS BIGINT)
+                  + count(*)) // (2 * count(*)) AS avg_value_e4
         FROM events GROUP BY 1, 2
     """,
 
@@ -373,12 +373,19 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mn").alias("min_value"),
         F.max("mx").alias("max_value"),
     )
-    avg = F.round(
-        F.col("sum_value").cast("double") / F.col("n_events"), 4
-    ).cast("decimal(18,4)")
+    # avg at fixed-point 1e-4 by PURE INTEGER arithmetic: round-half-up of
+    # sum*10^4/n as (2a + n) div (2n).  Float division + round() is a
+    # cross-engine hazard exactly at .xxxx5 boundaries (DuckDB rounds
+    # x*10^4 after a lossy multiply, the JVM rounds the exact binary
+    # expansion — they disagree; observed live at sf0.001), while integer
+    # division is bit-identical everywhere.  sum is DECIMAL(18,2) so
+    # sum*10000 is integral and exact.
+    avg_e4 = F.expr(
+        "(2 * CAST(sum_value * 10000 AS BIGINT) + n_events) div (2 * n_events)"
+    )
     return day.select(
         "day", "event_type", "n_events", "sum_value", "min_value", "max_value",
-        avg.alias("avg_value"),
+        avg_e4.alias("avg_value_e4"),
     )
 
 
