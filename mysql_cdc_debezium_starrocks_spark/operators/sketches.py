@@ -23,6 +23,11 @@ the sketch math itself, not just row counts:
   (``approx_count_distinct``) side-by-side with the exact count.  Its value
   is implementation-defined, so it has NO SQL oracle (rows-only check);
   tests/test_sketches.py asserts the documented relative-error bound.
+- ``sketch_theta_intersect``: Theta-sketch set algebra (Dasgupta et al.,
+  "Theta-Sketch Framework", 2016): KMV samples of two keyed sets combined
+  under theta = min(theta_a, theta_b) to estimate intersection / union /
+  Jaccard — the sketch answer to "how much do these two sources overlap"
+  that HLL fundamentally cannot give (HLL unions but never intersects).
 
 Scale: every sketch build is groupBy over a bounded key space (k rows per
 group / d*w cells / m bits) with map-side partial aggregation; probes join
@@ -45,6 +50,8 @@ from ..catalog import load
 from ..functions import phash32, phash32_sql
 
 KMV_K = 32
+THETA_K = 32
+THETA_TYPES = ("click", "purchase")
 CMS_DEPTH = 3
 CMS_WIDTH = 256
 BLOOM_BITS = 4096
@@ -181,6 +188,127 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection of the 'click' and 'purchase' user sets.
+
+    KMV sample per set (k smallest hashes; theta_S = h_(k), or 2^32 when the
+    set is smaller than k and the sketch is exact), combined under
+    theta = min(theta_a, theta_b): every retained hash below theta is a
+    uniform sample of the key space, so |sample ∩| * 2^32 / theta estimates
+    the true intersection — the set-algebra capability HLL lacks.  Emitted
+    next to the exact counts so the driver oracle checks the sketch math
+    end-to-end.
+
+    Scale: two bounded-state aggregations (k rows per set via
+    WindowGroupLimit, then a <=2k-row hash-membership reduction); the exact
+    side is one distinct + partial-agg pass.  The estimate never touches
+    raw user ids after the first projection — at 100 TB the shuffle carries
+    8-byte hashes, and the sketches themselves are mergeable across
+    partitions/days (union = keep k smallest of the concatenation).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*THETA_TYPES))
+    dpairs = e.select("event_type", "user_id").distinct()
+    pairs = dpairs.select(
+        "event_type", phash32(F.col("user_id"), "theta").alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= THETA_K
+    )
+    th = topk.groupBy("event_type").agg(
+        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_actual")
+    )
+    thg = th.select(
+        F.when(F.col("k_actual") < THETA_K, F.lit(int(_TWO32)))
+        .otherwise(F.col("h_k"))
+        .alias("theta")
+    ).agg(F.min("theta").alias("theta"))
+    sample = topk.crossJoin(F.broadcast(thg)).filter(F.col("h") < F.col("theta"))
+    est = (
+        sample.groupBy("h")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_union_s"),
+            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("n_inter_s"),
+        )
+    )
+    exact = (
+        dpairs.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_union_exact"),
+            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("n_inter_exact"),
+        )
+    )
+    ab = pairs.agg(
+        F.sum(F.when(F.col("event_type") == THETA_TYPES[0], 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("event_type") == THETA_TYPES[1], 1).otherwise(0)).alias("n_b"),
+    )
+    scale = _TWO32 / F.col("theta")
+    return (
+        ab.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(thg))
+        .select(
+            "n_a",
+            "n_b",
+            "n_inter_exact",
+            "n_union_exact",
+            F.round(F.col("n_inter_s").cast("double") * scale, 2)
+            .cast("decimal(14,2)")
+            .alias("inter_est"),
+            F.round(F.col("n_union_s").cast("double") * scale, 2)
+            .cast("decimal(14,2)")
+            .alias("union_est"),
+            F.round(
+                F.col("n_inter_s").cast("double") / F.col("n_union_s"), 6
+            )
+            .cast("decimal(9,6)")
+            .alias("jaccard_est"),
+        )
+    )
+
+
+_THETA_TYPES_SQL = ", ".join(f"'{t}'" for t in THETA_TYPES)
+
+_THETA_ORACLE = f"""
+WITH dpairs AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ({_THETA_TYPES_SQL})),
+pairs AS (
+  SELECT event_type, {phash32_sql("user_id::VARCHAR", "theta")} AS h FROM dpairs),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM pairs),
+topk AS (SELECT event_type, h FROM ranked WHERE rk <= {THETA_K}),
+th AS (
+  SELECT event_type,
+         CASE WHEN count(*) < {THETA_K} THEN {int(_TWO32)} ELSE max(h) END AS theta
+  FROM topk GROUP BY event_type),
+thg AS (SELECT min(theta) AS theta FROM th),
+sample AS (
+  SELECT t.event_type, t.h FROM topk t CROSS JOIN thg WHERE t.h < thg.theta),
+est AS (
+  SELECT count(*) AS n_union_s,
+         sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS n_inter_s
+  FROM (SELECT h, count(DISTINCT event_type) AS nt FROM sample GROUP BY h) b),
+exact AS (
+  SELECT count(*) AS n_union_exact,
+         sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS n_inter_exact
+  FROM (SELECT user_id, count(DISTINCT event_type) AS nt FROM dpairs GROUP BY user_id) u),
+ab AS (
+  SELECT sum(CASE WHEN event_type = '{THETA_TYPES[0]}' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN event_type = '{THETA_TYPES[1]}' THEN 1 ELSE 0 END) AS n_b
+  FROM pairs)
+SELECT n_a, n_b, n_inter_exact, n_union_exact,
+       CAST(round(n_inter_s::DOUBLE * ({_TWO32:.1f} / theta), 2) AS DECIMAL(14,2)) AS inter_est,
+       CAST(round(n_union_s::DOUBLE * ({_TWO32:.1f} / theta), 2) AS DECIMAL(14,2)) AS union_est,
+       CAST(round(n_inter_s::DOUBLE / n_union_s, 6) AS DECIMAL(9,6)) AS jaccard_est
+FROM ab CROSS JOIN exact CROSS JOIN est CROSS JOIN thg
+"""
+
+
 _KMV_ORACLE = f"""
 WITH pairs AS (
   SELECT DISTINCT event_type, {phash32_sql("user_id::VARCHAR", "kmv")} AS h
@@ -248,11 +376,13 @@ QUERIES = {
     "sketch_cms_heavy": sketch_cms_heavy,
     "sketch_bloom_semijoin": sketch_bloom_semijoin,
     "sketch_approx_distinct": sketch_approx_distinct,
+    "sketch_theta_intersect": sketch_theta_intersect,
 }
 
 ORACLE = {
     "sketch_kmv_distinct": _KMV_ORACLE,
     "sketch_cms_heavy": _CMS_ORACLE,
     "sketch_bloom_semijoin": _BLOOM_ORACLE,
+    "sketch_theta_intersect": _THETA_ORACLE,
     # sketch_approx_distinct: intentionally no oracle (HLL is engine-specific)
 }

@@ -203,6 +203,51 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document — the CCNet-style quality filter
+    (Wenzek et al. 2020): score each doc by the average negative
+    log-likelihood of its tokens under a language model estimated from the
+    corpus itself; high-perplexity docs are the word-soup outliers a
+    pretraining pipeline drops.
+
+    Bit-reproducibility across engines: a per-doc SUM of doubles is
+    order-dependent, so per-term log-probs are integer-quantized first
+    (round(ln(cnt/N) * 1e6) as BIGINT — the same trick ml_logreg uses) and
+    the per-doc reduction is exact integer arithmetic; floats reappear only
+    in the final per-row division.
+
+    Scale: one explode -> (doc, term) partial-agg'd tf; the vocab table and
+    the 1-row token total reduce from it (no second pass over text); the
+    tf⋈vocab join shuffles |distinct (doc,term)| rows, with AQE free to
+    broadcast the vocab side when it is small.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_tokens"))
+    lq = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("n_tokens")) * 1e6
+    ).cast("long")
+    per_doc = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "tf", lq.alias("lq"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("lq")).alias("sum_lq"),
+            F.sum("tf").alias("n_tok"),
+        )
+    )
+    nll = -F.col("sum_lq").cast("double") / (F.col("n_tok") * 1e6)
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        F.round(nll, 4).cast("decimal(10,4)").alias("nll"),
+        F.round(F.exp(nll), 2).cast("decimal(14,2)").alias("ppl"),
+    )
+
+
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list construction: term -> sorted doc ids, for terms appearing
     in >= 5 documents.  Lists are emitted as comma-joined strings so the
@@ -600,4 +645,24 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_tfidf_topk": text_tfidf_topk,
     "text_inverted_index": text_inverted_index,
+    "text_perplexity": text_perplexity,
 }
+
+ORACLE["text_perplexity"] = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_W}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+total AS (SELECT sum(cnt) AS n_tokens FROM vocab),
+scored AS (
+  SELECT doc_id, tf,
+         CAST(round(ln(cnt::DOUBLE / n_tokens) * 1000000) AS BIGINT) AS lq
+  FROM tf JOIN vocab USING (term) CROSS JOIN total),
+per_doc AS (
+  SELECT doc_id, sum(tf * lq) AS sum_lq, sum(tf) AS n_tok
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_tok,
+       CAST(round(-(sum_lq::DOUBLE) / (n_tok * 1000000.0), 4) AS DECIMAL(10,4)) AS nll,
+       CAST(round(exp(-(sum_lq::DOUBLE) / (n_tok * 1000000.0)), 2) AS DECIMAL(14,2)) AS ppl
+FROM per_doc
+"""

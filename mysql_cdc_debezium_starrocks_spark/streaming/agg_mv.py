@@ -7,10 +7,14 @@ The classical split (Gray et al., data-cube taxonomy): an aggregate is
 incrementally maintainable iff its partial state merges associatively —
   count/sum  -> add        min/max -> min/max
   avg        -> (sum, count) pair  ndv     -> HLL sketch union
-Holistic aggregates (exact median/percentile) have no bounded mergeable
+  hist       -> fixed-width bin counts (element-wise add)
+Holistic aggregates (EXACT median/percentile) have no bounded mergeable
 state; ask for one and this module refuses loudly rather than silently
-recomputing (the quantile answer at scale is the histogram/KLL sketch —
-``hist_quantile_bins``).
+recomputing — the scale answer is the ``hist`` aggregate below: a
+fixed-width histogram sketch whose partial state is B counters per group
+(mergeable by element-wise sum), finalized at read time into p50/p95/p99
+bin-midpoint estimates with error bounded by half a bin width (the same
+mergeable-quantile formulation as the batch ``hist_quantile_bins`` query).
 
 Per micro-batch: ONE partial aggregation of the batch (map-side combined),
 written under ``contrib/batch=<id>`` (batch-keyed overwrite — replay
@@ -19,7 +23,9 @@ merge all contributions with the same associative functions — O(groups x
 batches) rows, compactable exactly like rollup baselines.  No shared state
 is ever read on the write path, so batch cost is O(batch), never O(view).
 
-Spec: ``{"out_col": ("fn", "in_col")}`` with fn in COUNT/SUM/MIN/MAX/AVG/NDV.
+Spec: ``{"out_col": ("fn", "in_col")}`` with fn in COUNT/SUM/MIN/MAX/AVG/NDV,
+plus ``("hist", col, lo, hi, nbins)`` for the quantile sketch (values outside
+[lo, hi) clamp to the edge bins, so totals are conserved).
 """
 
 from __future__ import annotations
@@ -36,7 +42,8 @@ _CONTRIB = "contrib"
 _BASELINE = "baseline"
 _FOLDED = "_FOLDED"
 _COMMITTED = "_COMMITTED"
-MERGEABLE = ("count", "sum", "min", "max", "avg", "ndv")
+MERGEABLE = ("count", "sum", "min", "max", "avg", "ndv", "hist")
+_HIST_MAX_BINS = 512
 
 
 def _check_spec(spec: dict) -> None:
@@ -44,9 +51,56 @@ def _check_spec(spec: dict) -> None:
     if bad:
         raise ValueError(
             f"non-mergeable aggregates {bad}: holistic functions (median, "
-            f"exact percentile, mode) have no bounded partial state — use a "
-            f"sketch (hist_quantile_bins / KLL) instead"
+            f"exact percentile, mode) have no bounded partial state — use "
+            f"the ('hist', col, lo, hi, nbins) quantile sketch instead"
         )
+    for k, v in spec.items():
+        if v[0] == "hist":
+            if len(v) != 5:
+                raise ValueError(
+                    f"hist spec {k!r} must be ('hist', col, lo, hi, nbins)"
+                )
+            _fn, _col, lo, hi, nbins = v
+            if not (lo < hi) or not (2 <= int(nbins) <= _HIST_MAX_BINS):
+                raise ValueError(
+                    f"hist spec {k!r}: need lo < hi and 2 <= nbins <= "
+                    f"{_HIST_MAX_BINS}, got lo={lo} hi={hi} nbins={nbins}"
+                )
+
+
+def _hist_bin(col: str, lo: float, hi: float, nbins: int):
+    """Clamped fixed-width bin index; NULL inputs stay NULL (not counted)."""
+    w = (hi - lo) / nbins
+    idx = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(w)).cast("int")
+    return F.least(F.greatest(idx, F.lit(0)), F.lit(nbins - 1))
+
+
+def _hist_quantile(arr, total, q: float, lo: float, w: float, nbins: int):
+    """Bin-midpoint quantile estimate from a merged count array — a bounded
+    HOF fold over nbins elements per OUTPUT row (not per input row)."""
+    target = F.ceil(total.cast("double") * F.lit(q))
+    zipped = F.zip_with(
+        arr,
+        F.sequence(F.lit(0), F.lit(nbins - 1)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    st = F.aggregate(
+        zipped,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(-1).alias("idx")
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(
+                (acc["idx"] < 0) & ((acc["cum"] + x["c"]) >= target), x["i"]
+            )
+            .otherwise(acc["idx"])
+            .alias("idx"),
+        ),
+    )
+    return F.when(total == 0, F.lit(None).cast("double")).otherwise(
+        F.lit(float(lo)) + (st["idx"].cast("double") + 0.5) * F.lit(w)
+    )
 
 
 def _batch_ids(state_dir: str) -> list[int]:
@@ -62,8 +116,18 @@ def _batch_ids(state_dir: str) -> list[int]:
 
 def _partial_aggs(spec: dict) -> list:
     out = []
-    for name, (fn, col) in spec.items():
-        if fn == "count":
+    for name, entry in spec.items():
+        fn, col = entry[0], entry[1]
+        if fn == "hist":
+            _fn, _col, lo, hi, nbins = entry
+            b = _hist_bin(col, lo, hi, int(nbins))
+            out.extend(
+                F.sum(F.when(b == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"{name}__h{i}")
+                for i in range(int(nbins))
+            )
+        elif fn == "count":
             out.append(F.count(F.lit(1)).alias(f"{name}__cnt"))
         elif fn == "sum":
             out.append(F.sum(col).alias(f"{name}__sum"))
@@ -83,8 +147,31 @@ def _partial_aggs(spec: dict) -> list:
 
 def _merge_aggs(spec: dict) -> list:
     out = []
-    for name, (fn, _col) in spec.items():
-        if fn == "count":
+    for name, entry in spec.items():
+        fn = entry[0]
+        if fn == "hist":
+            _fn, _col, lo, hi, nbins = entry
+            nbins = int(nbins)
+            w = (hi - lo) / nbins
+            arr = F.array(
+                *[
+                    F.coalesce(F.sum(f"{name}__h{i}"), F.lit(0))
+                    .cast("long")
+                    for i in range(nbins)
+                ]
+            )
+            total = F.aggregate(
+                arr, F.lit(0).cast("long"), lambda a, x: a + x
+            )
+            out.append(
+                F.struct(
+                    total.alias("n"),
+                    _hist_quantile(arr, total, 0.5, lo, w, nbins).alias("p50"),
+                    _hist_quantile(arr, total, 0.95, lo, w, nbins).alias("p95"),
+                    _hist_quantile(arr, total, 0.99, lo, w, nbins).alias("p99"),
+                ).alias(name)
+            )
+        elif fn == "count":
             out.append(F.sum(f"{name}__cnt").alias(name))
         elif fn == "sum":
             out.append(F.sum(f"{name}__sum").alias(name))
@@ -107,8 +194,17 @@ def _refold_aggs(spec: dict) -> list:
     """Merge partials INTO partials (for baseline compaction): same
     associative functions, partial-shaped output columns."""
     out = []
-    for name, (fn, _col) in spec.items():
-        if fn in ("count",):
+    for name, entry in spec.items():
+        fn = entry[0]
+        if fn == "hist":
+            nbins = int(entry[4])
+            out.extend(
+                F.coalesce(F.sum(f"{name}__h{i}"), F.lit(0))
+                .cast("long")
+                .alias(f"{name}__h{i}")
+                for i in range(nbins)
+            )
+        elif fn in ("count",):
             out.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
         elif fn == "sum":
             out.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))

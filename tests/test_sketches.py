@@ -11,10 +11,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mysql_cdc_debezium_starrocks_spark.operators.sketches import (
+    THETA_K,
     sketch_approx_distinct,
     sketch_bloom_semijoin,
     sketch_cms_heavy,
     sketch_kmv_distinct,
+    sketch_theta_intersect,
 )
 from tests.conftest import SF_SMOKE
 
@@ -49,6 +51,38 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         rel = abs(r.n_approx - r.n_exact) / r.n_exact
         assert rel < 0.05, (r.event_type, r.n_exact, r.n_approx)
+
+
+def test_theta_exact_below_k(spark):
+    """Sets smaller than k degrade gracefully to EXACT answers (theta=2^32
+    keeps every hash), so the sketch is safe to use unconditionally."""
+    r = sketch_theta_intersect(spark, SF_SMOKE).collect()[0]
+    assert r.n_a < THETA_K and r.n_b < THETA_K
+    assert float(r.inter_est) == r.n_inter_exact
+    assert float(r.union_est) == r.n_union_exact
+
+
+def test_theta_estimate_within_reason(spark):
+    """At sf0.01 both sets exceed k, so the true sampled path runs; KMV with
+    k=32 carries ~1/sqrt(k-2) ~ 18% standard error — allow 3 sigma."""
+    r = sketch_theta_intersect(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.n_a > THETA_K and r.n_b > THETA_K
+    for est, exact in ((r.inter_est, r.n_inter_exact), (r.union_est, r.n_union_exact)):
+        assert abs(float(est) - exact) / exact < 0.55, (est, exact)
+    assert 0 <= float(r.jaccard_est) <= 1
+
+
+def test_perplexity_bounds(spark):
+    """Unigram-MLE perplexity invariants: every per-token probability is in
+    (0, 1], so nll >= 0 and 1 <= ppl <= N (the singleton-token worst case)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import text_perplexity
+
+    rows = text_perplexity(spark, SF_SMOKE).collect()
+    assert rows
+    n_total = sum(r.n_tok for r in rows)
+    for r in rows:
+        assert float(r.nll) >= 0
+        assert 1 <= float(r.ppl) <= n_total
 
 
 def test_scd2_intervals_partition_history(spark):
