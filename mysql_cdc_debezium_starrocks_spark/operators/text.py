@@ -211,35 +211,47 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining pipeline drops.
 
     Bit-reproducibility across engines: a per-doc SUM of doubles is
-    order-dependent, so per-term log-probs are integer-quantized first
-    (round(ln(cnt/N) * 1e6) as BIGINT — the same trick ml_logreg uses) and
-    the per-doc reduction is exact integer arithmetic; floats reappear only
-    in the final per-row division.
+    order-dependent, so per-term log-counts are integer-quantized first
+    (round(ln(cnt) * 1e6) as BIGINT — the same trick ml_logreg uses) and the
+    per-doc reduction is exact integer arithmetic; floats reappear only in
+    the final per-row division.  The corpus total enters through the
+    decomposition ln(cnt/N) = ln(cnt) - ln(N), so
+    nll = (n_tok*qN - sum(tf*q1)) / (n_tok*1e6) with qN = round(ln(N)*1e6).
 
-    Scale: one explode -> (doc, term) partial-agg'd tf; the vocab table and
-    the 1-row token total reduce from it (no second pass over text); the
-    tf⋈vocab join shuffles |distinct (doc,term)| rows, with AQE free to
-    broadcast the vocab side when it is small.
+    Scale: exactly TWO scans of documents — Catalyst cannot share the
+    diverging tf / vocab subplans (a naive three-branch formulation re-scans
+    for the 1-row token total as well; verified via .explain), so N is
+    computed INSIDE the vocab branch with an un-ordered global window over
+    the aggregated |vocab| rows (single pass, no sort, and the single
+    partition holds only the vocabulary, never the corpus).  The scoring
+    join shuffles |distinct (doc,term)| rows, with AQE free to broadcast
+    the vocab side when it is small.
     """
     d = load_spread(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("n_tokens"))
-    lq = F.round(
-        F.log(F.col("cnt").cast("double") / F.col("n_tokens")) * 1e6
-    ).cast("long")
+    from pyspark.sql.window import Window
+
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("n_tokens", F.sum("cnt").over(Window.partitionBy()))
+    )
+    q1 = F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast("long")
+    qn = F.round(F.log(F.col("n_tokens").cast("double")) * 1e6).cast("long")
     per_doc = (
         tf.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", "tf", lq.alias("lq"))
+        .select("doc_id", "tf", q1.alias("q1"), qn.alias("qn"))
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("tf") * F.col("lq")).alias("sum_lq"),
+            F.sum(F.col("tf") * F.col("q1")).alias("sum_q1"),
             F.sum("tf").alias("n_tok"),
+            F.max("qn").alias("qn"),
         )
     )
-    nll = -F.col("sum_lq").cast("double") / (F.col("n_tok") * 1e6)
+    nll = (
+        F.col("n_tok") * F.col("qn") - F.col("sum_q1")
+    ).cast("double") / (F.col("n_tok") * 1e6)
     return per_doc.select(
         "doc_id",
         "n_tok",
@@ -652,17 +664,19 @@ ORACLE["text_perplexity"] = f"""
 WITH terms AS (
   SELECT doc_id, unnest({_W}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
-vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
-total AS (SELECT sum(cnt) AS n_tokens FROM vocab),
+vocab AS (
+  SELECT term, cnt, sum(cnt) OVER () AS n_tokens
+  FROM (SELECT term, count(*) AS cnt FROM terms GROUP BY term) v),
 scored AS (
   SELECT doc_id, tf,
-         CAST(round(ln(cnt::DOUBLE / n_tokens) * 1000000) AS BIGINT) AS lq
-  FROM tf JOIN vocab USING (term) CROSS JOIN total),
+         CAST(round(ln(cnt::DOUBLE) * 1000000) AS BIGINT) AS q1,
+         CAST(round(ln(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS qn
+  FROM tf JOIN vocab USING (term)),
 per_doc AS (
-  SELECT doc_id, sum(tf * lq) AS sum_lq, sum(tf) AS n_tok
+  SELECT doc_id, sum(tf * q1) AS sum_q1, sum(tf) AS n_tok, max(qn) AS qn
   FROM scored GROUP BY doc_id)
 SELECT doc_id, n_tok,
-       CAST(round(-(sum_lq::DOUBLE) / (n_tok * 1000000.0), 4) AS DECIMAL(10,4)) AS nll,
-       CAST(round(exp(-(sum_lq::DOUBLE) / (n_tok * 1000000.0)), 2) AS DECIMAL(14,2)) AS ppl
+       CAST(round((n_tok * qn - sum_q1)::DOUBLE / (n_tok * 1000000.0), 4) AS DECIMAL(10,4)) AS nll,
+       CAST(round(exp((n_tok * qn - sum_q1)::DOUBLE / (n_tok * 1000000.0)), 2) AS DECIMAL(14,2)) AS ppl
 FROM per_doc
 """
