@@ -79,6 +79,14 @@ def shuffle_count(plan: str) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
+def scan_count(plan: str) -> int:
+    """Number of parquet scans — each extra one is a full re-read of a
+    source at 100 TB, the cost Catalyst's no-subplan-sharing can silently
+    multiply when one DataFrame lineage is referenced from several
+    branches."""
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
 def codegen_stages(df: DataFrame) -> int:
     """Whole-stage-codegen subtree count; more fused stages = fewer
     interpreted rows.  Takes the DataFrame (codegen info is not in the

@@ -248,6 +248,34 @@ def test_logreg_gradient_is_one_partial_agg(spark):
     assert not has_cartesian(p)
 
 
+def test_perplexity_two_scans_and_partial_aggs(spark):
+    """text_perplexity must stay at TWO corpus scans: the tf and vocab
+    branches (Catalyst can't share them), with the corpus total folded into
+    the vocab branch — a third scan for the 1-row total is the regression
+    this pins down.  Both aggregations must partial-agg map-side."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import text_perplexity
+    from mysql_cdc_debezium_starrocks_spark.plans import scan_count
+
+    p = plan_of(text_perplexity(spark, SF_SMOKE))
+    assert scan_count(p) == 2, f"expected 2 document scans, plan:\n{p[:2000]}"
+    assert partial_aggregates(p)
+    assert not has_cartesian(p)
+
+
+def test_theta_sketch_bounded_state(spark):
+    """The theta intersection moves only hashes after the first projection
+    (no raw user ids through the sketch shuffles) and keeps map-side
+    partials on the distinct-pair reduction; the only nested-loop joins are
+    1-row scalar broadcasts."""
+    from mysql_cdc_debezium_starrocks_spark.operators.sketches import (
+        sketch_theta_intersect,
+    )
+
+    p = plan_of(sketch_theta_intersect(spark, SF_SMOKE))
+    assert partial_aggregates(p)
+    assert not has_cartesian(p)
+
+
 def test_advisor_flags_antipatterns(spark):
     """The plan linter catches a deliberate cartesian + row-Python-UDF plan
     and passes the engine's own clean scan-agg."""

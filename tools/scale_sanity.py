@@ -44,6 +44,8 @@ CASES = {
     "merge_upsert_orders": ("operators.merge_ops", ["orders"]),
     "dedup_semantic": ("operators.similarity", ["embeddings"]),
     "emb_pq_codes": ("operators.similarity", ["embeddings"]),
+    "text_perplexity": ("operators.text", ["documents"]),
+    "sketch_theta_intersect": ("operators.sketches", ["events"]),
 }
 
 
