@@ -102,6 +102,15 @@ HEADLINE = [
         "log, then the same partial-agg max_by LWW replay as the live "
         "apply — one keyed shuffle.",
     ),
+    (
+        "text_perplexity",
+        "Unigram-LM scoring: exactly TWO corpus scans (tf and vocab — "
+        "Catalyst cannot share diverging branches; the corpus total folds "
+        "into the vocab branch via ln(cnt/N) = ln(cnt) - ln(N) and an "
+        "un-ordered global window over the vocabulary rows), "
+        "integer-quantized log-probs so the per-doc sum partial-aggs "
+        "exactly.",
+    ),
 ]
 
 
