@@ -188,49 +188,109 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch intersection of the 'click' and 'purchase' user sets.
+def _theta_from_hashes(pairs: DataFrame, set_col: str, k: int) -> DataFrame:
+    """Sketch rows from (set, h) pairs: the k smallest hashes per set, each
+    row carrying the set's theta (h_(k), or 2^32 for sets smaller than k —
+    those sketches are exact).  WindowGroupLimit keeps k rows per set per
+    partition before the shuffle, so sketch construction state is bounded."""
+    w = Window.partitionBy(set_col).orderBy("h")
+    topk = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    th = topk.groupBy(set_col).agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(int(_TWO32)))
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    return topk.join(th, set_col)
 
-    KMV sample per set (k smallest hashes; theta_S = h_(k), or 2^32 when the
-    set is smaller than k and the sketch is exact), combined under
+
+def theta_sketch(
+    df: DataFrame, set_col: str, item_col: str, k: int = THETA_K,
+    seed: str = "theta",
+) -> DataFrame:
+    """Build per-set KMV/theta sketches over ``item_col`` grouped by
+    ``set_col`` — the reusable form: persist the (set, h, theta) table once,
+    then answer any pairwise overlap question from k-row state.  Hashing is
+    the deterministic portable family, so sketches built on different
+    clusters/engines are bit-identical and mergeable."""
+    pairs = (
+        df.select(set_col, item_col)
+        .distinct()
+        .select(set_col, phash32(F.col(item_col), seed).alias("h"))
+    )
+    return _theta_from_hashes(pairs, set_col, k)
+
+
+def theta_merge(sketches: DataFrame, set_col: str, k: int = THETA_K) -> DataFrame:
+    """Merge per-chunk sketches of the same logical sets (e.g. one sketch
+    per day/partition): the k smallest distinct hashes of the concatenation
+    ARE the sketch of the union (KMV mergeability), so incremental
+    maintenance never rescans history.  Exactness is preserved: tests assert
+    merge(sketch(chunk_i)) == sketch(union of chunks) bit-for-bit."""
+    return _theta_from_hashes(
+        sketches.select(set_col, "h").distinct(), set_col, k
+    )
+
+
+def theta_combine(sketch: DataFrame, set_col: str) -> DataFrame:
+    """Combine a sketch table holding EXACTLY TWO sets under
     theta = min(theta_a, theta_b): every retained hash below theta is a
     uniform sample of the key space, so |sample ∩| * 2^32 / theta estimates
-    the true intersection — the set-algebra capability HLL lacks.  Emitted
-    next to the exact counts so the driver oracle checks the sketch math
-    end-to-end.
+    the true intersection — the set-algebra capability HLL lacks.  Returns
+    one row: theta, sample counts, inter/union/Jaccard estimates."""
+    thg = (
+        sketch.groupBy(set_col)
+        .agg(F.first("theta").alias("t"))
+        .agg(F.min("t").alias("theta_g"))
+    )
+    sample = sketch.crossJoin(F.broadcast(thg)).filter(
+        F.col("h") < F.col("theta_g")
+    )
+    est = (
+        sample.groupBy("h")
+        .agg(F.countDistinct(set_col).alias("nt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_union_s"),
+            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("n_inter_s"),
+        )
+    )
+    scale = _TWO32 / F.col("theta_g")
+    return est.crossJoin(F.broadcast(thg)).select(
+        F.col("theta_g").alias("theta"),
+        "n_union_s",
+        "n_inter_s",
+        F.round(F.col("n_inter_s").cast("double") * scale, 2)
+        .cast("decimal(14,2)")
+        .alias("inter_est"),
+        F.round(F.col("n_union_s").cast("double") * scale, 2)
+        .cast("decimal(14,2)")
+        .alias("union_est"),
+        F.round(F.col("n_inter_s").cast("double") / F.col("n_union_s"), 6)
+        .cast("decimal(9,6)")
+        .alias("jaccard_est"),
+    )
+
+
+def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection of the 'click' and 'purchase' user sets,
+    emitted next to the exact counts so the driver oracle checks the sketch
+    math end-to-end (see :func:`theta_sketch` / :func:`theta_combine` for
+    the reusable API this query drives).
 
     Scale: two bounded-state aggregations (k rows per set via
     WindowGroupLimit, then a <=2k-row hash-membership reduction); the exact
     side is one distinct + partial-agg pass.  The estimate never touches
     raw user ids after the first projection — at 100 TB the shuffle carries
     8-byte hashes, and the sketches themselves are mergeable across
-    partitions/days (union = keep k smallest of the concatenation).
+    partitions/days (:func:`theta_merge`).
     """
     e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*THETA_TYPES))
     dpairs = e.select("event_type", "user_id").distinct()
-    pairs = dpairs.select(
-        "event_type", phash32(F.col("user_id"), "theta").alias("h")
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    topk = pairs.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= THETA_K
-    )
-    th = topk.groupBy("event_type").agg(
-        F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_actual")
-    )
-    thg = th.select(
-        F.when(F.col("k_actual") < THETA_K, F.lit(int(_TWO32)))
-        .otherwise(F.col("h_k"))
-        .alias("theta")
-    ).agg(F.min("theta").alias("theta"))
-    sample = topk.crossJoin(F.broadcast(thg)).filter(F.col("h") < F.col("theta"))
-    est = (
-        sample.groupBy("h")
-        .agg(F.countDistinct("event_type").alias("nt"))
-        .agg(
-            F.count(F.lit(1)).alias("n_union_s"),
-            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("n_inter_s"),
-        )
+    combined = theta_combine(
+        theta_sketch(e, "event_type", "user_id"), "event_type"
     )
     exact = (
         dpairs.groupBy("user_id")
@@ -240,31 +300,21 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("n_inter_exact"),
         )
     )
-    ab = pairs.agg(
+    ab = dpairs.agg(
         F.sum(F.when(F.col("event_type") == THETA_TYPES[0], 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("event_type") == THETA_TYPES[1], 1).otherwise(0)).alias("n_b"),
     )
-    scale = _TWO32 / F.col("theta")
     return (
         ab.crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(est))
-        .crossJoin(F.broadcast(thg))
+        .crossJoin(F.broadcast(combined))
         .select(
             "n_a",
             "n_b",
             "n_inter_exact",
             "n_union_exact",
-            F.round(F.col("n_inter_s").cast("double") * scale, 2)
-            .cast("decimal(14,2)")
-            .alias("inter_est"),
-            F.round(F.col("n_union_s").cast("double") * scale, 2)
-            .cast("decimal(14,2)")
-            .alias("union_est"),
-            F.round(
-                F.col("n_inter_s").cast("double") / F.col("n_union_s"), 6
-            )
-            .cast("decimal(9,6)")
-            .alias("jaccard_est"),
+            "inter_est",
+            "union_est",
+            "jaccard_est",
         )
     )
 

@@ -72,6 +72,63 @@ def test_theta_estimate_within_reason(spark):
     assert 0 <= float(r.jaccard_est) <= 1
 
 
+def test_theta_merge_equals_direct_sketch(spark):
+    """KMV mergeability, bit-for-bit: sketching per-chunk then merging must
+    equal sketching the full union — the property that lets incremental
+    maintenance (per-day sketches) answer overlap questions without ever
+    rescanning history."""
+    from mysql_cdc_debezium_starrocks_spark.operators.sketches import (
+        theta_merge,
+        theta_sketch,
+    )
+
+    rows = [("s1", i * 7) for i in range(200)] + [
+        ("s2", i * 13) for i in range(80)
+    ]
+    full = spark.createDataFrame(rows, "set_id STRING, item LONG")
+    chunks = [
+        full.filter(F.col("item") % 3 == i) for i in range(3)
+    ]  # overlapping sets, disjoint chunk partition of the rows
+    merged = theta_merge(
+        chunks[0]
+        .transform(lambda d: theta_sketch(d, "set_id", "item"))
+        .unionByName(theta_sketch(chunks[1], "set_id", "item"))
+        .unionByName(theta_sketch(chunks[2], "set_id", "item")),
+        "set_id",
+    )
+    direct = theta_sketch(full, "set_id", "item")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_theta_properties_random_sets(spark):
+    """Deterministic invariants over randomized set pairs (seeded): exact
+    answers whenever both sets fit under k, and structural bounds always
+    (union_est >= inter_est >= 0, 0 <= jaccard <= 1)."""
+    import random
+
+    from mysql_cdc_debezium_starrocks_spark.operators.sketches import (
+        theta_combine,
+        theta_sketch,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        na, nb = rng.randint(1, 150), rng.randint(1, 150)
+        universe = range(rng.randint(50, 400))
+        sa = set(rng.sample(universe, min(na, len(universe))))
+        sb = set(rng.sample(universe, min(nb, len(universe))))
+        rows = [("a", x) for x in sa] + [("b", x) for x in sb]
+        df = spark.createDataFrame(rows, "set_id STRING, item LONG")
+        r = theta_combine(theta_sketch(df, "set_id", "item"), "set_id").collect()[0]
+        assert float(r.union_est) >= float(r.inter_est) >= 0
+        assert 0 <= float(r.jaccard_est) <= 1
+        if len(sa) < THETA_K and len(sb) < THETA_K:
+            assert float(r.inter_est) == len(sa & sb), (trial, sa, sb)
+            assert float(r.union_est) == len(sa | sb), (trial, sa, sb)
+
+
 def test_perplexity_bounds(spark):
     """Unigram-MLE perplexity invariants: every per-token probability is in
     (0, 1], so nll >= 0 and 1 <= ppl <= N (the singleton-token worst case)."""
