@@ -319,6 +319,108 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_K = 256  # finer sketch for the containment ratio estimate
+
+
+def sketch_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity monitor from bounded sketches: what fraction of
+    orders.o_custkey values exist among BUILDING-segment customers,
+    estimated WITHOUT joining the tables — containment = |FK ∩ PK| / |FK|
+    as a ratio of sample counts below the combined theta (the 2^32/theta
+    scale cancels, so no estimator arithmetic at all).  Emitted next to the
+    exact orphan count/containment so the oracle checks the sketch.
+
+    The data-quality question this answers at 100 TB: "are fact foreign
+    keys resolving against the dimension?" — continuously answerable from
+    two k-row sketch tables (maintained per partition via
+    :func:`theta_merge`) instead of a fact-size anti join.
+    """
+    fk = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .withColumn("side", F.lit("fk"))
+    )
+    pk = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .withColumn("side", F.lit("pk"))
+    )
+    sk = theta_sketch(fk.unionByName(pk), "side", "key", k=CONTAIN_K, seed="fkc")
+    thg = (
+        sk.groupBy("side")
+        .agg(F.first("theta").alias("t"))
+        .agg(F.min("t").alias("theta_g"))
+    )
+    sample = sk.crossJoin(F.broadcast(thg)).filter(F.col("h") < F.col("theta_g"))
+    est = (
+        sample.groupBy("h")
+        .agg(
+            F.countDistinct("side").alias("nt"),
+            F.max(F.when(F.col("side") == "fk", 1).otherwise(0)).alias("is_fk"),
+        )
+        .agg(
+            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("inter_s"),
+            F.sum("is_fk").alias("fk_s"),
+        )
+    )
+    dfk = fk.select("key").distinct()
+    exact = (
+        dfk.join(pk.select("key"), "key", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .crossJoin(F.broadcast(dfk.agg(F.count(F.lit(1)).alias("n_fk"))))
+        .crossJoin(
+            F.broadcast(pk.select("key").distinct().agg(F.count(F.lit(1)).alias("n_pk")))
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_fk",
+        "n_pk",
+        "n_orphans",
+        F.round(
+            (F.col("n_fk") - F.col("n_orphans")).cast("double") / F.col("n_fk"), 6
+        )
+        .cast("decimal(9,6)")
+        .alias("containment_exact"),
+        F.round(F.col("inter_s").cast("double") / F.col("fk_s"), 6)
+        .cast("decimal(9,6)")
+        .alias("containment_est"),
+    )
+
+
+_CONTAIN_ORACLE = f"""
+WITH fk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+pk AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'),
+u AS (
+  SELECT 'fk' AS side, {phash32_sql("key::VARCHAR", "fkc")} AS h FROM fk
+  UNION ALL
+  SELECT 'pk' AS side, {phash32_sql("key::VARCHAR", "fkc")} AS h FROM pk),
+ranked AS (
+  SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rk FROM u),
+topk AS (SELECT side, h FROM ranked WHERE rk <= {CONTAIN_K}),
+th AS (
+  SELECT side,
+         CASE WHEN count(*) < {CONTAIN_K} THEN {int(_TWO32)} ELSE max(h) END AS theta
+  FROM topk GROUP BY side),
+thg AS (SELECT min(theta) AS theta_g FROM th),
+sample AS (SELECT t.side, t.h FROM topk t CROSS JOIN thg WHERE t.h < thg.theta_g),
+est AS (
+  SELECT sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS inter_s,
+         sum(is_fk) AS fk_s
+  FROM (SELECT h, count(DISTINCT side) AS nt,
+               max(CASE WHEN side = 'fk' THEN 1 ELSE 0 END) AS is_fk
+        FROM sample GROUP BY h) b),
+exact AS (
+  SELECT (SELECT count(*) FROM fk WHERE key NOT IN (SELECT key FROM pk)) AS n_orphans,
+         (SELECT count(*) FROM fk) AS n_fk,
+         (SELECT count(*) FROM pk) AS n_pk)
+SELECT n_fk, n_pk, n_orphans,
+       CAST(round((n_fk - n_orphans)::DOUBLE / n_fk, 6) AS DECIMAL(9,6)) AS containment_exact,
+       CAST(round(inter_s::DOUBLE / fk_s, 6) AS DECIMAL(9,6)) AS containment_est
+FROM exact CROSS JOIN est
+"""
+
+
 _THETA_TYPES_SQL = ", ".join(f"'{t}'" for t in THETA_TYPES)
 
 _THETA_ORACLE = f"""
@@ -427,6 +529,7 @@ QUERIES = {
     "sketch_bloom_semijoin": sketch_bloom_semijoin,
     "sketch_approx_distinct": sketch_approx_distinct,
     "sketch_theta_intersect": sketch_theta_intersect,
+    "sketch_theta_containment": sketch_theta_containment,
 }
 
 ORACLE = {
@@ -434,5 +537,6 @@ ORACLE = {
     "sketch_cms_heavy": _CMS_ORACLE,
     "sketch_bloom_semijoin": _BLOOM_ORACLE,
     "sketch_theta_intersect": _THETA_ORACLE,
+    "sketch_theta_containment": _CONTAIN_ORACLE,
     # sketch_approx_distinct: intentionally no oracle (HLL is engine-specific)
 }

@@ -129,6 +129,21 @@ def test_theta_properties_random_sets(spark):
             assert float(r.union_est) == len(sa | sb), (trial, sa, sb)
 
 
+def test_containment_estimate_close(spark):
+    """FK-containment from k=256 sketches: sigma ~ sqrt(c(1-c)/k) ~ 0.025
+    at c~0.2, so allow 4 sigma; exact side must be internally consistent."""
+    from mysql_cdc_debezium_starrocks_spark.operators.sketches import (
+        sketch_theta_containment,
+    )
+
+    r = sketch_theta_containment(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 < r.n_orphans < r.n_fk  # the filtered dim makes this non-trivial
+    assert float(r.containment_exact) == round(
+        (r.n_fk - r.n_orphans) / r.n_fk, 6
+    )
+    assert abs(float(r.containment_est) - float(r.containment_exact)) < 0.1
+
+
 def test_perplexity_bounds(spark):
     """Unigram-MLE perplexity invariants: every per-token probability is in
     (0, 1], so nll >= 0 and 1 <= ppl <= N (the singleton-token worst case)."""
