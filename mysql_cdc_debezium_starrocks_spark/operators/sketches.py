@@ -322,6 +322,36 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_K = 256  # finer sketch for the containment ratio estimate
 
 
+def theta_containment(sketch: DataFrame, set_col: str, fk_label: str) -> DataFrame:
+    """Containment of the ``fk_label`` set in the other set of a TWO-set
+    sketch table, as a ratio of sample counts below the combined theta (the
+    2^32/theta scale cancels).  One row: inter_s, fk_s, containment_est."""
+    thg = (
+        sketch.groupBy(set_col)
+        .agg(F.first("theta").alias("t"))
+        .agg(F.min("t").alias("theta_g"))
+    )
+    sample = sketch.crossJoin(F.broadcast(thg)).filter(F.col("h") < F.col("theta_g"))
+    return (
+        sample.groupBy("h")
+        .agg(
+            F.countDistinct(set_col).alias("nt"),
+            F.max(F.when(F.col(set_col) == fk_label, 1).otherwise(0)).alias("is_fk"),
+        )
+        .agg(
+            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("inter_s"),
+            F.sum("is_fk").alias("fk_s"),
+        )
+        .select(
+            "inter_s",
+            "fk_s",
+            F.round(F.col("inter_s").cast("double") / F.col("fk_s"), 6)
+            .cast("decimal(9,6)")
+            .alias("containment_est"),
+        )
+    )
+
+
 def sketch_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity monitor from bounded sketches: what fraction of
     orders.o_custkey values exist among BUILDING-segment customers,
@@ -346,23 +376,10 @@ def sketch_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("key"))
         .withColumn("side", F.lit("pk"))
     )
-    sk = theta_sketch(fk.unionByName(pk), "side", "key", k=CONTAIN_K, seed="fkc")
-    thg = (
-        sk.groupBy("side")
-        .agg(F.first("theta").alias("t"))
-        .agg(F.min("t").alias("theta_g"))
-    )
-    sample = sk.crossJoin(F.broadcast(thg)).filter(F.col("h") < F.col("theta_g"))
-    est = (
-        sample.groupBy("h")
-        .agg(
-            F.countDistinct("side").alias("nt"),
-            F.max(F.when(F.col("side") == "fk", 1).otherwise(0)).alias("is_fk"),
-        )
-        .agg(
-            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("inter_s"),
-            F.sum("is_fk").alias("fk_s"),
-        )
+    est = theta_containment(
+        theta_sketch(fk.unionByName(pk), "side", "key", k=CONTAIN_K, seed="fkc"),
+        "side",
+        "fk",
     )
     dfk = fk.select("key").distinct()
     exact = (
@@ -382,9 +399,7 @@ def sketch_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("decimal(9,6)")
         .alias("containment_exact"),
-        F.round(F.col("inter_s").cast("double") / F.col("fk_s"), 6)
-        .cast("decimal(9,6)")
-        .alias("containment_est"),
+        "containment_est",
     )
 
 

@@ -1,0 +1,131 @@
+"""Incremental theta-sketch state (streaming/theta_stats.py): the merged
+sketch equals the one-shot sketch bit-for-bit, replay is idempotent, and
+cross-state containment/overlap answers match exact set algebra when the
+sketches are in exact mode (and stay within sketch error otherwise).
+"""
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_debezium_starrocks_spark.operators.sketches import theta_sketch
+from mysql_cdc_debezium_starrocks_spark.streaming.theta_stats import (
+    containment_between,
+    overlap_between,
+    read_theta,
+    start_theta_load,
+    update_theta_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_incremental_sketch_equals_oneshot(spark, tmp_path):
+    state = str(tmp_path / "sk")
+    o = _orders(spark)
+    for i in range(3):
+        update_theta_batch(
+            spark, state, o.filter(f"o_orderkey % 3 = {i}"), "o_custkey", i
+        )
+    merged = sorted(
+        (r["h"], r["theta"]) for r in read_theta(spark, state).collect()
+    )
+    direct = sorted(
+        (r["h"], r["theta"])
+        for r in theta_sketch(
+            o.select(F.lit("s").alias("_set"), "o_custkey"),
+            "_set",
+            "o_custkey",
+            k=256,
+        ).collect()
+    )
+    assert merged == direct
+
+
+def test_replay_idempotent(spark, tmp_path):
+    state = str(tmp_path / "sk")
+    o = _orders(spark)
+    parts = [o.filter(f"o_orderkey % 3 = {i}") for i in range(3)]
+    for i, p in enumerate(parts):
+        update_theta_batch(spark, state, p, "o_custkey", i)
+    before = sorted(map(tuple, read_theta(spark, state).collect()))
+    update_theta_batch(spark, state, parts[2], "o_custkey", 2)  # crash replay
+    after = sorted(map(tuple, read_theta(spark, state).collect()))
+    assert before == after
+
+
+def test_containment_and_overlap_between_states(spark, tmp_path):
+    """fk state = order custkeys, pk state = BUILDING customers; the
+    maintained-state answer must match the exact containment within sketch
+    error (k=256 -> sigma ~ 0.03 at c ~ 0.2)."""
+    fk_state, pk_state = str(tmp_path / "fk"), str(tmp_path / "pk")
+    o = _orders(spark)
+    c = spark.read.parquet(f"{SF}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    for i in range(2):
+        update_theta_batch(
+            spark, fk_state, o.filter(f"o_orderkey % 2 = {i}"), "o_custkey", i
+        )
+    update_theta_batch(spark, pk_state, c, "c_custkey", 0)
+
+    exact_fk = o.select("o_custkey").distinct()
+    n_fk = exact_fk.count()
+    n_resolved = exact_fk.join(
+        c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "semi"
+    ).count()
+    got = containment_between(spark, fk_state, pk_state)
+    assert abs(got["containment_est"] - n_resolved / n_fk) < 0.12
+
+    ov = overlap_between(spark, fk_state, pk_state)
+    assert ov["inter_est"] <= ov["union_est"]
+    assert 0 <= ov["jaccard_est"] <= 1
+
+
+def test_exact_mode_small_sets(spark, tmp_path):
+    """Sets below k: the maintained sketches are exact, so cross-state
+    answers are exact set algebra."""
+    a_state, b_state = str(tmp_path / "a"), str(tmp_path / "b")
+    a = spark.createDataFrame([(i,) for i in range(40)], "key LONG")
+    b = spark.createDataFrame([(i,) for i in range(30, 90)], "key LONG")
+    update_theta_batch(spark, a_state, a.filter("key < 20"), "key", 0)
+    update_theta_batch(spark, a_state, a.filter("key >= 20"), "key", 1)
+    update_theta_batch(spark, b_state, b, "key", 0)
+    got = containment_between(spark, a_state, b_state)
+    assert got["containment_est"] == round(10 / 40, 6)
+    ov = overlap_between(spark, a_state, b_state)
+    assert ov["inter_est"] == 10.0 and ov["union_est"] == 90.0
+
+
+def test_streaming_e2e(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src)
+    o = _orders(spark)
+    parts = [o.filter(f"o_orderkey % 2 = {i}") for i in range(2)]
+    schema = parts[0].schema
+    parts[0].write.mode("append").parquet(src)
+    parts[1].write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_theta_load(
+        spark, stream, state, str(tmp_path / "ckpt"), "o_custkey",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    merged = sorted(
+        (r["h"], r["theta"]) for r in read_theta(spark, state).collect()
+    )
+    direct = sorted(
+        (r["h"], r["theta"])
+        for r in theta_sketch(
+            o.select(F.lit("s").alias("_set"), "o_custkey"),
+            "_set",
+            "o_custkey",
+            k=256,
+        ).collect()
+    )
+    assert merged == direct
