@@ -60,6 +60,22 @@ class CorpusPipeline:
         self.steps.append("dedup")
         return self
 
+    def perplexity(self, max_ppl: float) -> "CorpusPipeline":
+        """CCNet-style LM filter: drop documents whose unigram-LM perplexity
+        exceeds ``max_ppl`` (the word-soup outliers).  The LM is estimated
+        from the corpus itself by ``text_perplexity`` (two corpus scans for
+        the score table, then one broadcastable join into the funnel)."""
+        from .operators.text import text_perplexity
+
+        p = text_perplexity(self.spark, self.sf_dir).select("doc_id", "ppl")
+        self._df = (
+            self._df.join(p, "doc_id")
+            .filter(F.col("ppl") <= max_ppl)
+            .drop("ppl")
+        )
+        self.steps.append(f"perplexity<={max_ppl}")
+        return self
+
     def decontaminate(self) -> "CorpusPipeline":
         from .operators.text import text_decontaminate
 

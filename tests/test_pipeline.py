@@ -26,6 +26,20 @@ def test_facade_matches_reference_funnel(spark):
     assert p.steps == ["drop_eval_split", "quality>=0.65", "dedup", "decontaminate"]
 
 
+def test_perplexity_step_filters_outliers(spark):
+    """The LM filter must drop exactly the docs whose ppl exceeds the
+    threshold — pick the corpus median ppl so the cut is non-trivial."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import text_perplexity
+
+    ppls = sorted(
+        float(r["ppl"]) for r in text_perplexity(spark, SF).collect()
+    )
+    cut = ppls[len(ppls) // 2]
+    kept = CorpusPipeline(spark, SF).perplexity(cut).count()
+    assert kept == sum(1 for p in ppls if p <= cut)
+    assert 0 < kept < len(ppls)
+
+
 def test_split_column_and_export(spark, tmp_path):
     p = CorpusPipeline(spark, SF).quality().split()
     df = p.df
