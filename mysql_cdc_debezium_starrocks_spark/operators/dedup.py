@@ -32,6 +32,8 @@ from ..functions import (
     WORDS_SQL,
     phash32,
     phash32_sql,
+    word_grams,
+    word_grams_sql,
     word_shingles,
     word_shingles_sql,
     words,
@@ -615,9 +617,57 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_W = 8  # words per sliding window
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplication profile (the public "Deduplicating
+    Training Data Makes Language Models Better" idea, stride-1 window
+    formulation): slide an 8-word window over every document, hash each
+    window, and report per doc the fraction of window positions whose exact
+    text occurs anywhere else in the corpus (or again in the same doc).
+
+    Versus :func:`dedup_passage_exact` (disjoint chunks): stride-1 windows
+    catch UNALIGNED cross-document repeats — a duplicated paragraph that
+    starts mid-chunk is invisible to disjoint chunking but lights up here.
+    The suffix-array formulation finds arbitrary-length repeats; the fixed
+    window is its bounded, partial-aggregatable approximation (a length-L
+    repeat appears as L-W+1 duplicated windows).
+
+    Scale: ~|tokens| window hashes per doc (W× more than chunking) but the
+    shuffle still carries only 8-byte hashes with map-side combine; at
+    100 TB this is the standard two-pass profile (hash counts, join back).
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    grams = word_grams(words(F.col("text")), SUBSTR_W)
+    e = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", phash32(F.col("g"), "xs").alias("gh")
+    )
+    cnt = e.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        e.join(cnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4)
+            .cast("decimal(7,4)")
+            .alias("dup_frac"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_passage_exact": dedup_passage_exact,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -691,6 +741,21 @@ SELECT e.doc_id, count(*) AS n_chunks,
        CAST(round(sum(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
             AS DECIMAL(7,4)) AS shared_frac
 FROM e JOIN cnt USING (ch)
+GROUP BY e.doc_id
+"""
+
+
+ORACLE["dedup_exact_substring"] = f"""
+WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+g AS (SELECT doc_id, {word_grams_sql("w", SUBSTR_W)} AS grams FROM d),
+e AS (SELECT doc_id, {phash32_sql('gram', 'xs')} AS gh
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+cnt AS (SELECT gh, count(*) AS cnt FROM e GROUP BY gh)
+SELECT e.doc_id, count(*) AS n_windows,
+       sum(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END) AS n_dup_windows,
+       CAST(round(sum(CASE WHEN cnt.cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+            AS DECIMAL(7,4)) AS dup_frac
+FROM e JOIN cnt USING (gh)
 GROUP BY e.doc_id
 """
 
