@@ -34,6 +34,13 @@ from .materializer import (
 from .schema_drift import detect_schema_drift, read_drift_log
 from .secondary_index import build_secondary_index, lookup_by_index
 from .table_stats import read_stats, recommend_broadcast, update_stats_batch
+from .theta_stats import (
+    containment_between,
+    overlap_between,
+    read_theta,
+    start_theta_load,
+    update_theta_batch,
+)
 
 __all__ = [
     "CdcLoadConfig",
@@ -71,5 +78,10 @@ __all__ = [
     "sessionize",
     "start_cdc_load",
     "update_stats_batch",
+    "containment_between",
+    "overlap_between",
+    "read_theta",
+    "start_theta_load",
+    "update_theta_batch",
     "windowed_counts",
 ]
