@@ -46,6 +46,7 @@ CASES = {
     "emb_pq_codes": ("operators.similarity", ["embeddings"]),
     "text_perplexity": ("operators.text", ["documents"]),
     "sketch_theta_intersect": ("operators.sketches", ["events"]),
+    "dedup_exact_substring": ("operators.dedup", ["documents"]),
 }
 
 
