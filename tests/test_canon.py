@@ -87,6 +87,37 @@ def test_oracle_wrapper_rejects_weird_identifiers():
         canon_oracle("SELECT 1.5 AS \"a b\"", [("a b", "DECIMAL(2,1)")])
 
 
+BOUNDARY_EXPRS = [
+    # doubles at the scale-6 rounding boundary (ties, signs, ulp edges)
+    "CAST(0.0000005 AS DOUBLE)",
+    "CAST(-0.0000005 AS DOUBLE)",
+    "CAST(2.5 AS DOUBLE)",
+    "CAST(-2.5 AS DOUBLE)",
+    "CAST(1.0000005 AS DOUBLE)",
+    "CAST(0.1 AS DOUBLE)",            # classic non-representable
+    "CAST(123456789.1234565 AS DOUBLE)",
+    "CAST(1e15 AS DOUBLE)",
+    "CAST(-0.0 AS DOUBLE)",
+    "CAST(0.3333333 AS FLOAT)",       # REAL path widens through double
+    # decimals: trailing zeros, max-ish magnitude, scale>6 tie rounding
+    "CAST(0.50 AS DECIMAL(4,2))",
+    "CAST(-1234.500 AS DECIMAL(12,3))",
+    "CAST(999999999999.999999 AS DECIMAL(18,6))",
+    "CAST(-1.2345675 AS DECIMAL(18,7))",
+    "CAST(31415926535897932384626.433832 AS DECIMAL(38,6))",
+]
+
+
+@pytest.mark.parametrize("expr", BOUNDARY_EXPRS)
+def test_boundary_values_identical_across_engines(spark, expr):
+    """Every representation hazard class the driver hash could see: the
+    canonical string must be byte-identical from both engines."""
+    sql = f"SELECT {expr} AS x"
+    [srow] = canon_df(spark.sql(sql)).collect()
+    _, [drow] = _duck(sql)
+    assert srow[0] == drow[0], (expr, srow[0], drow[0])
+
+
 def test_spark_downscale_rounds_half_up_away_from_duckdb_cast(spark):
     """Documents WHY scale>6 decimals ROUND() first: DuckDB's plain downscale
     cast disagrees with Spark HALF_UP on ties (verified round 2)."""
