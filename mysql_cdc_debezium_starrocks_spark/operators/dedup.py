@@ -761,36 +761,42 @@ GROUP BY e.doc_id
 
 
 PAGERANK_ITERS = 8
-PAGERANK_DAMPING = 0.85
+PAGERANK_DAMPING = 0.85  # spec'd exactly as the integer pair (85, 100) below
+PAGERANK_SCALE = 10**12  # ranks are BIGINTs in units of 1e-12
 
 
-def _pagerank_numpy(edge_list, iters: int = PAGERANK_ITERS, damping: float = PAGERANK_DAMPING):
-    """Driver-side power iteration over a collected (small) edge list."""
-    import numpy as np
+def _pagerank_int_driver(edge_list, iters: int = PAGERANK_ITERS):
+    """Driver-side ALL-INTEGER power iteration (exact; see dedup_pagerank).
 
+    The update rule IS the spec both engines and both tiers implement:
+      r0(v)  = SCALE div n
+      c(u)   = r(u) div deg(u)                     (truncating int division)
+      r'(v)  = (15*SCALE div 100) div n + (85 * Σ c(u->v)) div 100
+    All operands are non-negative, so truncation == floor on every engine.
+    """
     ids = sorted({x for e in edge_list for x in e})
-    idx = {v: i for i, v in enumerate(ids)}
     n = len(ids)
-    deg = np.zeros(n)
-    for src, _dst in edge_list:
-        deg[idx[src]] += 1
-    r = np.full(n, 1.0 / n)
+    deg: dict[int, int] = {}
+    for s, _d in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: PAGERANK_SCALE // n for v in ids}
+    base = (15 * PAGERANK_SCALE // 100) // n
     for _ in range(iters):
-        nxt = np.full(n, (1.0 - damping) / n)
-        for src, dst in edge_list:
-            nxt[idx[dst]] += damping * r[idx[src]] / deg[idx[src]]
-        r = nxt
-    return [(v, float(r[idx[v]])) for v in ids]
+        acc = {v: 0 for v in ids}
+        for s, d in edge_list:
+            acc[d] += r[s] // deg[s]
+        r = {v: base + (85 * acc[v]) // 100 for v in ids}
+    return [(v, r[v]) for v in ids]
 
 
-def _pagerank_distributed(
-    edges: DataFrame, iters: int = PAGERANK_ITERS, damping: float = PAGERANK_DAMPING
-) -> DataFrame:
-    """Distributed power iteration (``edges``: symmetric src/dst pairs).
+def _pagerank_distributed(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Distributed integer power iteration (``edges``: symmetric src/dst).
 
-    Contributions = rank/degree routed along edges (join on src, one
-    shuffle), re-summed per dst (second shuffle), damped.  The degree join
-    is pre-computed ONCE outside the loop; lineage is truncated with
+    Contributions = rank div degree routed along edges (join on src, one
+    shuffle), re-summed per dst (second shuffle), damped — in the same
+    integer arithmetic as :func:`_pagerank_int_driver`, so both tiers and
+    the DuckDB oracle produce IDENTICAL BIGINTs.  The degree join is
+    pre-computed ONCE outside the loop; lineage is truncated with
     localCheckpoint so the plan stays flat at any iteration count — the
     GraphX/Pregel cost model: |edges| shuffle volume per iteration.
     """
@@ -799,22 +805,26 @@ def _pagerank_distributed(
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     routed = edges.join(deg, "src").persist()  # (src, dst, deg), loop-invariant
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    init = PAGERANK_SCALE // n
+    base = (15 * PAGERANK_SCALE // 100) // n
+    ranks = nodes.select("id", F.lit(init).cast("long").alias("rank_q"))
     for i in range(iters):
         contribs = (
             routed.join(ranks, routed.src == ranks.id)
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(F.col("dst").alias("id"), F.expr("rank_q div deg").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
         ranks = nodes.join(contribs, "id", "left").select(
             "id",
-            (F.lit(base) + damping * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+            (
+                F.lit(base)
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).cast("long").alias("rank_q"),
         )
         if i % 4 == 3 and i < iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select(F.col("id").alias("doc_id"), F.col("rank"))
+    out = ranks.select(F.col("id").alias("doc_id"), "rank_q")
     for df in (edges, nodes, routed):
         df.unpersist()
     return out
@@ -825,33 +835,84 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring inside duplicate clusters, the principled alternative to
     "keep min doc_id" canonical selection.
 
+    The iterative fixpoint is formulated in ALL-INTEGER arithmetic
+    (``rank_q`` = rank in units of 1e-12; the ml_logreg quantization trick
+    applied to a graph algorithm): every division is truncating integer
+    division over non-negative operands, so the result is bit-identical on
+    any engine — which upgrades this query from a rows-only check to an
+    EXACT DuckDB oracle (8 unrolled CTE iterations).  Quantization error
+    vs real-valued PageRank is bounded by iters * (1+deg) ulps of 1e-12
+    (numpy-bounded in tests).
+
     Two-tier like :func:`dedup_components`: pair GENERATION is always the
     distributed sketch band join; the fixpoint on the surviving pairs runs
-    driver-side (numpy) below ``_UNION_FIND_MAX_PAIRS`` — an 8-iteration
-    loop over a few hundred pairs is driver arithmetic, not a cluster job —
-    and falls back to :func:`_pagerank_distributed` above it.  Iterative
-    fixpoint => no SQL oracle (rows-only driver check); BOTH tiers are
-    verified against each other and numpy in tests.
+    driver-side below ``_UNION_FIND_MAX_PAIRS`` — an 8-iteration loop over
+    a few hundred pairs is driver arithmetic, not a cluster job — and
+    falls back to :func:`_pagerank_distributed` above it (both tiers
+    produce identical integers, asserted in tests).
     """
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     collected = pairs.limit(_UNION_FIND_MAX_PAIRS + 1).collect()
-    dec = lambda c: F.round(c, 8).cast("decimal(12,8)")  # noqa: E731
     if len(collected) <= _UNION_FIND_MAX_PAIRS:
         sym = [(r[0], r[1]) for r in collected] + [(r[1], r[0]) for r in collected]
         if not sym:
-            return spark.createDataFrame([], "doc_id long, rank decimal(12,8)")
-        ranked = _pagerank_numpy(sym)
-        return spark.createDataFrame(ranked, "doc_id long, rank double").select(
-            "doc_id", dec(F.col("rank")).alias("rank")
+            return spark.createDataFrame([], "doc_id long, rank_q long")
+        return spark.createDataFrame(
+            _pagerank_int_driver(sym), "doc_id long, rank_q long"
         )
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
-    out = _pagerank_distributed(edges)
-    return out.select("doc_id", dec(F.col("rank")).alias("rank"))
+    return _pagerank_distributed(edges)
 
 
 QUERIES["dedup_pagerank"] = dedup_pagerank
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE DuckDB replica of the integer power iteration."""
+    scale = PAGERANK_SCALE
+    head = f"""
+WITH {_SIMHASH_CTE},
+ex AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+  FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM ex a JOIN ex b
+    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+it0 AS (SELECT id, CAST({scale} // n AS BIGINT) AS rank_q FROM nodes CROSS JOIN nn)"""
+    its = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f""",
+it{i} AS (
+  SELECT nodes.id,
+         CAST(((15 * {scale} // 100) // n)
+              + ((85 * coalesce(c.s, 0)) // 100) AS BIGINT) AS rank_q
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank_q // d.deg) AS s
+    FROM edges e JOIN it{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) c ON nodes.id = c.id)""")
+    return (
+        head
+        + "".join(its)
+        + f"\nSELECT id AS doc_id, rank_q FROM it{PAGERANK_ITERS}"
+    )
+
+
+ORACLE["dedup_pagerank"] = _pagerank_oracle()
 
 
 def signature_table(docs: DataFrame) -> DataFrame:
