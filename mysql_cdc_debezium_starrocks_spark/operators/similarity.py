@@ -259,6 +259,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
+KMEANS_QSCALE = 10**6  # embedding components quantized to 1e-6 units
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — matches Spark ``div``
+    and DuckDB ``//`` semantics, unlike Python's flooring ``//``."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
 
 
 def kmeans_fit(
@@ -266,34 +274,45 @@ def kmeans_fit(
     sf_dir: str,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
-) -> tuple[list[list[float]], DataFrame]:
+) -> tuple[list[list[int]], DataFrame]:
     """Lloyd's k-means over the embedding corpus — the production centroid
     builder the IVF docstring promises (ann_ivf_topk keeps its sampled
     centroids so it stays oracle-checkable).
 
+    ALL-INTEGER formulation (the ml_logreg/pagerank quantization trick):
+    components quantize to 1e-6 units once, squared distances and centroid
+    sums are exact int64 arithmetic, and the centroid mean is TRUNCATING
+    integer division — so the whole iterative fixpoint is bit-identical on
+    any engine and EXACTLY oracled by an unrolled-CTE DuckDB replica
+    (assignment ties break to the lowest cell on both sides).
+    Quantization error vs float Lloyd is ~1e-6 relative per component.
+
     Spark shape per iteration: assignment is MAP-ONLY — an Arrow-batched
-    Pandas UDF closing over the k x dim centroid matrix, one numpy
-    distance matmul per batch.  This is the deliberate slow-path escape
-    hatch (SURVEY.md §7): the pure-column formulation (zip_with +
+    Pandas UDF closing over the k x dim int centroid matrix, one numpy
+    int64 distance expansion per batch.  This is the deliberate slow-path
+    escape hatch (SURVEY.md §7): the pure-column formulation (zip_with +
     aggregate folds per centroid arm) runs in Catalyst's HOF *interpreter*,
     not codegen, and benched ~3x slower than the vectorized batch.  The
     centroid update is ONE partial-aggregatable shuffle (posexplode to
-    (cell, dim) then avg).  The driver holds only k x dim floats.  Init is
-    deterministic: the k lowest vec_ids.  Returns (centroids, assignment DF).
-
-    No SQL oracle — iterative fixpoint; the driver records the weaker
-    rows-only check, and tests assert inertia decreases monotonically.
+    (cell, dim) then sum+count).  The driver holds only k x dim ints.
+    Init is deterministic: the k lowest vec_ids.
+    Returns (centroids, assignment DF).
     """
     # persist: every Lloyd round (and the init collect) re-scans this tiny
     # projection otherwise — k-means re-reads its input by construction
     e = (
-        _with_norm(load_spread(spark, sf_dir, "embeddings"))
-        .select("vec_id", "v")
+        load_spread(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * KMEANS_QSCALE).cast("long"),
+            ).alias("vq"),
+        )
         .persist()
     )
     cents = [
-        [float(x) for x in r.v]
-        for r in e.orderBy("vec_id").limit(k).collect()
+        [int(x) for x in r.vq] for r in e.orderBy("vec_id").limit(k).collect()
     ]
 
     def assign_udf(cents_lit):
@@ -301,7 +320,7 @@ def kmeans_fit(
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        C = np.asarray(cents_lit, dtype=np.float64)  # k x d, broadcast in closure
+        C = np.asarray(cents_lit, dtype=np.int64)  # k x d, broadcast in closure
 
         # no type hints: `from __future__ import annotations` stringifies
         # them, which pyspark's hint-based eval-type inference can't parse;
@@ -309,49 +328,94 @@ def kmeans_fit(
         def _assign(vs):
             if len(vs) == 0:
                 return pd.DataFrame({"cell": pd.Series(dtype="int32"),
-                                     "d2": pd.Series(dtype="float64")})
-            V = np.vstack(vs.to_numpy()).astype(np.float64)  # n x d
-            # full (V - C)^2 expansion per pair: n x k distance matrix
-            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+                                     "d2": pd.Series(dtype="int64")})
+            V = np.vstack(vs.to_numpy()).astype(np.int64)  # n x d
+            diff = V[:, None, :] - C[None, :, :]
+            d2 = (diff * diff).sum(axis=-1)  # exact: |q|<=~1e6 -> d2 << 2^63
             cell = d2.argmin(axis=1)  # ties -> lowest cell index (deterministic)
             return pd.DataFrame(
-                {"cell": cell.astype("int32"), "d2": d2[np.arange(len(cell)), cell]}
+                {
+                    "cell": cell.astype("int32"),
+                    "d2": d2[np.arange(len(cell)), cell].astype("int64"),
+                }
             )
 
-        return pandas_udf(_assign, "struct<cell:int,d2:double>")
+        return pandas_udf(_assign, "struct<cell:int,d2:long>")
 
     assigned = None
     for _ in range(iters):
-        a = assign_udf(cents)(F.col("v")).alias("a")
-        assigned = e.select("vec_id", "v", a).select(
-            "vec_id", "v", F.col("a.cell").alias("cell"), F.col("a.d2").alias("d2")
+        a = assign_udf(cents)(F.col("vq")).alias("a")
+        assigned = e.select("vec_id", "vq", a).select(
+            "vec_id", "vq", F.col("a.cell").alias("cell"), F.col("a.d2").alias("d2")
         )
         upd = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            assigned.select("cell", F.posexplode("vq").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new = [list(c) for c in cents]  # empty cells keep their centroid
-        by_cell: dict[int, dict[int, float]] = {}
         for r in upd:
-            by_cell.setdefault(r.cell, {})[r.dim] = r.m
-        for ci, dims in by_cell.items():
-            for di, m in dims.items():
-                new[ci][di] = m
+            new[r.cell][r.dim] = _tdiv(int(r.s), int(r.n))
         cents = new
     return cents, assigned
 
 
 def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final k-means cell assignment (vec_id, cell, sq_dist) after
-    KMEANS_ITERS Lloyd rounds.  Rows-only driver check (see kmeans_fit)."""
+    """Final k-means cell assignment (vec_id, cell, sq_dist_q in 1e-12
+    units) after KMEANS_ITERS Lloyd rounds — exactly oracle-checked via
+    the integer formulation (see kmeans_fit)."""
     _, assigned = kmeans_fit(spark, sf_dir)
     return assigned.select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
-        F.round("d2", 4).alias("sq_dist"),
+        F.col("d2").alias("sq_dist_q"),
     )
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE DuckDB replica of the integer Lloyd iteration."""
+    q = KMEANS_QSCALE
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {q}) AS BIGINT)) AS vq
+  FROM embeddings),
+ed AS (
+  SELECT vec_id, i - 1 AS dim, vq[i] AS x
+  FROM e, LATERAL unnest(generate_series(1, len(vq))) AS t(i)),
+init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM e ORDER BY vec_id LIMIT {k}),
+c0 AS (SELECT init.cell, ed.dim, ed.x AS c FROM init JOIN ed USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f""",
+d{i} AS (
+  SELECT ed.vec_id, c.cell, sum((ed.x - c.c) * (ed.x - c.c)) AS d2
+  FROM ed JOIN {prev} c ON ed.dim = c.dim
+  GROUP BY ed.vec_id, c.cell),
+a{i} AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT vec_id, cell, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+    FROM d{i}) r WHERE rk = 1)""")
+        if i < iters:
+            parts.append(f""",
+s{i} AS (
+  SELECT a.cell, ed.dim, sum(ed.x) AS s, count(*) AS n
+  FROM a{i} a JOIN ed ON a.vec_id = ed.vec_id
+  GROUP BY a.cell, ed.dim),
+c{i} AS (
+  SELECT c.cell, c.dim,
+         CASE WHEN s.n IS NULL THEN c.c
+              ELSE CAST(s.s // s.n AS BIGINT) END AS c
+  FROM {prev} c LEFT JOIN s{i} s ON c.cell = s.cell AND c.dim = s.dim)""")
+    parts.append(
+        f"\nSELECT vec_id, CAST(cell AS INTEGER) AS cell, d2 AS sq_dist_q "
+        f"FROM a{iters}"
+    )
+    return "".join(parts)
 
 
 
@@ -717,8 +781,9 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_semantic": dedup_semantic,
-    # no ORACLE entry: iterative fixpoint -> driver rows-only check
     "ann_kmeans_assign": ann_kmeans_assign,
     "emb_quantize_int8": emb_quantize_int8,
     "emb_pq_codes": emb_pq_codes,
 }
+
+ORACLE["ann_kmeans_assign"] = _kmeans_oracle()
