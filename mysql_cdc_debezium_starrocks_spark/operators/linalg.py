@@ -141,6 +141,56 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POWER_ITERS = 80  # near-isotropic fixtures: eigengap ~0.93 needs ~80 rounds
+POWER_SCALE = 10**6  # eigenvector components in 1e-6 units
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — matches Spark ``div``
+    and DuckDB ``//``, unlike Python's flooring ``//``."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def emb_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding covariance by POWER ITERATION
+    in exact integer arithmetic — the eigensolver made cross-engine
+    bit-identical (the reformulation eigh cannot have).
+
+    The covariance entries come from the distributed sufficient-statistics
+    pass (:func:`emb_covariance`, DECIMAL(18,6) — the value parity already
+    proves cross-engine), quantized to 1e-6 integer units.  Iteration:
+    w = M v (exact int sums), then renormalize v' = (w * SCALE) div max|w|
+    — max-norm instead of L2 so NO square root enters the arithmetic.
+    Sign fix: the largest-|component| coordinate (lowest dim on ties) is
+    made positive.  Every op is add/mul/truncating-div on integers, so the
+    unrolled-CTE DuckDB oracle reproduces all 64 components exactly.
+
+    Scale: the distributed work is the covariance pass (partition partials,
+    O(partitions * d^2) network); the iteration itself is driver math on a
+    d x d integer matrix — the same bounded-state shape as fit_pca's eigh.
+    Accuracy vs numpy eigh is asserted in tests (|cos| > 0.999).
+    """
+    cov_rows = emb_covariance(spark, sf_dir).collect()
+    cq: dict[tuple[int, int], int] = {}
+    for r in cov_rows:
+        c = int(r["cov"] * POWER_SCALE)  # Decimal * int is exact
+        cq[(r["i"], r["j"])] = c
+        cq[(r["j"], r["i"])] = c
+    d = DIM
+    v = [POWER_SCALE] * d
+    for _ in range(POWER_ITERS):
+        w = [sum(cq.get((i, j), 0) * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        v = [_tdiv(x * POWER_SCALE, m) for x in w]
+    lead = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(d)], "dim int, v_q long"
+    )
+
+
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm statistics of the embedding column.
 
@@ -224,9 +274,40 @@ ORACLE = {
     """,
 }
 
+def _power_oracle(iters: int = POWER_ITERS) -> str:
+    """Unrolled-CTE DuckDB replica of the integer power iteration."""
+    s = POWER_SCALE
+    parts = [f"""
+WITH covq AS MATERIALIZED (
+  SELECT i, j, CAST(cov * {s} AS BIGINT) AS c
+  FROM ({ORACLE["emb_covariance"]}) base),
+m AS MATERIALIZED (
+  SELECT i, j, c FROM covq
+  UNION ALL SELECT j AS i, i AS j, c FROM covq WHERE i < j),
+v0 AS (
+  SELECT i.range::INT AS dim, CAST({s} AS BIGINT) AS v FROM range(0, {DIM}) i)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT m.i AS dim, sum(m.c * v.v) AS w
+  FROM m JOIN v{t - 1} v ON m.j = v.dim GROUP BY m.i),
+mx{t} AS (SELECT max(abs(w)) AS mx FROM w{t}),
+v{t} AS (
+  SELECT dim, CAST((w * {s}) // mx AS BIGINT) AS v FROM w{t}, mx{t})""")
+    parts.append(f""",
+sgn AS (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+  FROM v{iters} ORDER BY abs(v) DESC, dim ASC LIMIT 1)
+SELECT dim, CAST(v * sg AS BIGINT) AS v_q FROM v{iters}, sgn""")
+    return "".join(parts)
+
+
+ORACLE["emb_top_eigenvector"] = _power_oracle()
+
 QUERIES = {
     "emb_covariance": emb_covariance,
     "emb_pca_project": emb_pca_project,
+    "emb_top_eigenvector": emb_top_eigenvector,
     "emb_norm_stats": emb_norm_stats,
     "emb_centroid_by_label": emb_centroid_by_label,
 }

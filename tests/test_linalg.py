@@ -54,6 +54,28 @@ def test_pca_matches_numpy_eigh(spark):
     assert pcs[:, 0] @ pcs[:, 1] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_power_iteration_aligns_with_eigh(spark):
+    """The integer power-iteration eigenvector must align (|cosine| near 1)
+    with numpy eigh's dominant eigenvector of the same covariance, and the
+    sign convention must make the largest-|component| coordinate positive."""
+    from mysql_cdc_debezium_starrocks_spark.operators.linalg import (
+        POWER_SCALE,
+        emb_top_eigenvector,
+    )
+
+    rows = emb_top_eigenvector(spark, SF_SMOKE).collect()
+    v = np.zeros(len(rows))
+    for r in rows:
+        v[r["dim"]] = r["v_q"] / POWER_SCALE
+    x = _embeddings_matrix(spark)
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, np.argmax(vals)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    assert v[np.abs(v).argmax()] > 0
+
+
 def test_pca_projection_variance_ordering(spark):
     """PC1 projections must capture at least as much variance as PC2, and
     both at least as much as a raw coordinate (top eigenpair property)."""
