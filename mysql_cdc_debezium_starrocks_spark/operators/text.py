@@ -457,6 +457,51 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RAG-style chunking parameters: fixed token windows with overlap.  Stride =
+# CHUNK_TOKENS - CHUNK_OVERLAP; a chunk is emitted iff it contributes at least
+# one token beyond the previous chunk's coverage (start == 1 OR start +
+# overlap <= n_words), so short docs yield exactly one chunk and no trailing
+# chunk is a strict subset of its predecessor.
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding-prep chunking: split each document into fixed-size
+    token windows (CHUNK_TOKENS words, CHUNK_OVERLAP overlap) and emit one
+    row per chunk with its word offset, token count, and content md5.
+
+    The md5-per-chunk makes the op exactly oracle-checkable without
+    shipping chunk text, and doubles as the chunk-level dedup key a
+    retrieval pipeline needs downstream.
+
+    Scale: map-side only — tokenize once per doc (materialized column, so
+    the HOF lambda re-evaluates a cheap column ref, not the split), emit
+    ~n_words/stride rows per doc via posexplode, no shuffle.  At 100 TB
+    this is scan-bound; chunk rows land partitioned exactly like their
+    source splits, ready for a downstream embedding pass.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    tok = d.select("doc_id", words(F.col("text")).alias("w"))
+    n = F.size("w")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE)),
+        lambda s: (s == 1) | (s + CHUNK_OVERLAP <= n),
+    )
+    chunked = tok.select(
+        "doc_id", "w", F.posexplode(starts).alias("chunk_idx", "start_word")
+    )
+    cw = F.slice("w", F.col("start_word"), F.lit(CHUNK_TOKENS))
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "start_word",
+        F.size(cw).alias("n_tokens"),
+        F.md5(F.array_join(cw, " ")).alias("chunk_md5"),
+    )
+
+
 _QUALITY_EXPRS = """
   len(w) AS n_words,
   len(list_distinct(w)) AS n_uniq,
@@ -508,6 +553,25 @@ ORACLE = {
                md5(regexp_replace(t1, '{LONGNUM_RE}', '<ID>', 'g')) AS redacted_md5,
                length(regexp_replace(t1, '{LONGNUM_RE}', '<ID>', 'g')) AS redacted_len
         FROM r1
+    """,
+    "text_chunk": f"""
+        WITH d AS (SELECT doc_id, {_W} AS w FROM documents),
+        s AS (SELECT doc_id, w, len(w) AS n FROM d),
+        st AS (
+          SELECT doc_id, w, n,
+                 unnest(list_filter(
+                   generate_series(1, greatest(n, 1), {CHUNK_STRIDE}),
+                   x -> x = 1 OR x + {CHUNK_OVERLAP} <= n)) AS start_word
+          FROM s)
+        SELECT doc_id,
+               (start_word - 1) // {CHUNK_STRIDE} AS chunk_idx,
+               start_word,
+               len(list_slice(w, start_word, start_word + {CHUNK_TOKENS - 1}))
+                 AS n_tokens,
+               md5(array_to_string(
+                 list_slice(w, start_word, start_word + {CHUNK_TOKENS - 1}),
+                 ' ')) AS chunk_md5
+        FROM st
     """,
     "text_langid": None,  # filled below (needs profile expansion)
     "text_token_count": f"""
@@ -649,6 +713,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_pii_redact": text_pii_redact,
     "text_normalize": text_normalize,
+    "text_chunk": text_chunk,
     "text_repetition": text_repetition,
     "text_decontaminate": text_decontaminate,
     "corpus_curate": corpus_curate,
