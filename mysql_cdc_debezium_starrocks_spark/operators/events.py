@@ -171,6 +171,46 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user paths (trigram sequence mining), bounded to a
+    session: both inter-event gaps must be within ``SESSION_GAP_MIN``, so a
+    path never spans the same session boundary ``events_sessionize`` cuts.
+
+    Same scale shape as ``events_transitions``: one shuffle on user_id for
+    the lead() window (two leads share the single sort), a partial-agg'd
+    count on the small (t1,t2,t3) key space, and TakeOrderedAndProject for
+    the limit — no global sort, no self-joins (the naive 3-way self-join
+    formulation shuffles the event table three times; lead() does it once).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    return (
+        e.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .withColumn("ms2", F.lead("ms", 1).over(w))
+        .withColumn("ms3", F.lead("ms", 2).over(w))
+        .filter(
+            F.col("t3").isNotNull()
+            & ((F.col("ms2") - F.col("ms")) <= gap_ms)
+            & ((F.col("ms3") - F.col("ms2")) <= gap_ms)
+        )
+        .groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("t2").alias("step2"),
+            F.col("t3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(20)
+    )
+
+
 CONVERSION_WINDOW_MIN = 60
 
 
@@ -334,6 +374,25 @@ ORACLE = {
         ORDER BY n DESC, src_type, dst_type
         LIMIT 20
     """,
+    "events_top_paths": f"""
+        WITH seq AS (
+          SELECT event_type AS step1,
+                 lead(event_type, 1) OVER w AS step2,
+                 lead(event_type, 2) OVER w AS step3,
+                 epoch_ms(ts) AS ms,
+                 lead(epoch_ms(ts), 1) OVER w AS ms2,
+                 lead(epoch_ms(ts), 2) OVER w AS ms3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+        SELECT step1, step2, step3, count(*) AS n
+        FROM seq
+        WHERE step3 IS NOT NULL
+          AND ms2 - ms <= {SESSION_GAP_MIN * 60 * 1000}
+          AND ms3 - ms2 <= {SESSION_GAP_MIN * 60 * 1000}
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, step1, step2, step3
+        LIMIT 20
+    """,
 }
 
 def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +456,7 @@ QUERIES = {
     "events_rollup_cascade": events_rollup_cascade,
     "events_funnel": events_funnel,
     "events_transitions": events_transitions,
+    "events_top_paths": events_top_paths,
     "events_conversion_within_hour": events_conversion_within_hour,
 }
 
