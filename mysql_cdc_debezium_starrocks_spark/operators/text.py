@@ -467,23 +467,11 @@ CHUNK_OVERLAP = 8
 CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 
-def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG/embedding-prep chunking: split each document into fixed-size
-    token windows (CHUNK_TOKENS words, CHUNK_OVERLAP overlap) and emit one
-    row per chunk with its word offset, token count, and content md5.
-
-    The md5-per-chunk makes the op exactly oracle-checkable without
-    shipping chunk text, and doubles as the chunk-level dedup key a
-    retrieval pipeline needs downstream.
-
-    Scale: map-side only — tokenize once per doc (materialized column, so
-    the HOF lambda re-evaluates a cheap column ref, not the split), emit
-    ~n_words/stride rows per doc via posexplode, no shuffle.  At 100 TB
-    this is scan-bound; chunk rows land partitioned exactly like their
-    source splits, ready for a downstream embedding pass.
-    """
-    d = load_spread(spark, sf_dir, "documents")
-    tok = d.select("doc_id", words(F.col("text")).alias("w"))
+def chunk_df(docs: DataFrame) -> DataFrame:
+    """Chunk any (doc_id, text, ...) DataFrame — the reusable core of
+    :func:`text_chunk`, also wired as ``CorpusPipeline.chunk()`` so the
+    curated corpus flows straight into embedding prep without a re-read."""
+    tok = docs.select("doc_id", words(F.col("text")).alias("w"))
     n = F.size("w")
     starts = F.filter(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE)),
@@ -500,6 +488,24 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(cw).alias("n_tokens"),
         F.md5(F.array_join(cw, " ")).alias("chunk_md5"),
     )
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding-prep chunking: split each document into fixed-size
+    token windows (CHUNK_TOKENS words, CHUNK_OVERLAP overlap) and emit one
+    row per chunk with its word offset, token count, and content md5.
+
+    The md5-per-chunk makes the op exactly oracle-checkable without
+    shipping chunk text, and doubles as the chunk-level dedup key a
+    retrieval pipeline needs downstream.
+
+    Scale: map-side only — tokenize once per doc (materialized column, so
+    the HOF lambda re-evaluates a cheap column ref, not the split), emit
+    ~n_words/stride rows per doc via posexplode, no shuffle.  At 100 TB
+    this is scan-bound; chunk rows land partitioned exactly like their
+    source splits, ready for a downstream embedding pass.
+    """
+    return chunk_df(load_spread(spark, sf_dir, "documents"))
 
 
 _QUALITY_EXPRS = """

@@ -109,6 +109,17 @@ class CorpusPipeline:
         self.steps.append("filter")
         return self
 
+    def chunk(self) -> "CorpusPipeline":
+        """Embedding-prep terminal transform: explode the (curated) corpus
+        into fixed-token-window chunk rows (doc_id, chunk_idx, start_word,
+        n_tokens, chunk_md5) — granularity changes from documents to chunks,
+        so run this AFTER all document-level filters.  Map-only."""
+        from .operators.text import chunk_df
+
+        self._df = chunk_df(self._df)
+        self.steps.append("chunk")
+        return self
+
     # -- terminals ----------------------------------------------------------
 
     @property

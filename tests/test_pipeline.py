@@ -53,3 +53,21 @@ def test_split_column_and_export(spark, tmp_path):
     assert files
     back = spark.read.parquet(out)
     assert back.count() == df.count()
+
+
+def test_chunk_step_matches_standalone_op(spark):
+    """Unfiltered pipeline chunking equals text_chunk; a filtered pipeline
+    chunks exactly the surviving documents."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import text_chunk
+
+    all_rows = sorted(
+        tuple(r) for r in CorpusPipeline(spark, SF).chunk().df.collect()
+    )
+    want = sorted(tuple(r) for r in text_chunk(spark, SF).collect())
+    assert all_rows == want and all_rows
+
+    p = CorpusPipeline(spark, SF).quality()
+    kept = {r["doc_id"] for r in p.df.select("doc_id").collect()}
+    chunked = CorpusPipeline(spark, SF).quality().chunk()
+    assert {r["doc_id"] for r in chunked.df.collect()} == kept
+    assert chunked.steps == ["quality>=0.65", "chunk"]

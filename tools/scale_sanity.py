@@ -47,6 +47,8 @@ CASES = {
     "text_perplexity": ("operators.text", ["documents"]),
     "sketch_theta_intersect": ("operators.sketches", ["events"]),
     "dedup_exact_substring": ("operators.dedup", ["documents"]),
+    "text_chunk": ("operators.text", ["documents"]),
+    "events_top_paths": ("operators.events", ["events"]),
 }
 
 
