@@ -103,6 +103,18 @@ HEADLINE = [
         "apply — one keyed shuffle.",
     ),
     (
+        "text_chunk",
+        "RAG chunking: tokenize once (materialized column), posexplode the "
+        "filtered start sequence, codegen slice/md5 projection — map-only, "
+        "the single exchange is the local-fixture equalizer.",
+    ),
+    (
+        "events_top_paths",
+        "Trigram path mining: both leads share ONE user_id window sort, "
+        "session-gap filter before the small-key partial-agg count, "
+        "TakeOrderedAndProject top-k.",
+    ),
+    (
         "text_perplexity",
         "Unigram-LM scoring: exactly TWO corpus scans (tf and vocab — "
         "Catalyst cannot share diverging branches; the corpus total folds "
