@@ -35,6 +35,25 @@ def phash32_sql(expr: str, seed: str = "h") -> str:
     return f"(('0x' || substr(md5('{seed}:' || ({expr})), 1, 8))::BIGINT)"
 
 
+def phash60(col: Column | str, seed: str = "h") -> Column:
+    """Portable 60-bit hash (first 15 md5 hex chars; fits signed int64).
+
+    For collision-COUNT-sensitive profiles — duplication counting over
+    ~10^9+ items, where a 32-bit space saturates (P[false dup] ≈ n/2^32
+    per item) and would inflate every count.  At 60 bits the false-dup
+    probability stays ~n/2^60 ≈ 1e-9 at a billion items.  Same portable
+    family as :func:`phash32`, so sketches stay cross-engine exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    payload = F.concat(F.lit(f"{seed}:"), c.cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def phash60_sql(expr: str, seed: str = "h") -> str:
+    """The same 60-bit hash as a DuckDB SQL fragment (``expr`` VARCHAR)."""
+    return f"(('0x' || substr(md5('{seed}:' || ({expr})), 1, 15))::BIGINT)"
+
+
 def words(col: Column | str) -> Column:
     """Lower-cased whitespace tokens with empties removed."""
     c = F.col(col) if isinstance(col, str) else col

@@ -32,6 +32,8 @@ from ..functions import (
     WORDS_SQL,
     phash32,
     phash32_sql,
+    phash60,
+    phash60_sql,
     word_grams,
     word_grams_sql,
     word_shingles,
@@ -577,7 +579,7 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     its passages occur anywhere else in the corpus (boilerplate load).
 
     Scale shape: the chunking is a map-only array fold; the corpus-wide
-    frequency count shuffles 8-byte passage hashes (never passage text),
+    frequency count shuffles 8-byte 60-bit passage hashes (never passage text; 60-bit so duplicate counts stay collision-clean past 10^9 passages),
     partial-agg'd map-side; the join back to docs is a shuffle on the same
     hash key so AQE can co-plan the two.  Output is O(n_docs).
     """
@@ -594,7 +596,7 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     e = d.select("doc_id", F.explode(chunks).alias("chunk")).select(
-        "doc_id", phash32(F.col("chunk"), "pass").alias("ch")
+        "doc_id", phash60(F.col("chunk"), "pass").alias("ch")
     )
     cnt = e.groupBy("ch").agg(F.count(F.lit(1)).alias("cnt"))
     return (
@@ -641,7 +643,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     grams = word_grams(words(F.col("text")), SUBSTR_W)
     e = d.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", phash32(F.col("g"), "xs").alias("gh")
+        "doc_id", phash60(F.col("g"), "xs").alias("gh")
     )
     cnt = e.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
     return (
@@ -733,7 +735,7 @@ c AS (
                     ' '))
          ELSE [] END AS chunks
   FROM d),
-e AS (SELECT doc_id, {phash32_sql('chunk', 'pass')} AS ch
+e AS (SELECT doc_id, {phash60_sql('chunk', 'pass')} AS ch
       FROM (SELECT doc_id, unnest(chunks) AS chunk FROM c)),
 cnt AS (SELECT ch, count(*) AS cnt FROM e GROUP BY ch)
 SELECT e.doc_id, count(*) AS n_chunks,
@@ -748,7 +750,7 @@ GROUP BY e.doc_id
 ORACLE["dedup_exact_substring"] = f"""
 WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
 g AS (SELECT doc_id, {word_grams_sql("w", SUBSTR_W)} AS grams FROM d),
-e AS (SELECT doc_id, {phash32_sql('gram', 'xs')} AS gh
+e AS (SELECT doc_id, {phash60_sql('gram', 'xs')} AS gh
       FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
 cnt AS (SELECT gh, count(*) AS cnt FROM e GROUP BY gh)
 SELECT e.doc_id, count(*) AS n_windows,

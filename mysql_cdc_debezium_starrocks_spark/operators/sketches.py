@@ -215,11 +215,18 @@ def theta_sketch(
     ``set_col`` — the reusable form: persist the (set, h, theta) table once,
     then answer any pairwise overlap question from k-row state.  Hashing is
     the deterministic portable family, so sketches built on different
-    clusters/engines are bit-identical and mergeable."""
+    clusters/engines are bit-identical and mergeable.
+
+    Dedup happens on the HASH, not the value: that makes one-shot
+    construction agree with :func:`theta_merge` (which can only dedup
+    hashes — values are gone) even when two distinct values collide, so
+    the merge==direct bit-for-bit invariant is unconditional.  NULL items
+    are dropped: phash32(NULL) is NULL, which would sort NULLS FIRST and
+    permanently occupy the sketch's rank-1 slot, biasing theta."""
     pairs = (
-        df.select(set_col, item_col)
-        .distinct()
+        df.filter(F.col(item_col).isNotNull())
         .select(set_col, phash32(F.col(item_col), seed).alias("h"))
+        .distinct()
     )
     return _theta_from_hashes(pairs, set_col, k)
 
@@ -268,7 +275,7 @@ def theta_combine(sketch: DataFrame, set_col: str) -> DataFrame:
         F.round(F.col("n_union_s").cast("double") * scale, 2)
         .cast("decimal(14,2)")
         .alias("union_est"),
-        F.round(F.col("n_inter_s").cast("double") / F.col("n_union_s"), 6)
+        F.round(F.try_divide(F.col("n_inter_s").cast("double"), F.col("n_union_s")), 6)
         .cast("decimal(9,6)")
         .alias("jaccard_est"),
     )
@@ -345,7 +352,7 @@ def theta_containment(sketch: DataFrame, set_col: str, fk_label: str) -> DataFra
         .select(
             "inter_s",
             "fk_s",
-            F.round(F.col("inter_s").cast("double") / F.col("fk_s"), 6)
+            F.round(F.try_divide(F.col("inter_s").cast("double"), F.col("fk_s")), 6)
             .cast("decimal(9,6)")
             .alias("containment_est"),
         )
@@ -411,7 +418,10 @@ u AS (
   UNION ALL
   SELECT 'pk' AS side, {phash32_sql("key::VARCHAR", "fkc")} AS h FROM pk),
 ranked AS (
-  SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rk FROM u),
+  -- distinct on the HASH (not the value): matches theta_sketch's
+  -- merge-compatible dedup semantics
+  SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rk
+  FROM (SELECT DISTINCT side, h FROM u) du),
 topk AS (SELECT side, h FROM ranked WHERE rk <= {CONTAIN_K}),
 th AS (
   SELECT side,
@@ -443,7 +453,10 @@ WITH dpairs AS (
   SELECT DISTINCT event_type, user_id FROM events
   WHERE event_type IN ({_THETA_TYPES_SQL})),
 pairs AS (
-  SELECT event_type, {phash32_sql("user_id::VARCHAR", "theta")} AS h FROM dpairs),
+  -- distinct on the HASH (not the value): matches theta_sketch's
+  -- merge-compatible dedup semantics
+  SELECT DISTINCT event_type, {phash32_sql("user_id::VARCHAR", "theta")} AS h
+  FROM dpairs),
 ranked AS (
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk

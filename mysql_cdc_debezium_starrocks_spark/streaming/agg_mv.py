@@ -33,10 +33,13 @@ from __future__ import annotations
 import json
 import os
 import re
+
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ._state import numbered_ids
 
 _CONTRIB = "contrib"
 _BASELINE = "baseline"
@@ -104,14 +107,7 @@ def _hist_quantile(arr, total, q: float, lo: float, w: float, nbins: int):
 
 
 def _batch_ids(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, _CONTRIB)
-    if not os.path.isdir(root):
-        return []
-    return sorted(
-        int(m.group(1))
-        for d in os.listdir(root)
-        if (m := re.fullmatch(r"batch=(\d+)", d))
-    )
+    return numbered_ids(os.path.join(state_dir, _CONTRIB))
 
 
 def _partial_aggs(spec: dict) -> list:
@@ -266,11 +262,7 @@ def compact_agg_mv(
         .localCheckpoint(eager=True)  # cut lineage before FS mutation
     )
     root = os.path.join(state_dir, _BASELINE)
-    ks = sorted(
-        int(m.group(1))
-        for d in (os.listdir(root) if os.path.isdir(root) else [])
-        if (m := re.fullmatch(r"v=(\d+)", d))
-    )
+    ks = numbered_ids(root, prefix="v")
     new_dir = os.path.join(root, f"v={(ks[-1] + 1) if ks else 0}")
     merged.write.mode("overwrite").parquet(os.path.join(new_dir, "data"))
     with open(os.path.join(new_dir, _FOLDED), "w") as f:

@@ -24,27 +24,19 @@ what the batch LSH top-k returns over the union of all ingested batches
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.similarity import _bucket, _dot
+from ._state import numbered_ids
 
 _INDEX = "index"
 
 
 def _batch_ids(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, _INDEX)
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in os.listdir(root):
-        m = re.fullmatch(r"batch=(\d+)", d)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return numbered_ids(os.path.join(state_dir, _INDEX))
 
 
 def ingest_ann_batch(

@@ -25,24 +25,16 @@ joined only for verification).
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import JACCARD_MIN, signature_table
+from ._state import numbered_ids
 
 
 def _batch_ids(state_dir: str, sub: str) -> list[int]:
-    root = os.path.join(state_dir, sub)
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in os.listdir(root):
-        m = re.fullmatch(r"batch=(\d+)", d)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return numbered_ids(os.path.join(state_dir, sub))
 
 
 def ingest_dedup_batch(

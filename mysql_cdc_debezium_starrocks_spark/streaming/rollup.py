@@ -48,11 +48,13 @@ from __future__ import annotations
 
 import json
 import os
-import re
+
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ._state import numbered_ids
 
 _DAY = "day"
 _KEYS = (_DAY, "minute", "event_type")
@@ -85,26 +87,15 @@ def _combine(parts: DataFrame) -> DataFrame:
     )
 
 
-def _list_ids(root: str, pattern: str) -> list[int]:
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in os.listdir(root):
-        m = re.fullmatch(pattern, d)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
 def _contrib_ids(state_dir: str) -> list[int]:
-    return _list_ids(os.path.join(state_dir, _CONTRIB), r"batch=(\d+)")
+    return numbered_ids(os.path.join(state_dir, _CONTRIB))
 
 
 def _committed_baseline(state_dir: str) -> tuple[str, set[int]] | None:
     """Newest baseline dir bearing the _COMMITTED marker, with its folded-id
     set.  Uncommitted (crashed-mid-write) baselines are simply ignored."""
     root = os.path.join(state_dir, _BASELINE)
-    for k in reversed(_list_ids(root, r"v=(\d+)")):
+    for k in reversed(numbered_ids(root, prefix="v")):
         d = os.path.join(root, f"v={k}")
         if os.path.exists(os.path.join(d, _COMMITTED)):
             with open(os.path.join(d, _FOLDED)) as f:
@@ -172,7 +163,7 @@ def compact_rollup(
     )
 
     root = os.path.join(state_dir, _BASELINE)
-    ks = _list_ids(root, r"v=(\d+)")
+    ks = numbered_ids(root, prefix="v")
     new_dir = os.path.join(root, f"v={(ks[-1] + 1) if ks else 0}")
     merged.repartition(F.col(_DAY)).write.mode("overwrite").parquet(
         os.path.join(new_dir, "data")

@@ -30,7 +30,7 @@ shuffles only the batch + the open rows of touched keys.
 from __future__ import annotations
 
 import os
-import re
+
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,20 +40,13 @@ from pyspark.sql.window import Window
 
 from ..cdc.apply import latest_by_key, parse_envelope
 from ..cdc.schemas import ORDER_EVENT_ENVELOPE
+from ._state import numbered_ids
 
 _KEEP_SNAPSHOTS = 3
 
 
 def _snapshot_ids(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, "open")
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in os.listdir(root):
-        m = re.fullmatch(r"batch=(\d+)", d)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return numbered_ids(os.path.join(state_dir, "open"))
 
 
 def merge_scd2_batch(

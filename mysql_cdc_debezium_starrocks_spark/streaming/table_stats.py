@@ -21,23 +21,17 @@ estimated table bytes vs the broadcast threshold.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ._state import numbered_ids
 
 _STATS = "stats"
 
 
 def _batch_ids(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, _STATS)
-    if not os.path.isdir(root):
-        return []
-    return sorted(
-        int(m.group(1))
-        for d in os.listdir(root)
-        if (m := re.fullmatch(r"batch=(\d+)", d))
-    )
+    return numbered_ids(os.path.join(state_dir, _STATS))
 
 
 def update_stats_batch(

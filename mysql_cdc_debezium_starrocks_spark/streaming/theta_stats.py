@@ -22,8 +22,8 @@ monitor ever touches the fact table again.
 
 from __future__ import annotations
 
+import json
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,20 +34,47 @@ from ..operators.sketches import (
     theta_merge,
     theta_sketch,
 )
+from ._state import numbered_ids
 
 _THETA = "theta"
 DEFAULT_K = 256
+_META = "_meta.json"
 
 
 def _batch_ids(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, _THETA)
-    if not os.path.isdir(root):
-        return []
-    return sorted(
-        int(m.group(1))
-        for d in os.listdir(root)
-        if (m := re.fullmatch(r"batch=(\d+)", d))
-    )
+    return numbered_ids(os.path.join(state_dir, _THETA))
+
+
+def _meta_path(state_dir: str) -> str:
+    return os.path.join(state_dir, _THETA, _META)
+
+
+def _read_meta(state_dir: str) -> dict | None:
+    try:
+        with open(_meta_path(state_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _ensure_meta(state_dir: str, k: int, seed: str) -> None:
+    """Record (k, seed) in the state dir on first write; later writes must
+    match.  A sketch maintained at k is only valid read at THAT k: merging
+    k-row contributions then selecting k' > k smallest hashes silently
+    flips a big set into bogus 'exact mode' (fewer than k' distinct hashes
+    survive), and a different seed is a different hash family entirely."""
+    meta = _read_meta(state_dir)
+    if meta is None:
+        os.makedirs(os.path.join(state_dir, _THETA), exist_ok=True)
+        tmp = _meta_path(state_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"k": k, "seed": seed}, f)
+        os.replace(tmp, _meta_path(state_dir))
+    elif meta["k"] != k or meta["seed"] != seed:
+        raise ValueError(
+            f"theta state {state_dir} was maintained with k={meta['k']} "
+            f"seed={meta['seed']!r}; refusing write with k={k} seed={seed!r}"
+        )
 
 
 def update_theta_batch(
@@ -59,10 +86,18 @@ def update_theta_batch(
     k: int = DEFAULT_K,
     seed: str = "theta",
 ) -> None:
-    """Fold one micro-batch's ``col`` into a k-row sketch contribution."""
+    """Fold one micro-batch's ``col`` into a k-row sketch contribution.
+
+    NULL keys are dropped before hashing: phash32(NULL) is NULL, which
+    would sort NULLS FIRST and permanently occupy the sketch's rank-1
+    slot, biasing theta — and a NULL FK is an orphan by definition, not a
+    key to sample.
+    """
+    _ensure_meta(state_dir, k, seed)
     sk = theta_sketch(
-        batch.select(F.lit("s").alias("_set"), F.col(col)), "_set", col,
-        k=k, seed=seed,
+        batch.filter(F.col(col).isNotNull())
+        .select(F.lit("s").alias("_set"), F.col(col)),
+        "_set", col, k=k, seed=seed,
     )
     sk.select("h").coalesce(1).write.mode("overwrite").parquet(
         os.path.join(state_dir, _THETA, f"batch={batch_id}")
@@ -70,17 +105,29 @@ def update_theta_batch(
 
 
 def read_theta(
-    spark: SparkSession, state_dir: str, k: int = DEFAULT_K,
+    spark: SparkSession, state_dir: str, k: int | None = None,
     label: str = "s",
 ) -> DataFrame:
     """The merged sketch of everything ever ingested: (set=label, h, theta).
 
     Contribution files store only the hashes; theta is recomputed by the
     merge (it must be — per-chunk thetas are not the union's theta).
+    ``k`` defaults to the k the state was maintained with (recorded in the
+    state's ``_meta.json``); passing a different k raises rather than
+    silently mis-estimating.
     """
     ids = _batch_ids(state_dir)
     if not ids:
         raise FileNotFoundError(f"no theta sketch state under {state_dir}")
+    meta = _read_meta(state_dir)
+    state_k = meta["k"] if meta else DEFAULT_K
+    if k is None:
+        k = state_k
+    elif meta and k != state_k:
+        raise ValueError(
+            f"theta state {state_dir} was maintained with k={state_k}; "
+            f"reading at k={k} would mis-estimate (exact-mode flip)"
+        )
     rows = spark.read.parquet(
         *[os.path.join(state_dir, _THETA, f"batch={i}") for i in ids]
     )
@@ -88,38 +135,55 @@ def read_theta(
 
 
 def containment_between(
-    spark: SparkSession, fk_state: str, pk_state: str, k: int = DEFAULT_K
+    spark: SparkSession, fk_state: str, pk_state: str, k: int | None = None
 ) -> dict:
     """Estimated fraction of the fk-state's keys present in the pk-state's.
 
     Both states must have been maintained with the SAME seed and key
-    domain semantics (the hash is of the stringified value).
+    domain semantics (the hash is of the stringified value); k defaults to
+    the states' recorded maintenance k.  An EMPTY fk state (no keys
+    ingested yet — the startup case) returns containment 1.0 with zero
+    sample counts: no fk key is unresolved, and a monitor must not crash
+    on the vacuous case.
     """
     sk = read_theta(spark, fk_state, k, label="fk").unionByName(
         read_theta(spark, pk_state, k, label="pk")
     )
-    r = theta_containment(sk, "_set", "fk").collect()[0]
+    rows = theta_containment(sk, "_set", "fk").collect()
+    r = rows[0] if rows else None
+    fk_s = (r["fk_s"] if r else 0) or 0
     return {
-        "inter_sample": r["inter_s"],
-        "fk_sample": r["fk_s"],
-        "containment_est": float(r["containment_est"]),
+        "inter_sample": (r["inter_s"] if r else 0) or 0,
+        "fk_sample": fk_s,
+        "containment_est": (
+            float(r["containment_est"]) if r is not None and fk_s else 1.0
+        ),
     }
 
 
 def overlap_between(
-    spark: SparkSession, a_state: str, b_state: str, k: int = DEFAULT_K
+    spark: SparkSession, a_state: str, b_state: str, k: int | None = None
 ) -> dict:
     """Intersection / union / Jaccard estimates between two maintained
-    key-sketch states."""
+    key-sketch states.  Empty states (nothing ingested yet) yield the
+    defined zero estimates instead of NULL-crashing; Jaccard of two empty
+    sets is reported as 0.0 by convention.
+    """
     sk = read_theta(spark, a_state, k, label="a").unionByName(
         read_theta(spark, b_state, k, label="b")
     )
-    r = theta_combine(sk, "_set").collect()[0]
+    rows = theta_combine(sk, "_set").collect()
+    r = rows[0] if rows else None
+
+    def _f(name):
+        v = r[name] if r is not None else None
+        return float(v) if v is not None else 0.0
+
     return {
-        "theta": r["theta"],
-        "inter_est": float(r["inter_est"]),
-        "union_est": float(r["union_est"]),
-        "jaccard_est": float(r["jaccard_est"]),
+        "theta": r["theta"] if r is not None else None,
+        "inter_est": _f("inter_est"),
+        "union_est": _f("union_est"),
+        "jaccard_est": _f("jaccard_est"),
     }
 
 

@@ -129,3 +129,51 @@ def test_streaming_e2e(spark, tmp_path):
         ).collect()
     )
     assert merged == direct
+
+
+def test_state_records_k_and_rejects_mismatch(spark, tmp_path):
+    """k/seed are recorded at first write; a different read-k or write-k
+    must raise instead of silently flipping into bogus 'exact mode'."""
+    import pytest
+
+    state = str(tmp_path / "sk")
+    update_theta_batch(spark, state, _orders(spark), "o_custkey", 0, k=64)
+    # read at the recorded k works without passing k
+    assert read_theta(spark, state).count() > 0
+    with pytest.raises(ValueError, match="k=64"):
+        read_theta(spark, state, k=256)
+    with pytest.raises(ValueError, match="refusing write"):
+        update_theta_batch(spark, state, _orders(spark), "o_custkey", 1, k=256)
+    with pytest.raises(ValueError, match="refusing write"):
+        update_theta_batch(
+            spark, state, _orders(spark), "o_custkey", 1, k=64, seed="other"
+        )
+
+
+def test_null_keys_do_not_enter_sketch(spark, tmp_path):
+    """NULL FKs (orphans by definition) must not bias theta via a NULL
+    hash in the rank-1 slot: the sketch equals the sketch of the non-null
+    keys."""
+    state_n, state_c = str(tmp_path / "n"), str(tmp_path / "c")
+    base = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,)] * 5, "key LONG"
+    )
+    update_theta_batch(spark, state_n, base, "key", 0, k=32)
+    update_theta_batch(spark, state_c, base.filter("key IS NOT NULL"), "key", 0, k=32)
+    a = sorted(map(tuple, read_theta(spark, state_n).collect()))
+    b = sorted(map(tuple, read_theta(spark, state_c).collect()))
+    assert a == b and a
+
+
+def test_empty_states_return_defined_estimates(spark, tmp_path):
+    """The startup case (batches ingested, zero non-null keys) must return
+    defined values, not crash on float(None)."""
+    empty, full = str(tmp_path / "e"), str(tmp_path / "f")
+    nulls = spark.createDataFrame([(None,)], "key LONG")
+    update_theta_batch(spark, empty, nulls, "key", 0)
+    update_theta_batch(spark, full, _orders(spark), "o_custkey", 0)
+
+    got = containment_between(spark, empty, full)
+    assert got == {"inter_sample": 0, "fk_sample": 0, "containment_est": 1.0}
+    ov = overlap_between(spark, empty, empty)
+    assert ov["inter_est"] == 0.0 and ov["jaccard_est"] == 0.0
