@@ -294,7 +294,11 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte hashes, and the sketches themselves are mergeable across
     partitions/days (:func:`theta_merge`).
     """
-    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin(*THETA_TYPES))
+    # NULL users excluded from sketch AND exact sides alike (a NULL user
+    # is not a member of either set; theta_sketch drops NULL items)
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*THETA_TYPES) & F.col("user_id").isNotNull()
+    )
     dpairs = e.select("event_type", "user_id").distinct()
     combined = theta_combine(
         theta_sketch(e, "event_type", "user_id"), "event_type"
@@ -372,14 +376,20 @@ def sketch_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     two k-row sketch tables (maintained per partition via
     :func:`theta_merge`) instead of a fact-size anti join.
     """
+    # NULL keys excluded on sketch and exact sides alike: a NULL FK is an
+    # orphan by definition, not a key whose resolution we sample
     fk = (
         load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
         .select(F.col("o_custkey").alias("key"))
         .withColumn("side", F.lit("fk"))
     )
     pk = (
         load(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("c_custkey").isNotNull()
+        )
         .select(F.col("c_custkey").alias("key"))
         .withColumn("side", F.lit("pk"))
     )
@@ -411,8 +421,9 @@ def sketch_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAIN_ORACLE = f"""
-WITH fk AS (SELECT DISTINCT o_custkey AS key FROM orders),
-pk AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'),
+WITH fk AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_custkey IS NOT NULL),
+pk AS (SELECT DISTINCT c_custkey AS key FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL),
 u AS (
   SELECT 'fk' AS side, {phash32_sql("key::VARCHAR", "fkc")} AS h FROM fk
   UNION ALL
@@ -451,7 +462,7 @@ _THETA_TYPES_SQL = ", ".join(f"'{t}'" for t in THETA_TYPES)
 _THETA_ORACLE = f"""
 WITH dpairs AS (
   SELECT DISTINCT event_type, user_id FROM events
-  WHERE event_type IN ({_THETA_TYPES_SQL})),
+  WHERE user_id IS NOT NULL AND event_type IN ({_THETA_TYPES_SQL})),
 pairs AS (
   -- distinct on the HASH (not the value): matches theta_sketch's
   -- merge-compatible dedup semantics

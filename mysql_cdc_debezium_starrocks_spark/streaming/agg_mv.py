@@ -32,8 +32,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
-
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -217,17 +215,14 @@ def _refold_aggs(spec: dict) -> list:
 
 
 def _committed_baseline(state_dir: str) -> tuple[str, set[int]] | None:
+    # NUMERIC max, not lexicographic listdir order: sorted() strings put
+    # v=9 after v=10, which would resurrect an old baseline (and lose the
+    # contribs its manifest lacks) once versions reach two digits.
     root = os.path.join(state_dir, _BASELINE)
-    if not os.path.isdir(root):
+    ks = numbered_ids(root, prefix="v", require_marker=_COMMITTED)
+    if not ks:
         return None
-    best = None
-    for d in sorted(os.listdir(root)):
-        m = re.fullmatch(r"v=(\d+)", d)
-        full = os.path.join(root, d)
-        if m and os.path.exists(os.path.join(full, _COMMITTED)):
-            best = full
-    if best is None:
-        return None
+    best = os.path.join(root, f"v={ks[-1]}")
     with open(os.path.join(best, _FOLDED)) as f:
         return best, set(json.load(f))
 

@@ -34,26 +34,21 @@ pruned best-effort after commit.
 from __future__ import annotations
 
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ._state import numbered_ids
 
 _KEEP_SNAPSHOTS = 3
 _SUMMARY = "summary"
 
 
 def _snapshot_ids(state_dir: str) -> list[int]:
-    root = os.path.join(state_dir, _SUMMARY)
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in os.listdir(root):
-        m = re.fullmatch(r"batch=(\d+)", d)
-        if m and os.path.exists(os.path.join(root, d, "_SUCCESS")):
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return numbered_ids(
+        os.path.join(state_dir, _SUMMARY), require_marker="_SUCCESS"
+    )
 
 
 def merge_heavy_hitters_batch(

@@ -65,6 +65,15 @@ def _ensure_meta(state_dir: str, k: int, seed: str) -> None:
     survive), and a different seed is a different hash family entirely."""
     meta = _read_meta(state_dir)
     if meta is None:
+        if _batch_ids(state_dir):
+            # pre-metadata state: we cannot know what k/seed built those
+            # contributions, so stamping the next writer's values would
+            # legitimize exactly the mismatch this guard exists to stop
+            raise ValueError(
+                f"theta state {state_dir} has contributions but no "
+                f"{_META}; backfill it with the original maintenance "
+                f"k/seed before writing"
+            )
         os.makedirs(os.path.join(state_dir, _THETA), exist_ok=True)
         tmp = _meta_path(state_dir) + ".tmp"
         with open(tmp, "w") as f:
@@ -88,15 +97,13 @@ def update_theta_batch(
 ) -> None:
     """Fold one micro-batch's ``col`` into a k-row sketch contribution.
 
-    NULL keys are dropped before hashing: phash32(NULL) is NULL, which
-    would sort NULLS FIRST and permanently occupy the sketch's rank-1
-    slot, biasing theta — and a NULL FK is an orphan by definition, not a
-    key to sample.
+    NULL keys never enter the sketch (``theta_sketch`` drops them — a
+    NULL hash would bias theta, and a NULL FK is an orphan by definition,
+    not a key to sample).
     """
     _ensure_meta(state_dir, k, seed)
     sk = theta_sketch(
-        batch.filter(F.col(col).isNotNull())
-        .select(F.lit("s").alias("_set"), F.col(col)),
+        batch.select(F.lit("s").alias("_set"), F.col(col)),
         "_set", col, k=k, seed=seed,
     )
     sk.select("h").coalesce(1).write.mode("overwrite").parquet(
@@ -141,23 +148,33 @@ def containment_between(
 
     Both states must have been maintained with the SAME seed and key
     domain semantics (the hash is of the stringified value); k defaults to
-    the states' recorded maintenance k.  An EMPTY fk state (no keys
-    ingested yet — the startup case) returns containment 1.0 with zero
-    sample counts: no fk key is unresolved, and a monitor must not crash
-    on the vacuous case.
+    the states' recorded maintenance k.  Degenerate cases are explicit,
+    never a crash or a false all-clear:
+
+    - fk state EMPTY (no keys ingested yet — startup): containment 1.0,
+      the vacuous truth; ``fk_sketch_rows`` 0 lets callers tell.
+    - fk state non-empty but NO fk sample survives below the combined
+      theta (tiny fk set vs a huge pk set pushing theta_g far down):
+      containment ``None`` — "insufficient sample", emphatically NOT 1.0,
+      because every fk key could still be an orphan.
     """
-    sk = read_theta(spark, fk_state, k, label="fk").unionByName(
-        read_theta(spark, pk_state, k, label="pk")
-    )
-    rows = theta_containment(sk, "_set", "fk").collect()
+    sk_fk = read_theta(spark, fk_state, k, label="fk")
+    sk_pk = read_theta(spark, pk_state, k, label="pk")
+    fk_rows = sk_fk.count()
+    rows = theta_containment(sk_fk.unionByName(sk_pk), "_set", "fk").collect()
     r = rows[0] if rows else None
     fk_s = (r["fk_s"] if r else 0) or 0
+    if fk_rows == 0:
+        est = 1.0
+    elif fk_s == 0:
+        est = None
+    else:
+        est = float(r["containment_est"])
     return {
         "inter_sample": (r["inter_s"] if r else 0) or 0,
         "fk_sample": fk_s,
-        "containment_est": (
-            float(r["containment_est"]) if r is not None and fk_s else 1.0
-        ),
+        "fk_sketch_rows": fk_rows,
+        "containment_est": est,
     }
 
 

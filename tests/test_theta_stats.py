@@ -174,6 +174,29 @@ def test_empty_states_return_defined_estimates(spark, tmp_path):
     update_theta_batch(spark, full, _orders(spark), "o_custkey", 0)
 
     got = containment_between(spark, empty, full)
-    assert got == {"inter_sample": 0, "fk_sample": 0, "containment_est": 1.0}
+    assert got == {
+        "inter_sample": 0,
+        "fk_sample": 0,
+        "fk_sketch_rows": 0,
+        "containment_est": 1.0,
+    }
     ov = overlap_between(spark, empty, empty)
     assert ov["inter_est"] == 0.0 and ov["jaccard_est"] == 0.0
+
+
+def test_insufficient_fk_sample_is_none_not_all_clear(spark, tmp_path):
+    """Tiny fk set vs a huge pk set: theta_g collapses to the pk theta and
+    (almost surely) no fk hash survives the sample — the monitor must say
+    'insufficient sample' (None), never 1.0, because every fk key here IS
+    an orphan."""
+    fk_state, pk_state = str(tmp_path / "fk"), str(tmp_path / "pk")
+    fk = spark.createDataFrame([(10_000_000 + i,) for i in range(3)], "key LONG")
+    pk = spark.createDataFrame([(i,) for i in range(20_000)], "key LONG")
+    update_theta_batch(spark, fk_state, fk, "key", 0, k=16)
+    update_theta_batch(spark, pk_state, pk, "key", 0, k=16)
+    got = containment_between(spark, fk_state, pk_state)
+    assert got["fk_sketch_rows"] == 3
+    if got["fk_sample"] == 0:
+        assert got["containment_est"] is None
+    else:  # an fk hash happened to fall below theta_g: a real estimate
+        assert 0.0 <= got["containment_est"] <= 1.0
