@@ -74,7 +74,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") != "bigint":  # already a real timestamp
         return df
-    days = (F.col("ts") / F.lit(_NS_PER_DAY)).cast("long")
+    # exact INTEGER division: ts (~1.7e18 ns) exceeds double's 53-bit
+    # mantissa, and a double quotient truncating the wrong side of a day
+    # boundary would shift the rebuilt timestamp by a full day vs the
+    # exact modulo below (and vs the DuckDB oracle)
+    days = F.expr(f"ts div {_NS_PER_DAY}")
     micros_in_day = ((F.col("ts") % F.lit(_NS_PER_DAY)) / 1000).cast("long")
     secs = (micros_in_day.cast("decimal(20,0)") / F.lit(1_000_000).cast("decimal(8,0)")).cast(
         "decimal(18,6)"

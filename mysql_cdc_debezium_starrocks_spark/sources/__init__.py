@@ -129,9 +129,19 @@ def workload_stream(
     return _to_wire(rate, key_space, mix, seed)
 
 
-def file_event_source(spark: SparkSession, path: str) -> DataFrame:
-    """JSON event-log directory stream: (_seq, value) rows (S5 file mode)."""
-    return spark.readStream.schema("`_seq` LONG, value STRING").json(path)
+def file_event_source(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """JSON event-log directory stream: (_seq, value) rows (S5 file mode).
+
+    The single definition of the ingest wire schema — the materializer's
+    file path builds on this (micro-batch sizing via
+    ``max_files_per_trigger``, T1).
+    """
+    reader = spark.readStream.schema("`_seq` LONG, value STRING")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
 
 
 def jdbc_source(

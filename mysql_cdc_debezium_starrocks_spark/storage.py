@@ -201,9 +201,13 @@ def write_training_shards(
     out = df.withColumn(
         "_shard", F.pmod(F.col(key_col), F.lit(shards)).cast("int")
     )
+    # tiebreak by every remaining column: rows sharing key_col (chunk rows
+    # per doc, multi-row groups) would otherwise land in shuffle-arrival
+    # order, breaking the bit-reproducibility promise above
+    ties = [c for c in df.columns if c != key_col]
     (
         out.repartition(shards, "_shard")
-        .sortWithinPartitions("_shard", key_col)
+        .sortWithinPartitions("_shard", key_col, *ties)
         .write.partitionBy("_shard")
         .parquet(path)
     )
@@ -235,6 +239,9 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
     """
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key supports 1-4 columns")
+    # the interleave must fit a SIGNED int64: bits*ncols <= 63, or the top
+    # level of the last column lands in the sign bit and inverts the order
+    bits = min(bits, 63 // len(cols))
     dts = {f.name: f.dataType for f in df.schema.fields}
     longs = [_cluster_long(F.col(c), dts[c]) for c in cols]
     bounds = df.agg(
@@ -246,11 +253,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
     for i, lc in enumerate(longs):
         mn, mx = bounds[f"mn{i}"], bounds[f"mx{i}"]
         span = max(1, (mx or 0) - (mn or 0))
+        # scale in DOUBLE (divide before multiplying): (lc-mn)*levels in
+        # int64 overflows once the value range passes ~2^47 (epoch-micros,
+        # 60-bit hashes); double keeps 53-bit precision, far beyond the
+        # 16-bit level resolution
+        frac = (lc.cast("double") - F.lit(float(mn or 0))) / F.lit(float(span))
         scaled.append(
-            F.least(
-                F.lit(levels),
-                ((lc - F.lit(mn)) * levels / F.lit(span)).cast("long"),
-            )
+            F.least(F.lit(levels), (frac * levels).cast("long"))
         )
     if len(scaled) == 1:
         return scaled[0]

@@ -76,11 +76,20 @@ def _bucket_of(key: str, buckets: int):
 
 
 def _read_state_raw(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
-    """State with its ``_bucket`` partition column (internal)."""
-    try:
-        return spark.read.parquet(_state_path(cfg))
-    except Exception:
+    """State with its ``_bucket`` partition column (internal).
+
+    'No state yet' is decided by an explicit existence check, NOT by
+    catching read errors: a catch-all here would turn any transient read
+    failure (permissions, corrupt footer, listing race) into "state is
+    empty", and the next merge would rebuild the touched buckets from one
+    batch — silent loss of every previously merged key in them.  Real
+    read errors propagate and pause the load (Routine Load's error-pause
+    analog, T8).
+    """
+    _repair_gc_swap(cfg)  # an interrupted gc swap must never read as empty
+    if not os.path.isdir(_state_path(cfg)):
         return None  # no state yet
+    return spark.read.parquet(_state_path(cfg))
 
 
 def read_state(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
@@ -104,7 +113,42 @@ def read_state(spark: SparkSession, cfg: CdcLoadConfig) -> DataFrame:
     ).drop(_BUCKET_COL)
 
 
-def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> None:
+def _ensure_state_meta(cfg: CdcLoadConfig) -> None:
+    """Persist (buckets, key) on first merge; later merges must match.
+
+    The bucket count defines the on-disk hash layout: merging with a
+    different modulus than the state was built with prunes reads/writes to
+    the WRONG bucket directories — stale rows survive beside new ones
+    (duplicate PKs) and point lookups miss.  Changing buckets requires a
+    rewrite (gc/compact into a new state dir), not a config flip.
+    """
+    import json
+
+    path = os.path.join(cfg.state_dir, "_meta.json")
+    want = {"buckets": cfg.buckets, "key": cfg.key}
+    try:
+        with open(path) as f:
+            have = json.load(f)
+    except FileNotFoundError:
+        os.makedirs(cfg.state_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        os.replace(tmp, path)
+        return
+    if have != want:
+        raise ValueError(
+            f"CDC state {cfg.state_dir} was materialized with {have}; "
+            f"refusing to merge with {want} — rewrite the state to re-bucket"
+        )
+
+
+def merge_batch(
+    spark: SparkSession,
+    cfg: CdcLoadConfig,
+    batch: DataFrame,
+    batch_id: int | None = None,
+) -> None:
     """Keyed last-write-wins merge of one micro-batch into the state table.
 
     Idempotent: replaying a batch re-reduces to the same state because the
@@ -121,7 +165,13 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
     incremental-snapshot chunk) meets the tombstone and loses, instead of
     resurrecting the key.  Tombstones are swept by :func:`gc_tombstones`
     once no producer can still emit a lower sequence.
+
+    ``batch_id`` (passed by the streaming path) keys the dead-letter
+    quarantine dir so checkpoint replay overwrites rather than re-appends —
+    the same idempotence the state merge itself has.  Ad-hoc batch callers
+    may omit it (appends).
     """
+    _ensure_state_meta(cfg)
     if cfg.drift_dir is not None:
         # observability probe for undeclared wire fields (upstream ALTERs the
         # fixed envelope would silently drop — see schema_drift.py); one
@@ -151,10 +201,17 @@ def merge_batch(spark: SparkSession, cfg: CdcLoadConfig, batch: DataFrame) -> No
         )
         if any(r[_BUCKET_COL] == -1 for r in bucket_stats):
             # quarantine malformed rows and continue — non-blocking analog
-            # of Routine Load's parse-error pause
-            parsed.filter(F.col(cfg.key).isNull()).write.mode("append").parquet(
-                os.path.join(cfg.state_dir, "_dead_letter")
-            )
+            # of Routine Load's parse-error pause; batch-keyed dirs make
+            # replay idempotent (overwrite), matching the state merge
+            bad = parsed.filter(F.col(cfg.key).isNull())
+            if batch_id is not None:
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(cfg.state_dir, "_dead_letter", f"batch={batch_id}")
+                )
+            else:
+                bad.write.mode("append").parquet(
+                    os.path.join(cfg.state_dir, "_dead_letter")
+                )
         good = parsed.filter(F.col(cfg.key).isNotNull())
         latest = latest_by_key(good, cfg.key, cfg.seq_col).withColumn(
             _BUCKET_COL, _bucket_of(cfg.key, cfg.buckets)
@@ -194,12 +251,18 @@ def gc_tombstones(
     PK-LSM engine's major compaction discarding delete markers past the
     retention horizon.  Rewrites every bucket once; run it as maintenance,
     not per batch.  Scale-safe: the filtered state streams to a sibling tmp
-    directory (never through driver/executor memory), then swaps in — a
-    crash before the swap leaves the old state intact; after, the sweep is
-    simply done.  Must not run concurrently with an active merge.
+    directory (never through driver/executor memory), then swaps in.
+
+    **Crash recovery** (same complete-or-rollback scheme as
+    ``storage.compact_files``): the two-rename swap is not atomic, so every
+    call — and every state read — first repairs an interrupted swap:
+    if the state dir is gone, finish the swap when the tmp dir completed
+    (``_SUCCESS`` present), else restore the old dir.  Must not run
+    concurrently with an active merge.
     """
     import shutil
 
+    _repair_gc_swap(cfg)
     current = _read_state_raw(spark, cfg)
     if current is None:
         return
@@ -219,18 +282,36 @@ def gc_tombstones(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _repair_gc_swap(cfg: CdcLoadConfig) -> None:
+    """Complete or roll back a gc_tombstones swap interrupted by a crash."""
+    import shutil
+
+    final = _state_path(cfg)
+    tmp, old = final + "._gc_tmp", final + "._gc_old"
+    if os.path.isdir(final):
+        return
+    if os.path.isdir(old):
+        if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, final)  # tmp was fully written: finish the swap
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, final)  # tmp incomplete: restore the old state
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
     """CREATE ROUTINE LOAD analog: build and start the named StreamingQuery."""
-    reader = (
-        spark.readStream.schema("`_seq` LONG, value STRING")
-        .option("maxFilesPerTrigger", cfg.max_files_per_trigger or 10)
+    from ..sources import file_event_source
+
+    events = file_event_source(
+        spark, cfg.source_dir,
+        max_files_per_trigger=cfg.max_files_per_trigger or 10,
     )
-    events = reader.json(cfg.source_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_batch(spark, cfg, batch_df)
+        merge_batch(spark, cfg, batch_df, batch_id=batch_id)
 
     writer = (
         events.writeStream.queryName(cfg.name)
@@ -319,5 +400,11 @@ def point_lookup(spark: SparkSession, cfg: CdcLoadConfig, key_value) -> DataFram
     return (
         raw.filter(F.col(_BUCKET_COL) == b)
         .filter(F.col(cfg.key) == k)
+        # stored delete tombstones are not live rows: without this filter a
+        # deleted key would "exist" to point readers until gc_tombstones
+        .filter(
+            F.col(cfg.deleted_col).isNull()
+            | (F.col(cfg.deleted_col) != F.lit("true"))
+        )
         .drop(_BUCKET_COL)
     )
