@@ -212,7 +212,9 @@ def _update_user_stats(
             "user_id": [key[0]],
             "n_events": [n],
             "total_value": [total],
-            "last_ts": [pd.Timestamp(last_us * 1000)],
+            # NaT, not epoch-0: a user whose rows all carried NULL ts has
+            # no last event time — 1970-01-01 would be a fabricated one
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
         }
     )
 
@@ -244,8 +246,14 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame, on: str = "user_id"
     it when small, so the stream never shuffles.  Left join keeps events
     whose key has no dim row yet (early events), with a flag.
     """
-    enriched = events.join(F.broadcast(dim), on, "left")
-    return enriched.withColumn("dim_matched", F.col(dim.columns[-1]).isNotNull())
+    # a dedicated literal marker decides the match — probing a payload
+    # column would misreport when that column is the join key (coalesced,
+    # never null), legitimately NULL, or name-collides with an events column
+    marked = dim.withColumn("_dim_present", F.lit(True))
+    enriched = events.join(F.broadcast(marked), on, "left")
+    return enriched.withColumn(
+        "dim_matched", F.coalesce(F.col("_dim_present"), F.lit(False))
+    ).drop("_dim_present")
 
 
 def windowed_unique_users(

@@ -23,12 +23,18 @@ engine's LWW merge:
    chunks — chunk identity only paces the work, it never affects the final
    state.
 2. **One global watermark instead of per-chunk windows.**  Every staged row
-   carries ``_seq = snapshot_seq``, the stream sequence at staging time.
-   Any live event captured after staging has a higher sequence, so the
-   engine's keyed last-write-wins reduction (cdc/apply.py:56) makes stream
-   events beat snapshot rows automatically — including the resurrection
-   hazard (a key deleted by the stream while its chunk is still queued
-   stays deleted, because the delete outranks the stale staged row).
+   carries ``_seq = snapshot_seq``, the stream sequence captured BEFORE the
+   staging source read begins (ordering is load-bearing: captured after the
+   read, a change landing mid-read could share the watermark sequence and
+   tie in the LWW reduction — max_by ties are nondeterministic, so a
+   deleted key could resurrect).  Captured before, any concurrent event has
+   a strictly higher sequence and the engine's keyed last-write-wins
+   reduction (cdc/apply.py:56) makes stream events beat snapshot rows
+   automatically — including the resurrection hazard (a key deleted by the
+   stream while its chunk is still queued stays deleted, because the delete
+   strictly outranks the stale staged row); a tie at exactly
+   ``snapshot_seq`` can then only involve an event the staged read already
+   reflects, where either winner carries the same state.
    Debezium needs per-chunk windows because it re-reads each chunk live
    while the binlog advances; a staged consistent copy collapses all those
    windows into one watermark with the same outcome.
@@ -66,7 +72,7 @@ class SnapshotPlan:
     staging_dir: str
     key: str
     n_chunks: int
-    snapshot_seq: int  # stream sequence watermark at staging time
+    snapshot_seq: int  # stream max _seq captured BEFORE the staging read
     range_chunked: bool  # PK-range chunks (numeric key) vs hash chunks
 
 
@@ -84,10 +90,13 @@ def plan_incremental_snapshot(
 ) -> SnapshotPlan:
     """Stage ``source`` partitioned into ``n_chunks`` chunks (see module doc).
 
-    ``snapshot_seq`` must be a sequence value at-or-above every event already
-    captured when ``source`` was read, and below every event captured after —
-    e.g. the live load's current max ``_seq`` (or Kafka offset) at the moment
-    the JDBC snapshot query ran.
+    ``snapshot_seq`` must be captured BEFORE the ``source`` read begins:
+    the live load's max ``_seq`` (or committed Kafka offset) at that
+    moment.  Every event captured afterwards — including changes landing
+    while the snapshot query runs — then has a STRICTLY higher sequence
+    and outranks the staged rows in the LWW merge.  Capturing it after the
+    read would let a mid-read change share the watermark and tie
+    (nondeterministic max_by — a deleted key could resurrect).
     """
     range_chunked = _is_numeric(source, key) and n_chunks > 1
     if range_chunked:

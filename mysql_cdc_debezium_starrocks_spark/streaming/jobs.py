@@ -60,7 +60,10 @@ class LoadJobManager:
                         "numInputRows": p.get("numInputRows"),
                         "inputRowsPerSecond": p.get("inputRowsPerSecond"),
                     },
-                    "OtherMsg": q.exception().desc if q.exception() else None,
+                    # str(), not .desc: StreamingQueryException exposes no
+                    # public desc in PySpark 4.x — .desc would AttributeError
+                    # exactly when a job HAS failed and OtherMsg matters
+                    "OtherMsg": str(q.exception()) if q.exception() else None,
                 }
             )
         return out

@@ -93,10 +93,13 @@ def _touched_buckets(df: DataFrame, key_col: str) -> list[int]:
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    # explicit existence check, NOT a catch-all: a transient read error
+    # treated as "no state" would let the next dynamic overwrite replace
+    # touched buckets with only the delta's rows — silent permanent loss
+    # (same contract as materializer._read_state_raw)
+    if not os.path.isdir(path):
         return None
+    return spark.read.parquet(path)
 
 
 def _overwrite_buckets(df: DataFrame, path: str) -> None:
@@ -112,9 +115,18 @@ def _overwrite_buckets(df: DataFrame, path: str) -> None:
 def _enrich(fact: DataFrame, dim: DataFrame | None, cfg: JoinMVConfig) -> DataFrame:
     """LEFT-join latest dim payload onto fact rows (dim tombstones -> NULL)."""
     if dim is None:
+        if not cfg.dim_types:
+            # guessing a type here would write it into parquet; when real
+            # dim rows later arrive with different types, the view holds
+            # conflicting file schemas per bucket and scans fail (or
+            # misread) — fail fast at the first fact-before-dim batch
+            raise ValueError(
+                "fact delta arrived before any dim state and cfg.dim_types "
+                "is unset: NULL enrichment must be written with the exact "
+                "types later dim batches will use — declare dim_types"
+            )
         out = fact
-        types = cfg.dim_types or ("string",) * len(cfg.dim_cols)
-        for c, t in zip(cfg.dim_cols, types):
+        for c, t in zip(cfg.dim_cols, cfg.dim_types):
             out = out.withColumn(c, F.lit(None).cast(t))
         return out
     live = dim.filter(
@@ -176,6 +188,13 @@ def merge_join_mv_batch(
             _overwrite_buckets(redone, cfg.mv_path)
 
     if fact_delta is not None:
+        # a NULL fact PK cannot be LWW-merged (all NULL keys collapse into
+        # one junk group) — reject loudly, like NULL routing keys below
+        if fact_delta.filter(F.col(cfg.fact_key).isNull()).limit(1).count():
+            raise ValueError(
+                f"fact delta rows with NULL {cfg.fact_key!r}: the view key "
+                f"must be present on every row (deletes included)"
+            )
         latest = latest_by_key(fact_delta, cfg.fact_key, cfg.seq_col).withColumn(
             _BUCKET, _bucket_expr(cfg.fk, cfg.buckets)
         )

@@ -145,10 +145,16 @@ def compact_rollup(
     keeping the last few batch dirs un-folded preserves replay idempotency
     while bounding live dirs at keep_last + 1.
     """
+    if keep_last < 1:
+        # the newest contribution dir may be a mid-write partial whose
+        # batch the stream will replay; folding it would record the batch
+        # as folded while its full rows never become visible — the replay
+        # rewrite lands in a dir readers already exclude
+        raise ValueError("compact_rollup requires keep_last >= 1 for replay safety")
     base = _committed_baseline(state_dir)
     folded = base[1] if base else set()
     live = [i for i in _contrib_ids(state_dir) if i not in folded]
-    fold = live[:-keep_last] if keep_last else live
+    fold = live[:-keep_last]
     if not fold:
         return
 
@@ -157,6 +163,10 @@ def compact_rollup(
         parts.append(os.path.join(base[0], "data"))
     merged = (
         _combine(spark.read.parquet(*parts))
+        # pin the PERSISTED schema to the contribution schema: Spark widens
+        # sum(decimal(28,2)) to (38,2), and mixed file widths make the
+        # multi-path read depend on which file schema inference sees first
+        .withColumn("s", F.col("s").cast("decimal(28,2)"))
         .withColumn("batch_id", F.lit(-1))
         # cut lineage before any FS mutation below
         .localCheckpoint(eager=True)

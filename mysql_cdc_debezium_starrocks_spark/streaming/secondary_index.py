@@ -20,6 +20,7 @@ lag-tolerant secondary-index contract.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,7 +38,13 @@ def _index_dir(cfg: CdcLoadConfig, col: str) -> str:
 def build_secondary_index(
     spark: SparkSession, cfg: CdcLoadConfig, col: str, buckets: int | None = None
 ) -> str:
-    """(Re)build the hash-bucketed index projection for ``col``."""
+    """(Re)build the hash-bucketed index projection for ``col``.
+
+    The bucket modulus is RECORDED next to the index (_meta.json): lookups
+    must hash with the exact build modulus — inferring it from the observed
+    partition values mis-routes whenever the top hash buckets happen to be
+    empty, and an inference-based probe silently returns no rows.
+    """
     raw = _read_state_raw(spark, cfg)
     if raw is None:
         raise FileNotFoundError(f"no materialized state under {cfg.state_dir}")
@@ -54,6 +61,10 @@ def build_secondary_index(
         .partitionBy(_IBUCKET)
         .parquet(out)
     )
+    tmp = os.path.join(out, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"buckets": n}, f)
+    os.replace(tmp, os.path.join(out, "_meta.json"))
     return out
 
 
@@ -73,7 +84,8 @@ def lookup_by_index(
     idx_path = _index_dir(cfg, col)
     idx = spark.read.parquet(idx_path)
     v = F.lit(value).cast(dict(idx.dtypes)[col])
-    n = idx.select(F.max(_IBUCKET)).collect()[0][0] + 1
+    with open(os.path.join(idx_path, "_meta.json")) as f:
+        n = json.load(f)["buckets"]
     ib = F.pmod(F.hash(v), F.lit(n)).cast("int")
     hits = idx.filter(F.col(_IBUCKET) == ib).filter(F.col(col) == v)
     pk_buckets = [

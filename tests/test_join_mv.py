@@ -223,9 +223,21 @@ def test_cdc_wire_e2e(spark, tmp_path):
 def test_fact_before_any_dim_state(spark, tmp_path):
     """A fact batch arriving before ANY dim batch must materialize with
     typed NULL enrichment (parquet cannot store NullType), and heal once
-    the dim rows arrive."""
-    cfg = _cfg(tmp_path)
+    the dim rows arrive.  The types must be DECLARED: guessing (the old
+    string fallback) wrote guessed types into parquet, and later dim
+    batches with different real types left the view with conflicting file
+    schemas per bucket."""
+    import pytest as _pytest
+
+    from dataclasses import replace
+
     facts = [(10, 1, 100, 1, None)]
+    with _pytest.raises(ValueError, match="dim_types"):
+        merge_join_mv_batch(
+            spark, _cfg(tmp_path), fact_delta=_fact(spark, facts)
+        )
+
+    cfg = replace(_cfg(tmp_path), dim_types=("string", "string"))
     merge_join_mv_batch(spark, cfg, fact_delta=_fact(spark, facts))
     row = read_join_mv(spark, cfg).collect()[0]
     assert row["c_name"] is None and row["c_tier"] is None

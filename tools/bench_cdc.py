@@ -60,6 +60,22 @@ def _write_batch(path: str, fname: str, lines: list[str]) -> None:
     os.rename(tmp, os.path.join(path, fname))
 
 
+def _poll_count(spark, cfg):
+    """State row count for pollers, None while unreadable.
+
+    A poll overlapping the stream's dynamic partition overwrite can catch
+    the directory mid-replace (missing files / nothing to infer); plain
+    parquet has no snapshot isolation, so pollers retry — the engine's own
+    read path is strict by design (materializer._read_state_raw) and the
+    merge never races itself.
+    """
+    try:
+        st = read_state(spark, cfg)
+        return None if st is None else st.count()
+    except Exception:
+        return None
+
+
 def bench_insert_throughput(spark, root: str, sizes: list[int]) -> dict:
     """Batch-apply path: events/s through parse+merge to visible state.
 
@@ -119,8 +135,8 @@ def bench_visible_latency(spark, root: str, iters: int) -> dict:
         # wait for the seed to land so the query is warm
         deadline = time.time() + 60
         while time.time() < deadline:
-            st = read_state(spark, cfg)
-            if st is not None and st.count() >= 1:
+            c = _poll_count(spark, cfg)
+            if c is not None and c >= 1:
                 break
             time.sleep(0.2)
 
@@ -283,8 +299,8 @@ def bench_concurrent_mixed(spark, root: str, seconds: int = 30) -> dict:
     try:
         deadline = time.time() + 60
         while time.time() < deadline:  # warm: seed visible
-            st = read_state(spark, cfg)
-            if st is not None and st.count() >= seed:
+            c = _poll_count(spark, cfg)
+            if c is not None and c >= seed:
                 break
             time.sleep(0.2)
         t0 = time.perf_counter()
@@ -308,11 +324,9 @@ def bench_concurrent_mixed(spark, root: str, seconds: int = 30) -> dict:
         t_drain = time.perf_counter()
         deadline = time.time() + 120
         while time.time() < deadline:
-            try:
-                if read_state(spark, cfg).count() >= seed + written_inserts:
-                    break
-            except Exception:
-                pass
+            c = _poll_count(spark, cfg)
+            if c is not None and c >= seed + written_inserts:
+                break
             time.sleep(0.25)
         drain = time.perf_counter() - t_drain
         final = read_state(spark, cfg).count()
