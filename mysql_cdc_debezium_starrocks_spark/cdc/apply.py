@@ -56,12 +56,17 @@ def parse_envelope(
 def latest_by_key(df: DataFrame, key: str, seq_col: str = "_seq") -> DataFrame:
     """Last-write-wins reduction: one row per key, the highest-seq event.
 
-    ``max_by(struct(all cols), seq)`` keeps the reduction partially
+    ``max(struct(seq, all cols))`` keeps the reduction partially
     aggregatable (map-side combine) — the scalable formulation of
     ``row_number() over (partition by key order by seq desc) = 1``.
+    Ordering the struct by seq FIRST and the remaining columns after makes
+    ties deterministic: two events sharing a sequence (an offset re-emitted
+    across recovery) resolve to the lexicographically greatest payload on
+    every run, instead of max_by's arbitrary pick.
     """
     value_cols = [c for c in df.columns if c != key]
-    packed = F.max_by(F.struct(*value_cols), F.col(seq_col)).alias("_latest")
+    ordered = [seq_col] + [c for c in value_cols if c != seq_col]
+    packed = F.max(F.struct(*[F.col(c) for c in ordered])).alias("_latest")
     out = df.groupBy(key).agg(packed)
     return out.select(key, *[F.col(f"_latest.{c}").alias(c) for c in value_cols])
 
@@ -76,9 +81,13 @@ def apply_cdc_log(
 
     The live view excludes keys whose latest event is a delete
     (``__deleted='true'`` from delete.handling.mode=rewrite,
-    reference: debezium-connector.json:24).
+    reference: debezium-connector.json:24).  Rows whose key parsed NULL
+    (malformed/truncated wire JSON: from_json yields all-null fields) are
+    dropped — they are unmergeable, and without this filter every corrupt
+    message would collapse into one spurious NULL-key live row.  The
+    streaming path additionally quarantines them (materializer dead-letter).
     """
-    latest = latest_by_key(events, key, seq_col)
+    latest = latest_by_key(events.filter(F.col(key).isNotNull()), key, seq_col)
     live = latest.filter(
         F.col(deleted_col).isNull() | (F.col(deleted_col) != F.lit("true"))
     )

@@ -144,28 +144,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Jaccard verify) reuse it instead of recomputing the shingle+hash
     # subtree per branch.  At 100 TB this is "write the signature table to
     # storage"; in-session it's an in-memory persist (~1.5 KB/doc).
-    sigs = _minhash_sig(_doc_shingle_hashes(spark, sf_dir)).persist()
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                phash32(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col("sig")[b * ROWS_PER_BAND + r]
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    ),
-                    f"band{b}",
-                ).alias("bhash"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    exploded = sigs.select(
-        "doc_id", "hs", F.explode(bands).alias("bd")
-    ).select("doc_id", "hs", "bd.band", "bd.bhash")
+    # ONE definition of the banded-signature pipeline (signature_table),
+    # shared with streaming dedup-at-ingest — a drifted copy here would
+    # silently desynchronize the batch and streaming near-dup paths
+    exploded = signature_table(load_spread(spark, sf_dir, "documents")).persist()
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -826,7 +808,13 @@ def _pagerank_distributed(edges: DataFrame, iters: int = PAGERANK_ITERS) -> Data
         )
         if i % 4 == 3 and i < iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.select(F.col("id").alias("doc_id"), "rank_q")
+    # materialize BEFORE unpersisting: the returned plan still references
+    # routed/nodes for the iterations since the last checkpoint — dropping
+    # their cache first would re-run the band join once per reference when
+    # the caller finally collects
+    out = ranks.select(
+        F.col("id").alias("doc_id"), "rank_q"
+    ).localCheckpoint(eager=True)
     for df in (edges, nodes, routed):
         df.unpersist()
     return out

@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_spread
+from ..functions import words
 from .text import QUALITY_MIN, STOPWORDS, _W
 
 K_ITERS = 16
@@ -84,7 +85,9 @@ def _features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to text.py's ``text_quality`` score.
     """
     d = load_spread(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: F.length(x) > 0)
+    # the SHARED tokenizer (functions.words) — an inlined copy here could
+    # silently diverge the student features from the teacher rule
+    w = words(F.col("text"))
     base = d.select(
         F.size(w).alias("nw"),
         F.size(F.array_distinct(w)).alias("nu"),

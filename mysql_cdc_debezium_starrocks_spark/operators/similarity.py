@@ -296,7 +296,7 @@ def kmeans_fit(
     centroid update is ONE partial-aggregatable shuffle (posexplode to
     (cell, dim) then sum+count).  The driver holds only k x dim ints.
     Init is deterministic: the k lowest vec_ids.
-    Returns (centroids, assignment DF).
+    Returns (centroids the final assignment was computed from, assignment DF).
     """
     # persist: every Lloyd round (and the init collect) re-scans this tiny
     # projection otherwise — k-means re-reads its input by construction
@@ -343,11 +343,17 @@ def kmeans_fit(
         return pandas_udf(_assign, "struct<cell:int,d2:long>")
 
     assigned = None
-    for _ in range(iters):
+    for i in range(iters):
         a = assign_udf(cents)(F.col("vq")).alias("a")
         assigned = e.select("vec_id", "vq", a).select(
             "vec_id", "vq", F.col("a.cell").alias("cell"), F.col("a.d2").alias("d2")
         )
+        if i == iters - 1:
+            # final round is assignment-only: every caller consumes the
+            # assignment (or the centroids it was computed FROM) — running
+            # one more (cell, dim) shuffle+collect to update centroids
+            # nobody reads was pure waste
+            break
         upd = (
             assigned.select("cell", F.posexplode("vq").alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -358,6 +364,10 @@ def kmeans_fit(
         for r in upd:
             new[r.cell][r.dim] = _tdiv(int(r.s), int(r.n))
         cents = new
+    # materialize the final assignment so the cached projection can be
+    # released (a lazy return would re-run the UDF against an unpersisted e)
+    assigned = assigned.localCheckpoint(eager=True)
+    e.unpersist()
     return cents, assigned
 
 

@@ -250,7 +250,11 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     mean = sx / n
     var = (sxx - sx * sx / n) / (n - 1)
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # var > 0 guard on BOTH engines: a (near-)constant trailing window can
+    # round the exact-zero variance slightly negative in double — Spark's
+    # sqrt would yield NaN (silently filtered) while DuckDB's sqrt ERRORS,
+    # failing the whole query instead of dropping the row
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
     return (
         s.filter(F.col("n") >= 10)
         .withColumn("z", F.round(z, 4).cast("decimal(12,4)"))
@@ -339,12 +343,11 @@ MIX_TARGET_SHARE = {  # desired token share per source stratum
 }
 
 
-def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixing math: per-source token counts vs the target mixture ->
-    the sampling rate (capped at 1.0) that realizes the target, plus the
-    resulting expected token yield.  One partial-agg'd groupBy; the total
-    is a broadcast scalar.
-    """
+def _source_mix(spark: SparkSession, sf_dir: str):
+    """Shared mixing math: (docs, per-source tokens x broadcast total,
+    target-share expr, capped rate expr) — ONE definition so the published
+    weights (mix_weights_by_source) and the materialized sample
+    (mix_sample_apply) can never disagree."""
     d = load(spark, sf_dir, "documents")
     toks = d.groupBy("source").agg(
         F.sum(F.size(words(F.col("text")))).alias("tokens")
@@ -355,8 +358,18 @@ def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = F.when(F.col("source") == src, F.lit(share)).otherwise(target)
     actual = F.col("tokens") / F.col("total")
     rate = F.least(F.lit(1.0), target / actual)
+    return d, toks.crossJoin(F.broadcast(total)), target, actual, rate
+
+
+def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing math: per-source token counts vs the target mixture ->
+    the sampling rate (capped at 1.0) that realizes the target, plus the
+    resulting expected token yield.  One partial-agg'd groupBy; the total
+    is a broadcast scalar.
+    """
+    _d, toks_total, target, actual, rate = _source_mix(spark, sf_dir)
     return (
-        toks.crossJoin(F.broadcast(total))
+        toks_total
         .select(
             "source",
             "tokens",
@@ -380,16 +393,8 @@ def mix_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     two scans + zero wide shuffles — the reproducible way to cut a weighted
     pretraining mixture at 100 TB (same hash => same sample on re-run).
     """
-    d = load(spark, sf_dir, "documents")
-    toks = d.groupBy("source").agg(
-        F.sum(F.size(words(F.col("text")))).alias("tokens")
-    )
-    total = toks.agg(F.sum("tokens").alias("total"))
-    target = F.lit(0.0)
-    for src, share in MIX_TARGET_SHARE.items():
-        target = F.when(F.col("source") == src, F.lit(share)).otherwise(target)
-    rate = F.least(F.lit(1.0), target / (F.col("tokens") / F.col("total")))
-    rates = toks.crossJoin(F.broadcast(total)).select("source", rate.alias("rate"))
+    d, toks_total, _target, _actual, rate = _source_mix(spark, sf_dir)
+    rates = toks_total.select("source", rate.alias("rate"))
     u = (phash32(F.col("doc_id"), "mix") % 1_000_000) / F.lit(1_000_000.0)
     return (
         d.join(F.broadcast(rates), "source")
@@ -511,15 +516,19 @@ ORACLE["ts_anomaly_zscore"] = """
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    , t AS (
+      SELECT event_id, event_type, ts, value,
+             sx::DOUBLE / n AS m,
+             (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1) AS v
+      FROM s
+      WHERE n >= 10)
+    -- v > 0 mirrors the Spark guard: DuckDB's sqrt ERRORS on the slightly
+    -- negative double a constant window can produce; Spark yields NaN
     SELECT event_id, event_type, ts, value,
-           CAST(round((value - sx::DOUBLE / n)
-                / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1)), 4)
-                AS DECIMAL(12,4)) AS z
-    FROM s
-    WHERE n >= 10
-      AND abs(CAST(round((value - sx::DOUBLE / n)
-              / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1)), 4)
-              AS DECIMAL(12,4))) > 2.5
+           CAST(round((value - m) / sqrt(v), 4) AS DECIMAL(12,4)) AS z
+    FROM t
+    WHERE v > 0
+      AND abs(CAST(round((value - m) / sqrt(v), 4) AS DECIMAL(12,4))) > 2.5
 """
 
 ORACLE["hist_quantile_bins"] = f"""
