@@ -45,21 +45,81 @@ except ImportError:  # container ships no codec; byte-path operators still run
 IMAGE_CODEC_AVAILABLE = _PILImage is not None
 
 
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6, maxval<=255): pure-python header parse + one numpy
+    reshape — no codec library needed for this trivial format."""
+    import numpy as np
+
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval), with
+    # '#'-comments allowed between them, then ONE whitespace byte, then raw
+    # RGB rows
+    tokens, i = [], 2  # skip b"P6"
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    i += 1  # the single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP: fixed little-endian header offsets, rows
+    padded to 4 bytes and stored bottom-up, BGR order."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flipped = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (img[::-1] if flipped else img).copy()
+
+
 def decode_image(payload: bytes):
     """Decode image bytes to an HxWx3 uint8 numpy array (RGB).
 
-    Pillow-backed when available (``IMAGE_CODEC_AVAILABLE``); otherwise
-    raises ``NotImplementedError`` and the byte-level operators
-    (mm_fake_features / mm_frame_sample / mm_resize) remain the tested
-    fallback.  Inside a Pandas-UDF batch this is called per blob — the
-    decode is C-side (libjpeg et al.), so the Python-loop overhead is
-    amortized over megapixel payloads, not rows.
+    PPM (P6) and uncompressed 24-bit BMP decode dependency-free (pure
+    python + numpy), so the decode path is exercised in-container; every
+    other format is pillow-backed when available (``IMAGE_CODEC_AVAILABLE``)
+    and otherwise raises ``NotImplementedError``.  Inside a Pandas-UDF batch
+    this is called per blob — for compressed formats the decode is C-side
+    (libjpeg et al.), so the Python-loop overhead is amortized over
+    megapixel payloads, not rows.
     """
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     if _PILImage is None:
         raise NotImplementedError(
-            "image decode needs a codec library (pillow/opencv) not present "
-            "in this environment; use mm_fake_features for the tested byte "
-            "path"
+            "decoding this format needs a codec library (pillow/opencv) not "
+            "present in this environment; PPM/BMP decode dependency-free, "
+            "and mm_fake_features is the tested byte path"
         )
     import io
 
@@ -248,6 +308,53 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECODE_W, DECODE_H = 4, 4  # synthesized thumbnail geometry
+_PPM_HEADER = f"P6\n{DECODE_W} {DECODE_H}\n255\n".encode()
+
+
+def mm_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-pixels oracle row: synthesize a real P6 PPM per doc (pixel
+    bytes = the doc's first 48 text bytes, space-padded), run it through
+    the REAL :func:`decode_image` path inside mapInPandas, and emit
+    per-channel sums + the decoded array's md5.
+
+    Because PPM decode is byte-exact, the DuckDB oracle reproduces every
+    output from the text chars alone — this is the in-container proof that
+    the decode branch (header parse, reshape, channel order) is correct,
+    not just the byte-level stand-ins.
+    """
+    b = _with_blob(spark, sf_dir)
+    npx = DECODE_W * DECODE_H * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, rs, gs, bs, md5s = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = (bytes(blob) + b" " * npx)[:npx]
+                img = decode_image(_PPM_HEADER + raw)
+                assert img.shape == (DECODE_H, DECODE_W, 3)
+                ids.append(doc_id)
+                rs.append(int(img[:, :, 0].sum()))
+                gs.append(int(img[:, :, 1].sum()))
+                bs.append(int(img[:, :, 2].sum()))
+                md5s.append(hashlib.md5(img.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "r_sum": pd.Series(rs, dtype="int64"),
+                    "g_sum": pd.Series(gs, dtype="int64"),
+                    "b_sum": pd.Series(bs, dtype="int64"),
+                    "pixel_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return b.mapInPandas(
+        run, "doc_id long, r_sum long, g_sum long, b_sum long, pixel_md5 string"
+    )
+
+
 ORACLE = {
     # text is ASCII so encode(text) bytes == chars; DuckDB mirrors byte math
     # with string ops.
@@ -300,12 +407,31 @@ ORACLE["mm_resize"] = f"""
     FROM s
 """
 
+_NPX = DECODE_W * DECODE_H * 3
+
+ORACLE["mm_decode_pixels"] = f"""
+    WITH p AS (
+      SELECT doc_id, substr(text || repeat(' ', {_NPX}), 1, {_NPX}) AS px
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(0, {DECODE_W * DECODE_H - 1}),
+               i -> unicode(substr(px, i * 3 + 1, 1))))::BIGINT AS r_sum,
+           list_sum(list_transform(generate_series(0, {DECODE_W * DECODE_H - 1}),
+               i -> unicode(substr(px, i * 3 + 2, 1))))::BIGINT AS g_sum,
+           list_sum(list_transform(generate_series(0, {DECODE_W * DECODE_H - 1}),
+               i -> unicode(substr(px, i * 3 + 3, 1))))::BIGINT AS b_sum,
+           md5(px) AS pixel_md5
+    FROM p
+"""
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_fake_features": mm_fake_features,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_energy": mm_audio_energy,
     "mm_resize": mm_resize,
+    "mm_decode_pixels": mm_decode_pixels,
 }
 
 

@@ -489,9 +489,12 @@ exact AS (
          sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS n_inter_exact
   FROM (SELECT user_id, count(DISTINCT event_type) AS nt FROM dpairs GROUP BY user_id) u),
 ab AS (
+  -- exact set sizes come from dpairs (value-level distinct), matching the
+  -- Spark side; pairs (hash-level distinct) is only for the sketch CTEs —
+  -- a 32-bit hash collision must not change the 'exact' columns
   SELECT sum(CASE WHEN event_type = '{THETA_TYPES[0]}' THEN 1 ELSE 0 END) AS n_a,
          sum(CASE WHEN event_type = '{THETA_TYPES[1]}' THEN 1 ELSE 0 END) AS n_b
-  FROM pairs)
+  FROM dpairs)
 SELECT n_a, n_b, n_inter_exact, n_union_exact,
        CAST(round(n_inter_s::DOUBLE * ({_TWO32:.1f} / theta), 2) AS DECIMAL(14,2)) AS inter_est,
        CAST(round(n_union_s::DOUBLE * ({_TWO32:.1f} / theta), 2) AS DECIMAL(14,2)) AS union_est,

@@ -70,10 +70,18 @@ def _check_spec(spec: dict) -> None:
 
 
 def _hist_bin(col: str, lo: float, hi: float, nbins: int):
-    """Clamped fixed-width bin index; NULL inputs stay NULL (not counted)."""
+    """Clamped fixed-width bin index; NULL and NaN inputs stay NULL (not
+    counted)."""
     w = (hi - lo) / nbins
-    idx = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(w)).cast("int")
-    return F.least(F.greatest(idx, F.lit(0)), F.lit(nbins - 1))
+    d = F.col(col).cast("double")
+    idx = F.floor((d - F.lit(float(lo))) / F.lit(w)).cast("int")
+    clamped = F.least(F.greatest(idx, F.lit(0)), F.lit(nbins - 1))
+    # the clamp itself needs a NULL/NaN guard: greatest(NULL, 0) returns 0
+    # (greatest SKIPS nulls) and a NaN floors to 0 under non-ANSI Spark, so
+    # without this both would silently land in the lowest bin
+    return F.when(d.isNull() | F.isnan(d), F.lit(None).cast("int")).otherwise(
+        clamped
+    )
 
 
 def _hist_quantile(arr, total, q: float, lo: float, w: float, nbins: int):
@@ -312,14 +320,29 @@ def start_agg_mv_load(
     spec: dict,
     available_now: bool = False,
     trigger_seconds: int = 1,
+    compact_every: int | None = None,
+    keep_last: int = 2,
 ):
-    """Wire a stream into the view maintainer; caller owns lifecycle."""
+    """Wire a stream into the view maintainer; caller owns lifecycle.
+
+    ``compact_every`` = retention hook: every Nth batch, fold old
+    contribution dirs into the committed baseline (:func:`compact_agg_mv`)
+    so a long-running load keeps a bounded dir count instead of accreting
+    one per batch forever — the StarRocks-compaction analog
+    (docs/ARCHITECTURE.md:120-129).  Runs inside foreachBatch, serialized
+    with merges by construction; crash-mid-compaction is already safe (the
+    committed-marker-last baseline scheme).
+    """
     _check_spec(spec)
-    writer = source.writeStream.foreachBatch(
-        lambda df, bid: merge_agg_mv_batch(
-            df.sparkSession, state_dir, df, keys, spec, bid
-        )
-    ).option("checkpointLocation", checkpoint_dir)
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        merge_agg_mv_batch(df.sparkSession, state_dir, df, keys, spec, bid)
+        if compact_every and bid % compact_every == compact_every - 1:
+            compact_agg_mv(df.sparkSession, state_dir, keys, spec, keep_last)
+
+    writer = source.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

@@ -62,6 +62,14 @@ class CdcLoadConfig:
     max_files_per_trigger: int | None = None  # micro-batch sizing (T1)
     buckets: int = 4             # PK hash buckets (reference: BUCKETS 4)
     drift_dir: str | None = None  # enable schema-drift probe (schema_drift.py)
+    # Retention: sweep delete tombstones every N streaming batches (None =
+    # manual gc_tombstones only).  The auto-sweep's horizon is the max
+    # sequence of a DURABLY COMMITTED batch (tracked in _gc_horizon.json),
+    # so a replay of the in-flight batch can never meet a swept tombstone.
+    # Requires a monotone sequence source (binlog position / Kafka offset —
+    # both are); the analog of StarRocks' periodic PK-table compaction
+    # discarding delete markers (docs/ARCHITECTURE.md:120-129).
+    gc_every_batches: int | None = None
 
 
 _BUCKET_COL = "_bucket"
@@ -130,6 +138,15 @@ def _ensure_state_meta(cfg: CdcLoadConfig) -> None:
         with open(path) as f:
             have = json.load(f)
     except FileNotFoundError:
+        if os.path.isdir(_state_path(cfg)):
+            # pre-metadata state: we cannot know what (buckets, key) built
+            # it, so stamping the next writer's values would legitimize
+            # exactly the layout mismatch this guard exists to stop
+            raise ValueError(
+                f"CDC state {cfg.state_dir} has data but no _meta.json; "
+                f"backfill it with the original (buckets, key) before "
+                f"merging"
+            )
         os.makedirs(cfg.state_dir, exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -148,8 +165,12 @@ def merge_batch(
     cfg: CdcLoadConfig,
     batch: DataFrame,
     batch_id: int | None = None,
-) -> None:
+) -> dict | None:
     """Keyed last-write-wins merge of one micro-batch into the state table.
+
+    Returns ``{"rows": n, "max_seq": s}`` for the merged (non-dead-letter)
+    events, or ``None`` when the batch carried none — the streaming caller
+    feeds ``max_seq`` into the tombstone-retention horizon.
 
     Idempotent: replaying a batch re-reduces to the same state because the
     reduction key is (pk, max seq) — the reference's PK-table apply
@@ -196,7 +217,10 @@ def merge_batch(
         )
         bucket_stats = (
             parsed.groupBy(probe_bucket.alias(_BUCKET_COL))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.col(cfg.seq_col)).alias("mx"),
+            )
             .collect()
         )
         if any(r[_BUCKET_COL] == -1 for r in bucket_stats):
@@ -216,9 +240,14 @@ def merge_batch(
         latest = latest_by_key(good, cfg.key, cfg.seq_col).withColumn(
             _BUCKET_COL, _bucket_of(cfg.key, cfg.buckets)
         )
-        affected = sorted(r[_BUCKET_COL] for r in bucket_stats if r[_BUCKET_COL] >= 0)
+        good_stats = [r for r in bucket_stats if r[_BUCKET_COL] >= 0]
+        affected = sorted(r[_BUCKET_COL] for r in good_stats)
         if not affected:
-            return
+            return None
+        stats = {
+            "rows": sum(r["n"] for r in good_stats),
+            "max_seq": max(r["mx"] for r in good_stats),
+        }
 
         current = _read_state_raw(spark, cfg)
         if current is not None:
@@ -236,6 +265,7 @@ def merge_batch(
             .partitionBy(_BUCKET_COL)
             .parquet(_state_path(cfg))
         )
+        return stats
     finally:
         parsed.unpersist()
 
@@ -299,8 +329,41 @@ def _repair_gc_swap(cfg: CdcLoadConfig) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+_GC_HORIZON = "_gc_horizon.json"
+
+
+def _read_gc_horizon(cfg: CdcLoadConfig) -> dict | None:
+    import json
+
+    try:
+        with open(os.path.join(cfg.state_dir, _GC_HORIZON)) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _write_gc_horizon(cfg: CdcLoadConfig, batch_id: int, max_seq: int) -> None:
+    import json
+
+    path = os.path.join(cfg.state_dir, _GC_HORIZON)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": int(batch_id), "max_seq": int(max_seq)}, f)
+    os.replace(tmp, path)
+
+
 def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
-    """CREATE ROUTINE LOAD analog: build and start the named StreamingQuery."""
+    """CREATE ROUTINE LOAD analog: build and start the named StreamingQuery.
+
+    With ``cfg.gc_every_batches`` set, every Nth batch also sweeps delete
+    tombstones (``gc_tombstones``) at the horizon recorded by a PRIOR,
+    durably committed batch: Structured Streaming replays at most the
+    in-flight batch, so a sequence recorded under ``batch_id < current``
+    can never be re-delivered, and with a monotone sequence source (binlog
+    position / Kafka offset) no future event sorts below it either.  The
+    sweep runs inside foreachBatch, so it is serialized with merges by
+    construction (gc must never race a merge).
+    """
     from ..sources import file_event_source
 
     events = file_event_source(
@@ -311,7 +374,21 @@ def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_batch(spark, cfg, batch_df, batch_id=batch_id)
+        horizon = _read_gc_horizon(cfg)
+        stats = merge_batch(spark, cfg, batch_df, batch_id=batch_id)
+        every = cfg.gc_every_batches
+        if (
+            every
+            and batch_id % every == every - 1
+            and horizon is not None
+            and horizon["batch_id"] < batch_id  # durably committed batch
+        ):
+            gc_tombstones(spark, cfg, before_seq=horizon["max_seq"] + 1)
+        if stats is not None:
+            prev = horizon["max_seq"] if horizon else stats["max_seq"]
+            _write_gc_horizon(
+                cfg, batch_id, max(prev, stats["max_seq"])
+            )
 
     writer = (
         events.writeStream.queryName(cfg.name)

@@ -197,12 +197,25 @@ def start_incremental_rollup(
     checkpoint_dir: str,
     available_now: bool = False,
     trigger_seconds: int = 1,
+    compact_every: int | None = None,
+    keep_last: int = 2,
 ):
     """Wire a raw-event stream into the rollup maintainer; returns the
-    running StreamingQuery (caller owns lifecycle, as with the CDC loads)."""
-    writer = source.writeStream.foreachBatch(
-        lambda df, bid: merge_rollup_batch(df.sparkSession, state_dir, df, bid)
-    ).option("checkpointLocation", checkpoint_dir)
+    running StreamingQuery (caller owns lifecycle, as with the CDC loads).
+
+    ``compact_every`` = retention hook: every Nth batch folds old
+    contribution dirs into the committed baseline (:func:`compact_rollup`)
+    so live dirs stay bounded at ~keep_last+1 over an unbounded run; the
+    marker-last baseline scheme keeps a crash mid-compaction safe."""
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        merge_rollup_batch(df.sparkSession, state_dir, df, bid)
+        if compact_every and bid % compact_every == compact_every - 1:
+            compact_rollup(df.sparkSession, state_dir, keep_last)
+
+    writer = source.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

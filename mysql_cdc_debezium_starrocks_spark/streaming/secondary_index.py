@@ -84,10 +84,19 @@ def lookup_by_index(
     idx_path = _index_dir(cfg, col)
     idx = spark.read.parquet(idx_path)
     v = F.lit(value).cast(dict(idx.dtypes)[col])
-    with open(os.path.join(idx_path, "_meta.json")) as f:
-        n = json.load(f)["buckets"]
-    ib = F.pmod(F.hash(v), F.lit(n)).cast("int")
-    hits = idx.filter(F.col(_IBUCKET) == ib).filter(F.col(col) == v)
+    try:
+        with open(os.path.join(idx_path, "_meta.json")) as f:
+            n = json.load(f)["buckets"]
+    except FileNotFoundError:
+        # index built before _meta.json existed: the bucket modulus is
+        # unknown (max(_IBUCKET)+1 under-counts when high buckets are
+        # empty), so skip index-side bucket pruning — a full index scan is
+        # still correct and still prunes the STATE buckets below
+        n = None
+    hits = idx.filter(F.col(col) == v)
+    if n is not None:
+        ib = F.pmod(F.hash(v), F.lit(n)).cast("int")
+        hits = hits.filter(F.col(_IBUCKET) == ib)
     pk_buckets = [
         r["pk_bucket"] for r in hits.select("pk_bucket").distinct().collect()
     ]

@@ -39,6 +39,76 @@ from ._state import numbered_ids
 _THETA = "theta"
 DEFAULT_K = 256
 _META = "_meta.json"
+_BASELINE = "baseline"
+_FOLDED = "_folded.json"
+_COMMITTED = "_COMMITTED"
+
+
+def _committed_baseline(state_dir: str) -> tuple[str, set[int]] | None:
+    root = os.path.join(state_dir, _BASELINE)
+    ks = numbered_ids(root, prefix="v", require_marker=_COMMITTED)
+    if not ks:
+        return None
+    best = os.path.join(root, f"v={ks[-1]}")
+    with open(os.path.join(best, _FOLDED)) as f:
+        return best, set(json.load(f))
+
+
+def compact_theta(
+    spark: SparkSession, state_dir: str, keep_last: int = 2
+) -> None:
+    """Fold all but the newest ``keep_last`` sketch contributions (plus the
+    old baseline) into one committed k-row baseline, then GC what it
+    absorbed — the agg_mv/rollup retention scheme applied to sketches.
+
+    KMV union is hash-level distinct, so the fold is exact: the k smallest
+    distinct hashes of the folded inputs ARE the union's sketch.  The
+    marker-last baseline write keeps a crash at any point safe (readers
+    only trust ``_COMMITTED`` baselines, and un-GC'd contribution dirs
+    re-merge idempotently — duplicate hashes vanish in the distinct).
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("compact_theta requires keep_last >= 1 for replay safety")
+    meta = _read_meta(state_dir)
+    if meta is None:
+        if _batch_ids(state_dir):
+            raise ValueError(
+                f"theta state {state_dir} has contributions but no {_META}; "
+                f"backfill it before compacting"
+            )
+        return
+    base = _committed_baseline(state_dir)
+    folded = base[1] if base else set()
+    live = [i for i in _batch_ids(state_dir) if i not in folded]
+    fold = live[:-keep_last]
+    if not fold:
+        return
+    parts = [os.path.join(state_dir, _THETA, f"batch={i}") for i in fold]
+    if base:
+        parts.append(os.path.join(base[0], "data"))
+    merged = (
+        spark.read.parquet(*parts)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(meta["k"])
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # cut lineage before FS mutation
+    )
+    root = os.path.join(state_dir, _BASELINE)
+    ks = numbered_ids(root, prefix="v")
+    new_dir = os.path.join(root, f"v={(ks[-1] + 1) if ks else 0}")
+    merged.write.mode("overwrite").parquet(os.path.join(new_dir, "data"))
+    with open(os.path.join(new_dir, _FOLDED), "w") as f:
+        json.dump(sorted(folded | set(fold)), f)
+    with open(os.path.join(new_dir, _COMMITTED), "w") as f:
+        f.write("")  # marker LAST: readers only trust marked baselines
+    for p in parts[: len(fold)]:
+        shutil.rmtree(p, ignore_errors=True)
+    for kv in ks:
+        shutil.rmtree(os.path.join(root, f"v={kv}"), ignore_errors=True)
 
 
 def _batch_ids(state_dir: str) -> list[int]:
@@ -65,7 +135,7 @@ def _ensure_meta(state_dir: str, k: int, seed: str) -> None:
     survive), and a different seed is a different hash family entirely."""
     meta = _read_meta(state_dir)
     if meta is None:
-        if _batch_ids(state_dir):
+        if _batch_ids(state_dir) or _committed_baseline(state_dir) is not None:
             # pre-metadata state: we cannot know what k/seed built those
             # contributions, so stamping the next writer's values would
             # legitimize exactly the mismatch this guard exists to stop
@@ -123,21 +193,35 @@ def read_theta(
     state's ``_meta.json``); passing a different k raises rather than
     silently mis-estimating.
     """
-    ids = _batch_ids(state_dir)
-    if not ids:
+    base = _committed_baseline(state_dir)
+    folded = base[1] if base else set()
+    ids = [i for i in _batch_ids(state_dir) if i not in folded]
+    if not ids and base is None:
         raise FileNotFoundError(f"no theta sketch state under {state_dir}")
     meta = _read_meta(state_dir)
-    state_k = meta["k"] if meta else DEFAULT_K
-    if k is None:
-        k = state_k
-    elif meta and k != state_k:
-        raise ValueError(
-            f"theta state {state_dir} was maintained with k={state_k}; "
-            f"reading at k={k} would mis-estimate (exact-mode flip)"
-        )
-    rows = spark.read.parquet(
-        *[os.path.join(state_dir, _THETA, f"batch={i}") for i in ids]
-    )
+    if meta is None:
+        # pre-metadata state: the maintenance k is unknown, and reading at
+        # the wrong k mis-estimates (exact-mode flip) — mirror the write
+        # path's _ensure_meta guard instead of assuming DEFAULT_K
+        if k is None:
+            raise ValueError(
+                f"theta state {state_dir} has contributions but no {_META}; "
+                f"pass the original maintenance k explicitly (or backfill "
+                f"{_META}) before reading"
+            )
+    else:
+        state_k = meta["k"]
+        if k is None:
+            k = state_k
+        elif k != state_k:
+            raise ValueError(
+                f"theta state {state_dir} was maintained with k={state_k}; "
+                f"reading at k={k} would mis-estimate (exact-mode flip)"
+            )
+    parts = [os.path.join(state_dir, _THETA, f"batch={i}") for i in ids]
+    if base is not None:
+        parts.append(os.path.join(base[0], "data"))
+    rows = spark.read.parquet(*parts)
     return theta_merge(rows.select(F.lit(label).alias("_set"), "h"), "_set", k)
 
 
@@ -213,13 +297,23 @@ def start_theta_load(
     k: int = DEFAULT_K,
     available_now: bool = False,
     trigger_seconds: int = 1,
+    compact_every: int | None = None,
+    keep_last: int = 2,
 ):
-    """Wire a stream into the sketch maintainer; caller owns lifecycle."""
-    writer = source.writeStream.foreachBatch(
-        lambda df, bid: update_theta_batch(
-            df.sparkSession, state_dir, df, col, bid, k=k
-        )
-    ).option("checkpointLocation", checkpoint_dir)
+    """Wire a stream into the sketch maintainer; caller owns lifecycle.
+
+    ``compact_every`` = retention hook: every Nth batch folds old sketch
+    contributions into the committed k-row baseline (:func:`compact_theta`)
+    so dir counts stay bounded over an unbounded run."""
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        update_theta_batch(df.sparkSession, state_dir, df, col, bid, k=k)
+        if compact_every and bid % compact_every == compact_every - 1:
+            compact_theta(df.sparkSession, state_dir, keep_last)
+
+    writer = source.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

@@ -125,3 +125,40 @@ def test_spark_downscale_rounds_half_up_away_from_duckdb_cast(spark):
     [srow] = sdf.collect()
     _, [drow] = _duck("SELECT CAST(1.2345675 AS DECIMAL(18,7)) AS x")
     assert srow[0] == drow[0] == "1.234568"
+
+
+def _float_bearing(dt) -> bool:
+    """True when a type contains a fractional/boolean leaf the schema-driven
+    canon rewrite cannot (nested) or did not (top-level) reach."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType, T.BooleanType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _float_bearing(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _float_bearing(dt.keyType) or _float_bearing(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_float_bearing(f.dataType) for f in dt.fields)
+    return False
+
+
+def test_all_oracled_outputs_fully_canonicalized(spark):
+    """VERDICT r02 next #5: walk every oracle-backed query's POST-canon
+    output schema and fail on any float/decimal/bool-bearing type — top
+    level (canon bypass) or nested (array/struct/map the schema rewrite
+    can't reach).  Rows-only queries (no oracle) legitimately emit typed
+    arrays and are exempt."""
+    import __spark_entry__ as se
+
+    from .conftest import SF_SMOKE
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue  # rows-only by design; never value-hashed
+        for f in fn(spark, SF_SMOKE).schema.fields:
+            if _float_bearing(f.dataType):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"uncanonicalized hash-hazard columns: {bad}"

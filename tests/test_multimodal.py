@@ -1,12 +1,15 @@
-"""Image-decode hook: feature-gated codec (round-1 verdict item 7).
+"""Image decode: dependency-free PPM/BMP fallback (round-2 verdict item 4)
+plus the feature-gated pillow path (round-1 verdict item 7).
 
-The container ships no codec, so the pillow-backed path is exercised only
-where pillow exists (skip-if-absent); the absence path must stay a clear,
+PPM (P6) and uncompressed 24-bit BMP decode with pure python + numpy, so
+the decode branch is asserted in-container with golden bytes; compressed
+formats stay pillow-gated, and their absence path must remain a clear,
 actionable error — never a silent wrong answer.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from mysql_cdc_debezium_starrocks_spark.operators.multimodal import (
@@ -14,19 +17,72 @@ from mysql_cdc_debezium_starrocks_spark.operators.multimodal import (
     decode_image,
 )
 
+# 2x2 RGB golden image: distinct channel values per pixel, row order
+#   (10,20,30) (40,50,60)
+#   (70,80,90) (100,110,120)
+GOLD = np.array(
+    [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+    dtype=np.uint8,
+)
 
-def test_decode_image_absent_path_is_explicit():
-    if IMAGE_CODEC_AVAILABLE:
-        pytest.skip("codec present; absence path not reachable")
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+
+def test_decode_ppm_golden_bytes():
+    payload = b"P6\n2 2\n255\n" + GOLD.tobytes()
+    arr = decode_image(payload)
+    assert arr.dtype == np.uint8 and arr.shape == (2, 2, 3)
+    assert (arr == GOLD).all()
 
 
-def test_decode_image_with_codec():
-    PIL = pytest.importorskip("PIL")  # noqa: F841
+def test_decode_ppm_with_comment_and_odd_whitespace():
+    payload = b"P6 # comment\n# full line\n 2\t2\n255 " + GOLD.tobytes()
+    assert (decode_image(payload) == GOLD).all()
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer: bottom-up rows, BGR,
+    4-byte-padded — built by hand so the test owns the golden bytes."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(rows), 0, 0, data_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + rows
+
+
+def test_decode_bmp_golden_bytes():
+    arr = decode_image(_bmp_bytes(GOLD))
+    assert arr.dtype == np.uint8 and arr.shape == (2, 2, 3)
+    assert (arr == GOLD).all()
+
+
+def test_decode_bmp_rejects_compressed():
+    import struct
+
+    payload = bytearray(_bmp_bytes(GOLD))
+    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8 compression flag
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_image(bytes(payload))
+
+
+def test_decode_compressed_format_matches_environment():
+    """Compressed formats: pillow-decoded where the codec exists, a clear
+    actionable NotImplementedError where it doesn't (never a silent wrong
+    fallback).  One test, both branches meaningful — no environment skips."""
+    if not IMAGE_CODEC_AVAILABLE:
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_image(b"\x89PNG\r\n\x1a\n")
+        return
     import io
 
-    import numpy as np
     from PIL import Image
 
     buf = io.BytesIO()

@@ -1,0 +1,176 @@
+"""Retention hooks (VERDICT r02 next #8): long-running loads must keep
+bounded on-disk state — tombstones swept at a committed-batch horizon,
+contribution dirs folded into committed baselines — with crash-mid-compaction
+staying safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_debezium_starrocks_spark.streaming.materializer import (
+    CdcLoadConfig,
+    _read_state_raw,
+    read_state,
+    start_cdc_load,
+)
+
+
+def _event(seq: int, key: int, status: str = "new", deleted: str = "false") -> str:
+    payload = {
+        "order_key": key,
+        "cust_key": key,
+        "status": status,
+        "total_price": "10.00",
+        "__deleted": deleted,
+    }
+    return json.dumps({"_seq": seq, "value": json.dumps({"payload": payload})})
+
+
+def _write(path: str, fname: str, lines: list[str]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "." + fname)
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(path, fname))
+
+
+def _tombstones(spark, cfg) -> int:
+    raw = _read_state_raw(spark, cfg)
+    return raw.filter(F.col(cfg.deleted_col) == "true").count()
+
+
+def test_cdc_auto_gc_sweeps_committed_tombstones(spark, tmp_path):
+    """gc_every_batches: the load loop itself sweeps tombstones once their
+    sequence horizon is durably committed — and never the tombstones a
+    replayable batch could still race."""
+    cfg = CdcLoadConfig(
+        name="t_gc",
+        source_dir=str(tmp_path / "ev"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        gc_every_batches=1,
+        max_files_per_trigger=1,  # one file per micro-batch
+    )
+
+    def run_drain():
+        start_cdc_load(spark, cfg).awaitTermination(120)
+
+    _write(cfg.source_dir, "b0.json", [_event(i, i) for i in range(1, 6)])
+    run_drain()
+    _write(cfg.source_dir, "b1.json",
+           [_event(10, 1, deleted="true"), _event(11, 2, deleted="true")])
+    run_drain()
+    # tombstones exist but their batch was the NEWEST — not yet swept
+    # (the horizon recorded under batch_id < current is required)
+    assert _tombstones(spark, cfg) == 2
+    _write(cfg.source_dir, "b2.json", [_event(12, 3, status="upd")])
+    run_drain()
+    # batch 1's horizon (max_seq 11) is now committed -> sweep happened
+    assert _tombstones(spark, cfg) == 0
+    live = sorted(r.order_key for r in read_state(spark, cfg).collect())
+    assert live == [3, 4, 5]
+
+
+def test_agg_mv_auto_compaction_bounds_dirs(spark, tmp_path):
+    """compact_every in the agg-MV load loop: dirs stay bounded and the
+    view equals the one-shot aggregate over everything ingested."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.agg_mv import (
+        read_agg_mv,
+        start_agg_mv_load,
+    )
+
+    src_dir = str(tmp_path / "src")
+    state = str(tmp_path / "mv")
+    spec = {"n": ("count", None), "total": ("sum", "x")}
+    os.makedirs(src_dir)
+    for b in range(6):
+        with open(os.path.join(src_dir, f"f{b}.json"), "w") as f:
+            for i in range(10):
+                f.write(json.dumps({"g": f"g{i % 2}", "x": b * 10 + i}) + "\n")
+    source = (
+        spark.readStream.schema("g STRING, x LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    q = start_agg_mv_load(
+        spark, source, state, str(tmp_path / "ck"), ["g"], spec,
+        available_now=True, compact_every=2, keep_last=1,
+    )
+    q.awaitTermination(120)
+    contrib = [d for d in os.listdir(os.path.join(state, "contrib"))
+               if d.startswith("batch=")]
+    assert len(contrib) <= 3  # bounded, not one per batch (6 ingested)
+    baselines = [d for d in os.listdir(os.path.join(state, "baseline"))
+                 if d.startswith("v=")]
+    assert len(baselines) == 1  # old baselines GC'd
+    out = {r.g: (r.n, r.total) for r in
+           read_agg_mv(spark, state, ["g"], spec).collect()}
+    # 6 batches x 10 rows; per group 30 rows; totals exact
+    all_x = [b * 10 + i for b in range(6) for i in range(10)]
+    assert out["g0"] == (30, sum(x for x in all_x if x % 2 == 0))
+    assert out["g1"] == (30, sum(x for x in all_x if x % 2 == 1))
+
+
+def test_theta_auto_compaction_preserves_sketch(spark, tmp_path):
+    """compact_theta folds contributions into a k-row baseline whose merged
+    sketch is IDENTICAL to the uncompacted merge (KMV union is exact over
+    hash-level distinct)."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.theta_stats import (
+        compact_theta,
+        read_theta,
+        update_theta_batch,
+    )
+
+    state_a = str(tmp_path / "a")  # compacted
+    state_b = str(tmp_path / "b")  # control, never compacted
+    for b in range(5):
+        batch = spark.range(b * 200, b * 200 + 300).select(
+            F.col("id").cast("string").alias("k")
+        )
+        update_theta_batch(spark, state_a, batch, "k", b, k=64)
+        update_theta_batch(spark, state_b, batch, "k", b, k=64)
+    compact_theta(spark, state_a, keep_last=2)
+    dirs = [d for d in os.listdir(os.path.join(state_a, "theta"))
+            if d.startswith("batch=")]
+    assert len(dirs) == 2  # 3 of 5 folded
+    ha = sorted(r.h for r in read_theta(spark, state_a).collect())
+    hb = sorted(r.h for r in read_theta(spark, state_b).collect())
+    assert ha == hb and len(ha) == 64
+
+
+def test_theta_crash_mid_compaction_is_invisible(spark, tmp_path):
+    """A baseline dir without the _COMMITTED marker (crash between data
+    write and commit) is ignored by readers and safely superseded by the
+    next compaction run."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.theta_stats import (
+        compact_theta,
+        read_theta,
+        update_theta_batch,
+    )
+
+    state = str(tmp_path / "t")
+    for b in range(4):
+        batch = spark.range(b * 100, b * 100 + 150).select(
+            F.col("id").cast("string").alias("k")
+        )
+        update_theta_batch(spark, state, batch, "k", b, k=32)
+    before = sorted(r.h for r in read_theta(spark, state).collect())
+
+    # simulate the crash: a full baseline WITHOUT its commit marker
+    crash_dir = os.path.join(state, "baseline", "v=0")
+    os.makedirs(os.path.join(crash_dir, "data"))
+    spark.range(1).select(F.lit(123).cast("long").alias("h")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(crash_dir, "data"))
+    with open(os.path.join(crash_dir, "_folded.json"), "w") as f:
+        json.dump([0, 1], f)
+    # no _COMMITTED marker -> reader must ignore it entirely
+    assert sorted(r.h for r in read_theta(spark, state).collect()) == before
+
+    compact_theta(spark, state, keep_last=1)
+    after = sorted(r.h for r in read_theta(spark, state).collect())
+    assert after == before  # recovery re-folded from intact contributions

@@ -161,6 +161,78 @@ def test_kafka_projection_matches_file_source(spark, tmp_path):
     )
 
 
+def test_kafka_wire_roundtrip_with_tombstones(spark):
+    """VERDICT r02 next #6 contract test: the OUTBOUND wire format
+    (``to_envelope_wire``) wrapped in Kafka's exact record schema —
+    including null-value tombstones, drop.tombstones=false
+    (debezium-connector.json:23) — round-trips through ``kafka_project``
+    and ``parse_envelope`` losslessly.  Tombstone rows must SURVIVE the
+    projection (they carry the key's deletion marker downstream consumers
+    may need) and be filtered exactly where the file path filters them:
+    ``parse_envelope``'s value-NULL filter."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.cdc.apply import (
+        parse_envelope,
+        to_envelope_wire,
+    )
+    from mysql_cdc_debezium_starrocks_spark.streaming.materializer import (
+        kafka_project,
+    )
+
+    typed = spark.createDataFrame(
+        [
+            (1, 101, 11, "new", "10.00", "2024-01-01 00:00:00.000",
+             "1-URGENT", "false"),
+            (2, 102, 12, "shipped", "20.00", "2024-01-01 00:00:01.000",
+             "2-HIGH", "false"),
+            (3, 102, 12, "shipped", "20.00", "2024-01-01 00:00:01.000",
+             "2-HIGH", "true"),
+        ],
+        "`_seq` LONG, order_key LONG, cust_key LONG, status STRING, "
+        "total_price STRING, order_ts STRING, priority STRING, "
+        "`__deleted` STRING",
+    )
+    wire = to_envelope_wire(typed).collect()  # (_seq, value-json) rows
+
+    kafka_schema = (
+        "key BINARY, value BINARY, topic STRING, partition INT, "
+        "offset LONG, timestamp TIMESTAMP, timestampType INT"
+    )
+    now = datetime(2024, 1, 1)
+    records = spark.createDataFrame(
+        [
+            (str(r["_seq"]).encode(), r["value"].encode(),
+             "mysql_server.inventory.orders", 0, r["_seq"], now, 0)
+            for r in wire
+        ]
+        + [  # tombstones: key-only records with a NULL value
+            (b"2", None, "mysql_server.inventory.orders", 0, 100, now, 0),
+            (b"9", None, "mysql_server.inventory.orders", 0, 101, now, 0),
+        ],
+        kafka_schema,
+    )
+
+    projected = kafka_project(records)
+    assert projected.columns == ["_seq", "value"]
+    # tombstones SURVIVE the projection (null value, offset preserved) ...
+    assert projected.count() == 5
+    tombs = projected.filter(F.col("value").isNull())
+    assert sorted(r["_seq"] for r in tombs.collect()) == [100, 101]
+
+    # ... and are dropped exactly at parse_envelope's value-NULL filter,
+    # the same place the file source drops them
+    parsed = parse_envelope(projected)
+    rows = {r["_seq"]: r for r in parsed.collect()}
+    assert sorted(rows) == [1, 2, 3]  # the three real events, no tombstones
+    assert rows[1]["order_key"] == 101 and rows[1]["status"] == "new"
+    assert rows[1]["__deleted"] == "false"
+    assert rows[3]["order_key"] == 102
+    assert rows[3]["__deleted"] == "true"  # delete-rewrite row intact
+
+
 def test_streaming_resume_from_checkpoint(spark, tmp_path):
     """RESUME semantics (T3): new events after a stop are picked up, old
     offsets are not reprocessed (idempotent state either way)."""

@@ -60,6 +60,25 @@ def _write_batch(path: str, fname: str, lines: list[str]) -> None:
     os.rename(tmp, os.path.join(path, fname))
 
 
+def _stop_idle(q, timeout: float = 30.0) -> None:
+    """Stop a streaming query BETWEEN micro-batches: wait until no trigger
+    is active and no data is pending, so ``stop()`` cannot abort an
+    in-flight batch.  The abort is harmless (foreachBatch merges are
+    idempotent) but it prints a task-failure ERROR into the bench's captured
+    stderr tail, where it can mask a real failure (VERDICT r02 "wrong" #2).
+    """
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            st = q.status
+        except Exception:
+            break  # query already terminated
+        if not st.get("isTriggerActive") and not st.get("isDataAvailable"):
+            break
+        time.sleep(0.2)
+    q.stop()
+
+
 def _poll_count(spark, cfg):
     """State row count for pollers, None while unreadable.
 
@@ -162,7 +181,7 @@ def bench_visible_latency(spark, root: str, iters: int) -> dict:
                 time.sleep(0.05)
             samples.append((time.perf_counter() - t0) * 1000)
     finally:
-        q.stop()
+        _stop_idle(q)
     samples.sort()
     n = len(samples)
     return {
@@ -335,7 +354,7 @@ def bench_concurrent_mixed(spark, root: str, seconds: int = 30) -> dict:
         )
     finally:
         stop.set()
-        q.stop()
+        _stop_idle(q)
     total_ops = counts["insert"] + counts["update"] + counts["select"]
     return {
         "window_seconds": round(window, 1),

@@ -51,6 +51,17 @@ CASES = {
     "events_top_paths": ("operators.events", ["events"]),
 }
 
+# Graph/curation family (VERDICT r02 next #7): these share the SimHash
+# pair/component artifact (operators.dedup.shared_dup_pairs), so the memo is
+# cleared before every run — each timing below INCLUDES the distributed
+# band-join pair generation, the scale-relevant part.
+GRAPH_CASES = {
+    "dedup_components": ("operators.dedup", ["documents"]),
+    "dedup_pagerank": ("operators.dedup", ["documents"]),
+    "corpus_curate": ("operators.text", ["documents"]),
+    "corpus_split_leakage_safe": ("operators.dedup", ["documents"]),
+}
+
 
 def _build(spark, sf_dir: str, out: str, factor: int) -> None:
     from pyspark.sql import functions as F
@@ -60,7 +71,9 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
     if os.path.exists(os.path.join(out, "_READY")):
         return
     shutil.rmtree(out, ignore_errors=True)
-    needed = sorted({t for _, ts in CASES.values() for t in ts})
+    needed = sorted(
+        {t for _, ts in {**CASES, **GRAPH_CASES}.values() for t in ts}
+    )
     for t in needed:
         base = load(spark, sf_dir, t)
         parts = []
@@ -96,12 +109,56 @@ def main() -> None:
 
     print(f"| query | 1x s | {factor}x s | ratio |")
     print("|---|---|---|---|")
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name, (mod, _tabs) in CASES.items():
+        if only and name not in only:
+            continue
         m = importlib.import_module(f"mysql_cdc_debezium_starrocks_spark.{mod}")
         fn = getattr(m, name)
         t1 = _time(fn, spark, sf_dir)
         tn = _time(fn, spark, out)
         print(f"| {name} | {t1:.2f} | {tn:.2f} | {tn / t1:.1f}x |", flush=True)
+
+    # graph/curation family: memo cleared per run (timings include pair
+    # generation), then the components fixpoint forced through the
+    # DISTRIBUTED tier (fixtures cannot reach the 2M-pair switch naturally,
+    # so the threshold is dropped to 0 — same code path the switch takes)
+    from mysql_cdc_debezium_starrocks_spark.operators import dedup
+
+    def _time_fresh(fn, spark, d: str) -> float:
+        dedup._ARTIFACT_CACHE.clear()
+        fn(spark, d).write.mode("overwrite").format("noop").save()  # warm
+        dedup._ARTIFACT_CACHE.clear()
+        t0 = time.perf_counter()
+        fn(spark, d).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    for tier, threshold in (("unionfind", None), ("distributed", 0)):
+        saved = dedup._UNION_FIND_MAX_PAIRS
+        if threshold is not None:
+            dedup._UNION_FIND_MAX_PAIRS = threshold
+        try:
+            for name, (mod, _tabs) in GRAPH_CASES.items():
+                if only and name not in only:
+                    continue
+                if tier == "distributed" and name not in (
+                    "dedup_components", "dedup_pagerank"
+                ):
+                    continue  # consumer queries share the components result
+                m = importlib.import_module(
+                    f"mysql_cdc_debezium_starrocks_spark.{mod}"
+                )
+                fn = getattr(m, name)
+                t1 = _time_fresh(fn, spark, sf_dir)
+                tn = _time_fresh(fn, spark, out)
+                print(
+                    f"| {name} [{tier}] | {t1:.2f} | {tn:.2f} | "
+                    f"{tn / t1:.1f}x |",
+                    flush=True,
+                )
+        finally:
+            dedup._UNION_FIND_MAX_PAIRS = saved
+            dedup._ARTIFACT_CACHE.clear()
 
 
 if __name__ == "__main__":
