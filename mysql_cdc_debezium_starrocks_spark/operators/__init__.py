@@ -31,6 +31,13 @@ def _fixture_dir() -> str:
 # text, ML, events, sketches, multimodal, linalg, sampling) interleaved with
 # the queries whose cross-engine hash-stability the canon layer (_canon.py)
 # specifically fixes (all 21 round-1 hash-red rows stay inside the prefix).
+# Round 3 rotates this round's NEW queries (bpe merges/encode, minhash
+# containment, graph degree, hist drift, basket lift, PQ search, domain
+# signature, decoded pixels) into the window, displacing simple relational
+# entries that already hold green driver rows from round 2 (filter_eq,
+# topk_orders, group_count, window_topn_per_group, ml_logreg_eval,
+# ntile_quartiles, percent_rank_by_segment, first_last_order_span,
+# monthly_revenue) — those keep their byte-strict local-parity evidence.
 # Entries beyond this list follow in module order.
 DRIVER_PRIORITY = (
     "cdc_apply", "cdc_topk", "cdc_counts", "cdc_scd2", "cdc_asof_snapshot",
@@ -41,14 +48,14 @@ DRIVER_PRIORITY = (
     "events_sessionize", "window_running_sum", "emb_covariance",
     "q2_min_cost_supplier", "sample_stratified",
     "window_range_rolling_revenue", "dedup_simhash", "cube_counts",
-    "text_tfidf_topk", "ntile_quartiles", "events_rate",
-    "percent_rank_by_segment", "ann_lsh_topk", "first_last_order_span",
-    "sketch_cms_heavy", "monthly_revenue", "mm_fake_features",
+    "text_tfidf_topk", "text_bpe_merges", "events_rate",
+    "text_bpe_encode", "ann_lsh_topk", "dedup_minhash_containment",
+    "sketch_cms_heavy", "dedup_graph_degree", "mm_fake_features",
     "agg_top1_per_group_argmax", "dedup_components", "q8_market_share",
     "text_token_count", "q9_product_profit", "mix_weights_by_source",
     "q10_returned_items", "q11_important_stock", "join_dims_broadcast",
-    "ml_logreg_weights", "filter_eq", "topk_orders", "group_count",
-    "ml_logreg_eval", "window_topn_per_group",
+    "ml_logreg_weights", "stats_hist_drift", "basket_part_pairs",
+    "ann_pq_search", "text_domain_signature", "mm_decode_pixels",
     # entries below duplicate families already evidenced inside the 50-wide
     # window (J2/TPC-H join coverage); they follow immediately after it
     "q3_shipping_priority", "q5_region_revenue",

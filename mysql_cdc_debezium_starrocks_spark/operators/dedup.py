@@ -173,6 +173,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_MIN_Q = 700_000  # max-containment keep threshold, scaled 1e6 (0.70)
+
+
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: |A∩B|/|A| and |A∩B|/|B| over the
+    MinHash-LSH candidate pairs — catches quote-inclusion/superset
+    duplication that symmetric Jaccard misses (a short doc fully embedded
+    in a long one has low Jaccard but containment ~1 on the short side).
+
+    Same band bucket-join as :func:`dedup_minhash_lsh` (shared
+    ``signature_table``), so candidate volume stays ~|near-dup pairs|.
+    Containments are emitted as TRUNCATING INTEGER division scaled 1e6
+    (``x DIV y`` == DuckDB ``//``) — bit-identical cross-engine, no float
+    in the hash surface.  Kept pairs: max containment >= 0.70.
+    """
+    exploded = signature_table(load_spread(spark, sf_dir, "documents")).persist()
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.hs").alias("sha"),
+            F.col("b.hs").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sized = cand.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sha", "shb")).cast("long").alias("inter"),
+        F.size("sha").cast("long").alias("n_a"),
+        F.size("shb").cast("long").alias("n_b"),
+    )
+    scored = sized.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "n_a",
+        "n_b",
+        F.expr("(inter * 1000000) div n_a").alias("cont_a_q"),
+        F.expr("(inter * 1000000) div n_b").alias("cont_b_q"),
+    )
+    return scored.filter(
+        F.greatest("cont_a_q", "cont_b_q") >= CONTAIN_MIN_Q
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard on sampled id pairs (the verify primitive alone)."""
     sh = _doc_shingles(spark, sf_dir)
@@ -591,6 +644,32 @@ ORACLE = {
         WHERE CAST(round(len(list_intersect(sha, shb))::DOUBLE
                     / len(list_distinct(list_concat(sha, shb))), 4) AS DECIMAL(7,4)) >= {JACCARD_MIN}
     """,
+    "dedup_minhash_containment": f"""
+        WITH {_HASHED_SHINGLES_CTE},
+        sig AS (SELECT doc_id, hs, {_MINHASH_SIG_SQL} AS sig FROM hsh),
+        bands AS (
+          SELECT doc_id, hs, b.band, b.bhash
+          FROM sig, LATERAL (VALUES {_BANDS_SQL}) AS b(band, bhash)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.hs AS sha, b.hs AS shb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        ),
+        sized AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sha, shb))::BIGINT AS inter,
+                 len(sha)::BIGINT AS n_a, len(shb)::BIGINT AS n_b
+          FROM cand
+        )
+        SELECT doc_a, doc_b, inter, n_a, n_b,
+               (inter * 1000000) // n_a AS cont_a_q,
+               (inter * 1000000) // n_b AS cont_b_q
+        FROM sized
+        WHERE greatest((inter * 1000000) // n_a,
+                       (inter * 1000000) // n_b) >= {CONTAIN_MIN_Q}
+    """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -751,19 +830,70 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree profile: how many docs have 1, 2, … near-dup
+    neighbors — the shape diagnostic a curation run reads BEFORE collapsing
+    clusters (a fat-tailed degree histogram means a template/boilerplate hub
+    that union-find will glue into one mega-component; see the reference
+    pipeline's verification habit of inspecting counts before acting,
+    test-pipeline.sh:31-40).
+
+    Consumes the shared near-dup pair artifact (:func:`shared_dup_pairs`),
+    so after any other curation-family query has run, this is pair-scale
+    work only: one unionAll over 8-byte id columns, two partial-agg'd
+    shuffles whose output is O(distinct degrees) — never touches the corpus.
+    """
+    pairs = shared_dup_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_passage_exact": dedup_passage_exact,
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_containment": dedup_minhash_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "dedup_keep_canonical": dedup_keep_canonical,
+    "dedup_graph_degree": dedup_graph_degree,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
+
+ORACLE["dedup_graph_degree"] = f"""
+    WITH {_SIMHASH_CTE},
+    ex AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+      FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS ha, b.simhash AS hb
+      FROM ex a JOIN ex b
+        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    ),
+    p AS (SELECT doc_a, doc_b FROM cand
+          WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}),
+    deg AS (
+      SELECT doc_id, count(*)::BIGINT AS degree
+      FROM (SELECT doc_a AS doc_id FROM p
+            UNION ALL SELECT doc_b AS doc_id FROM p)
+      GROUP BY doc_id)
+    SELECT degree, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc
+    FROM deg GROUP BY degree
+"""
 
 # Recursive-CTE oracle for connected components: labels propagate one hop
 # per recursion step (set-semantics UNION terminates it); min(label) per

@@ -724,6 +724,142 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_TOPK = 3
+
+
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC, Jegou et al. PAMI'11): top-k
+    neighbors per query scored against the COMPRESSED corpus — each database
+    vector is its ``emb_pq_codes`` code tuple, and the query's distance to it
+    is the sum of per-subspace lookup-table entries ``||q_s - c_code_s||^2``.
+
+    Plan shape — the memory story that makes PQ matter at 100 TB: the scan
+    side carries PQ_SUB small ints per vector (codes), never the float
+    vectors; the per-query distance TABLE (|queries| x |codebook| x PQ_SUB
+    doubles) is computed once from two broadcast-scale sets and broadcast to
+    the scan, so scoring is PQ_SUB broadcast hash joins + a codegen'd sum,
+    one corpus pass, and the only shuffle is the per-query top-k.  In a full
+    stack the IVF cell list (``ann_ivf_topk``) prunes candidates first; this
+    operator is the scoring kernel run corpus-wide so recall is measurable.
+
+    Exactly oracled: subspace distances are the same left-fold the
+    ``emb_pq_codes`` parity already proves bit-identical cross-engine, the
+    ADC sum is a fixed-order 4-term double add, and ranking ties break on
+    vec_id.
+    """
+    codes = emb_pq_codes(spark, sf_dir).select(
+        "vec_id", *[f"code{s}" for s in range(PQ_SUB)]
+    )
+    e = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = e.filter(
+        (F.col("vec_id") % CENT_MOD == CENT_RES) & (F.col("vec_id") < PQ_CENT_CAP)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+
+    def sub_dist(s: int):
+        xs = F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cs = F.slice(F.col("cv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        sq = F.zip_with(
+            xs, cs,
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+
+    dtab = q.join(F.broadcast(cents)).select(
+        "qid", "cent_id", *[sub_dist(s).alias(f"t{s}") for s in range(PQ_SUB)]
+    )
+    scored = codes.join(
+        F.broadcast(dtab.select("qid", F.col("cent_id").alias("code0"), "t0")),
+        "code0",
+    )
+    for s in range(1, PQ_SUB):
+        scored = scored.join(
+            F.broadcast(
+                dtab.select("qid", F.col("cent_id").alias(f"code{s}"), f"t{s}")
+            ),
+            ["qid", f"code{s}"],
+        )
+    adc = sum((F.col(f"t{s}") for s in range(1, PQ_SUB)), F.col("t0"))
+    win = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        scored.select("qid", "vec_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            F.round(F.col("adc"), 6).cast("decimal(12,6)").alias("adc_dist"),
+        )
+    )
+
+
+def _pq_sub_dist_sql(a: str, b: str, s: int) -> str:
+    lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"list_zip({a}[{lo}:{hi}], {b}[{lo}:{hi}]), "
+        f"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _pq_search_oracle() -> str:
+    code_cols = ",\n           ".join(
+        f"max(CASE WHEN r{s} = 1 THEN cent_id END) AS code{s}"
+        for s in range(PQ_SUB)
+    )
+    d_cols = ",\n             ".join(
+        f"{_pq_sub_dist_sql('e.v', 'c.cv', s)} AS d{s}" for s in range(PQ_SUB)
+    )
+    r_cols = ",\n             ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, cent_id) AS r{s}"
+        for s in range(PQ_SUB)
+    )
+    t_cols = ",\n             ".join(
+        f"{_pq_sub_dist_sql('q.qv', 'c.cv', s)} AS t{s}" for s in range(PQ_SUB)
+    )
+    joins = "\n      ".join(
+        f"JOIN dtab j{s} ON j{s}.qid = j0.qid AND j{s}.cent_id = codes.code{s}"
+        for s in range(1, PQ_SUB)
+    )
+    adc = " + ".join(f"j{s}.t{s}" for s in range(PQ_SUB))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+              WHERE vec_id % {CENT_MOD} = {CENT_RES} AND vec_id < {PQ_CENT_CAP}),
+    scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {d_cols}
+      FROM e CROSS JOIN cents c),
+    r AS (
+      SELECT *,
+             {r_cols}
+      FROM scored),
+    codes AS (
+      SELECT vec_id,
+           {code_cols}
+      FROM r GROUP BY vec_id),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    dtab AS (
+      SELECT q.qid, c.cent_id,
+             {t_cols}
+      FROM q CROSS JOIN cents c),
+    sc AS (
+      SELECT j0.qid, codes.vec_id, {adc} AS adc
+      FROM codes
+      JOIN dtab j0 ON j0.cent_id = codes.code0
+      {joins})
+    SELECT qid, rank, vec_id, CAST(round(adc, 6) AS DECIMAL(12,6)) AS adc_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id)
+                 AS rank FROM sc)
+    WHERE rank <= {PQ_TOPK}
+    """
+
+
 ORACLE["dedup_semantic"] = f"""
     WITH {_NORM_CTE},
     cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
@@ -794,6 +930,8 @@ QUERIES = {
     "ann_kmeans_assign": ann_kmeans_assign,
     "emb_quantize_int8": emb_quantize_int8,
     "emb_pq_codes": emb_pq_codes,
+    "ann_pq_search": ann_pq_search,
 }
 
 ORACLE["ann_kmeans_assign"] = _kmeans_oracle()
+ORACLE["ann_pq_search"] = _pq_search_oracle()

@@ -263,6 +263,126 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_BINS = 20
+DRIFT_W = 25.0  # bin width over the events.value range [0, 500)
+
+
+def stats_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event_type, the total-variation
+    distance between the value histograms of two deterministic cohorts
+    (event_id parity — stand-in for before/after a pipeline change).  The
+    data-quality gate a training pipeline runs before mixing a new crawl
+    batch into the corpus.
+
+    All-integer: per-bin counts are cross-normalized (``|ca*n_b - cb*n_a|``
+    instead of ``|ca/n_a - cb/n_b|``), and the final TV ratio is truncating
+    integer division scaled 1e6 — bit-identical cross-engine.  Scale: one
+    partial-agg'd shuffle to ~|types| x bins rows; the window and L1 fold
+    run on that tiny aggregate.  (At corpus scale where ``n_a*n_b``
+    approaches 2^63, normalize per-bin to decimals first; the fixture range
+    keeps the cross-normalized form exact.)
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    half = (F.col("event_id") % 2).cast("int")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(DRIFT_W)).cast("int"), F.lit(0)),
+        F.lit(DRIFT_BINS - 1),
+    )
+    per_bin = (
+        e.select("event_type", half.alias("half"), bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    tot = per_bin.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("n_a"),
+        F.sum("cb").over(w).alias("n_b"),
+    )
+    return (
+        tot.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+            .cast("long")
+            .alias("l1_cross")
+        )
+        .withColumn(
+            "tv_q", F.expr("(l1_cross * 1000000) div (2 * n_a * n_b)")
+        )
+    )
+
+
+BASKET_MIN_SUP = 2  # minimum pair co-occurrence count
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs ordered together, with
+    support counts and integer-scaled lift
+    ``P(a,b) / (P(a) P(b)) = n_ab * n_orders / (n_a * n_b)`` — the classic
+    association-rule first stage (also the co-occurrence statistic behind
+    item-item recommenders and word-pair PMI).
+
+    Scale shape: the pair explosion is a SELF-JOIN ON THE ORDER KEY, so its
+    output is sum-over-orders C(items,2) — bounded by basket size (~7 for
+    TPC-H), never |parts|². One shuffle builds per-order item sets, the
+    pair counts partial-agg on (part_a, part_b), and the per-part count
+    join is dimension-scale (broadcast).  Lift is truncating-div scaled 1e6
+    (exactly oracled); ``n_ab * n_orders * 1e6`` fits int64 to ~10^6
+    pair-support x 10^6 orders — past that cast the numerator to
+    DECIMAL(38,0) on both engines.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUP)
+    )
+    return (
+        pairs.join(F.broadcast(cnt.withColumnRenamed("l_partkey", "part_a")
+                               .withColumnRenamed("n", "n_a")), "part_a")
+        .join(F.broadcast(cnt.withColumnRenamed("l_partkey", "part_b")
+                          .withColumnRenamed("n", "n_b")), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").alias(
+                "lift_q"
+            ),
+        )
+    )
+
+
 HIST_BIN = 1000  # fixed-width histogram bin for l_extendedprice
 
 
@@ -594,8 +714,53 @@ ORACLE["mix_sample_apply"] = f"""
     WHERE ({phash32_sql("d.doc_id::VARCHAR", "mix")} % 1000000) / 1000000.0 < r.rate
 """
 
+ORACLE["stats_hist_drift"] = f"""
+    WITH g AS (
+      SELECT event_type, CAST(event_id % 2 AS INT) AS half,
+             least(greatest(CAST(floor(value / {DRIFT_W}) AS INT), 0),
+                   {DRIFT_BINS - 1}) AS bin
+      FROM events WHERE value IS NOT NULL),
+    per_bin AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+      FROM g GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type, ca, cb,
+             sum(ca) OVER (PARTITION BY event_type)::BIGINT AS n_a,
+             sum(cb) OVER (PARTITION BY event_type)::BIGINT AS n_b
+      FROM per_bin)
+    SELECT event_type, n_a, n_b,
+           sum(abs(ca * n_b - cb * n_a))::BIGINT AS l1_cross,
+           (sum(abs(ca * n_b - cb * n_a))::BIGINT * 1000000)
+               // (2 * n_a * n_b) AS tv_q
+    FROM tot WHERE n_a > 0 AND n_b > 0
+    GROUP BY event_type, n_a, n_b
+"""
+
+ORACLE["basket_part_pairs"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li),
+    cnt AS (SELECT l_partkey, count(*)::BIGINT AS c FROM li GROUP BY l_partkey),
+    p AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*)::BIGINT AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUP})
+    SELECT part_a, part_b, n_ab, ca.c AS n_a, cb.c AS n_b,
+           (n_ab * n.n_orders * 1000000) // (ca.c * cb.c) AS lift_q
+    FROM p
+    JOIN cnt ca ON ca.l_partkey = p.part_a
+    JOIN cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+"""
+
 QUERIES = {
     "stats_corr_price_qty": stats_corr_price_qty,
+    "stats_hist_drift": stats_hist_drift,
+    "basket_part_pairs": basket_part_pairs,
     "mix_sample_apply": mix_sample_apply,
     "ts_anomaly_zscore": ts_anomaly_zscore,
     "hist_quantile_bins": hist_quantile_bins,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_spread
 from ..functions import (
@@ -514,6 +515,193 @@ _QUALITY_EXPRS = """
   len(list_filter(w, x -> list_contains({stops}, x))) AS n_stop
 """.format(stops="[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]")
 
+BPE_ROUNDS = 4
+
+
+def _bpe_state(spark: SparkSession, sf_dir: str):
+    """Shared BPE merge-learning pipeline: returns ``(state, outs)`` where
+    ``state`` is the distinct-word frequency table ``(w, cnt, s)`` after
+    ``BPE_ROUNDS`` merges (``s`` = space-separated symbol string) and
+    ``outs`` is one 1-row DataFrame per learned merge.
+
+    Classic formulation: train on the distinct-word frequency table (tiny
+    relative to the corpus — one partial-agg'd shuffle builds it and every
+    later round works on |vocab| rows).  Each round (a) explodes adjacent
+    symbol pairs weighted by word count, (b) picks the most frequent pair
+    with a deterministic (count desc, pair asc) tie-break as a broadcast
+    1-row aggregate, and (c) applies the merge with a LITERAL string
+    replace — both engines scan left-to-right non-overlapping and the
+    space-padded encoding makes token boundaries unambiguous, so the
+    rewrite is bit-identical.  No driver loop: the rounds compose lazily
+    into one plan.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("w") > 0)
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    state = wf.select(
+        "w",
+        "cnt",
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias("s"),
+    )
+
+    outs = []
+    for r in range(1, BPE_ROUNDS + 1):
+        toks = F.split(F.trim(F.col("s")), " ")
+        prs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("a"),
+                    F.element_at(toks, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        pc = (
+            state.select("cnt", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pc.orderBy(F.col("n").desc(), "a", "b").limit(1)
+        outs.append(
+            best.select(
+                F.lit(r).alias("rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        b = F.broadcast(
+            best.select(F.col("a").alias("_ba"), F.col("b").alias("_bb"))
+        )
+        state = state.crossJoin(b).select(
+            "w",
+            "cnt",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("_ba"), F.lit(" "), F.col("_bb"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("_ba"), F.col("_bb"), F.lit(" ")),
+            ).alias("s"),
+        )
+    return state, outs
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first ``BPE_ROUNDS`` merges — the real
+    byte-pair-encoding learning step (Sennrich et al. 2016) run on-cluster
+    and EXACTLY oracled (all counts are integers and every operation in
+    :func:`_bpe_state` is deterministic, so the unrolled-CTE DuckDB replica
+    matches hash-exactly)."""
+    _, outs = _bpe_state(spark, sf_dir)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to tokenize the corpus: per document,
+    whitespace word count vs post-merge BPE token count and the integer
+    tokens-per-word ratio — the fertility statistic a tokenizer-training
+    run reports before committing a vocab.
+
+    Scale shape: encoding is a BROADCAST join of the corpus token stream
+    against the learned vocab table (distinct words — bounded by the
+    language, not the corpus), then one partial-agg'd groupBy(doc_id);
+    the merge learning itself is the |vocab|-row pipeline from
+    :func:`_bpe_state`.  The corpus is scanned twice total (once to build
+    word frequencies, once to encode) — the same two-pass shape as
+    ``text_perplexity``.
+    """
+    state, _ = _bpe_state(spark, sf_dir)
+    vocab = state.select(
+        "w", F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_sym")
+    )
+    d = load_spread(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word_q",
+            F.expr("(n_bpe_tokens * 1000000) div n_words"),
+        )
+    )
+
+
+def _bpe_cte_chain() -> str:
+    """Unrolled-CTE DuckDB replica of the BPE merge learner's state pipeline
+    (``_bpe_state``): ``wf0`` … ``wf{BPE_ROUNDS}`` carry ``(w, cnt, s)``,
+    ``best{r}`` is round r's learned merge."""
+    head = f"""
+WITH wf0 AS (
+  SELECT w, cnt,
+         ' ' || array_to_string(list_transform(generate_series(1, len(w)),
+                                i -> substr(w, i, 1)), ' ') || ' ' AS s
+  FROM (SELECT w, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_W}) AS w FROM documents)
+        GROUP BY w)
+  WHERE len(w) > 0)"""
+    rounds = []
+    for r in range(1, BPE_ROUNDS + 1):
+        rounds.append(f""",
+tk{r} AS (SELECT cnt, string_split(trim(s), ' ') AS toks FROM wf{r - 1}),
+pc{r} AS (
+  SELECT a, b, sum(cnt)::BIGINT AS n
+  FROM (SELECT cnt,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i])) AS a,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i + 1])) AS b
+        FROM tk{r} WHERE len(toks) >= 2)
+  GROUP BY a, b),
+best{r} AS (SELECT a, b, n FROM pc{r} ORDER BY n DESC, a, b LIMIT 1),
+wf{r} AS (
+  SELECT w, cnt, replace(s, ' ' || best.a || ' ' || best.b || ' ',
+                            ' ' || best.a || best.b || ' ') AS s
+  FROM wf{r - 1}, best{r} best)""")
+    return head + "".join(rounds)
+
+
+def _bpe_oracle() -> str:
+    selects = [
+        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, "
+        f"n AS pair_count FROM best{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
+    return _bpe_cte_chain() + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_encode_oracle() -> str:
+    return (
+        _bpe_cte_chain()
+        + f""",
+vocab AS (SELECT w, len(string_split(trim(s), ' '))::BIGINT AS n_sym
+          FROM wf{BPE_ROUNDS}),
+tok AS (SELECT doc_id, w
+        FROM (SELECT doc_id, unnest({_W}) AS w FROM documents)
+        WHERE len(w) > 0)
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sym)::BIGINT AS n_bpe_tokens,
+       (sum(n_sym)::BIGINT * 1000000) // count(*) AS tokens_per_word_q
+FROM tok JOIN vocab USING (w)
+GROUP BY doc_id"""
+    )
+
+
 ORACLE = {
     "text_quality": f"""
         WITH d AS (SELECT doc_id, {_W} AS w FROM documents),
@@ -715,8 +903,85 @@ def _corpus_curate_oracle() -> str:
 
 ORACLE["corpus_curate"] = _corpus_curate_oracle()
 
+ORACLE["text_bpe_merges"] = _bpe_oracle()
+ORACLE["text_bpe_encode"] = _bpe_encode_oracle()
+
+DOMSIG_TOPK = 5
+DOMSIG_MIN_TF = 20
+
+
+def text_domain_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain signature: the ``DOMSIG_TOPK`` most DISTINCTIVE
+    tokens of each source by integer-scaled lift
+    ``P(w|source) / P(w)  =  tf_sw * T / (tf_w * tok_s)`` — the data-mixing
+    diagnostic that tells you what each corpus source actually contributes
+    before you weight it (complement of per-doc ``text_tfidf_topk``).
+
+    All-integer (lift scaled 1e6, truncating div) so it's exactly oracled.
+    Scale shape: one token-stream partial agg to (source, w) counts — the
+    only corpus-scale shuffle — then vocab-scale joins: by-word totals
+    shuffle |vocab| rows, per-source totals and the corpus total are
+    broadcast-scale, the top-k window partitions by source over
+    |sources| x topk candidates.  Headroom: ``tf_sw * T * 1e6`` fits int64
+    to ~10^6 x 10^6-token corpora; past that swap the lift to DECIMAL(38,0)
+    (both engines exact).
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(words(F.col("text"))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    sw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf_sw")
+    )
+    wtot = sw.groupBy("w").agg(F.sum("tf_sw").alias("tf_w"))
+    stot = sw.groupBy("source").agg(F.sum("tf_sw").alias("tok_s"))
+    tot = sw.agg(F.sum("tf_sw").alias("T"))
+    scored = (
+        sw.join(wtot, "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("tf_sw") >= DOMSIG_MIN_TF)
+        .select(
+            "source",
+            "w",
+            "tf_sw",
+            "tf_w",
+            F.expr("(tf_sw * T * 1000000) div (tf_w * tok_s)").alias("lift_q"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("lift_q").desc(), F.col("tf_sw").desc(), F.col("w")
+    )
+    return scored.withColumn("rnk", F.row_number().over(win)).filter(
+        F.col("rnk") <= DOMSIG_TOPK
+    )
+
+
+ORACLE["text_domain_signature"] = f"""
+    WITH tk AS (
+      SELECT source, w
+      FROM (SELECT source, unnest({_W}) AS w FROM documents)
+      WHERE len(w) > 0),
+    sw AS (SELECT source, w, count(*)::BIGINT AS tf_sw FROM tk GROUP BY source, w),
+    wt AS (SELECT w, sum(tf_sw)::BIGINT AS tf_w FROM sw GROUP BY w),
+    st AS (SELECT source, sum(tf_sw)::BIGINT AS tok_s FROM sw GROUP BY source),
+    t AS (SELECT sum(tf_sw)::BIGINT AS T FROM sw),
+    sc AS (
+      SELECT sw.source, sw.w, sw.tf_sw, wt.tf_w,
+             (sw.tf_sw * t.T * 1000000) // (wt.tf_w * st.tok_s) AS lift_q
+      FROM sw JOIN wt USING (w) JOIN st USING (source) CROSS JOIN t
+      WHERE sw.tf_sw >= {DOMSIG_MIN_TF})
+    SELECT source, w, tf_sw, tf_w, lift_q, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY lift_q DESC, tf_sw DESC, w) AS rnk FROM sc)
+    WHERE rnk <= {DOMSIG_TOPK}
+"""
+
 QUERIES = {
     "text_quality": text_quality,
+    "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
+    "text_domain_signature": text_domain_signature,
     "text_pii_redact": text_pii_redact,
     "text_normalize": text_normalize,
     "text_chunk": text_chunk,
