@@ -31,13 +31,14 @@ def _fixture_dir() -> str:
 # text, ML, events, sketches, multimodal, linalg, sampling) interleaved with
 # the queries whose cross-engine hash-stability the canon layer (_canon.py)
 # specifically fixes (all 21 round-1 hash-red rows stay inside the prefix).
-# Round 3 rotates this round's NEW queries (bpe merges/encode, minhash
-# containment, graph degree, hist drift, basket lift, PQ search, domain
-# signature, decoded pixels) into the window, displacing simple relational
-# entries that already hold green driver rows from round 2 (filter_eq,
-# topk_orders, group_count, window_topn_per_group, ml_logreg_eval,
-# ntile_quartiles, percent_rank_by_segment, first_last_order_span,
-# monthly_revenue) — those keep their byte-strict local-parity evidence.
+# Round 3 (cont.) rotates this session's NEW queries (graph triangles,
+# LSH precision/recall eval, dyadic EWMA, salted-agg skew pattern, URL
+# dedup, IVF-PQ search) into the window, displacing entries that already
+# hold green driver rows from round 2 (q9/q10/q11, mix_weights_by_source,
+# agg_top1_per_group_argmax, text_token_count) — those keep their
+# byte-strict local-parity evidence.  dedup_simhash / dedup_components /
+# dedup_graph_degree stay in-window because the round-3 60-bit SimHash
+# widening changed their values; the driver should re-verify them.
 # Entries beyond this list follow in module order.
 DRIVER_PRIORITY = (
     "cdc_apply", "cdc_topk", "cdc_counts", "cdc_scd2", "cdc_asof_snapshot",
@@ -51,9 +52,9 @@ DRIVER_PRIORITY = (
     "text_tfidf_topk", "text_bpe_merges", "events_rate",
     "text_bpe_encode", "ann_lsh_topk", "dedup_minhash_containment",
     "sketch_cms_heavy", "dedup_graph_degree", "mm_fake_features",
-    "agg_top1_per_group_argmax", "dedup_components", "q8_market_share",
-    "text_token_count", "q9_product_profit", "mix_weights_by_source",
-    "q10_returned_items", "q11_important_stock", "join_dims_broadcast",
+    "dedup_graph_triangles", "dedup_components", "q8_market_share",
+    "eval_minhash_pr", "ts_ewma", "join_skew_salted",
+    "text_url_dedup", "ann_ivfpq_search", "join_dims_broadcast",
     "ml_logreg_weights", "stats_hist_drift", "basket_part_pairs",
     "ann_pq_search", "text_domain_signature", "mm_decode_pixels",
     # entries below duplicate families already evidenced inside the 50-wide

@@ -17,7 +17,12 @@ Scale design (100 TB):
 - MinHash LSH: per-doc signature is map-only; candidate generation explodes
   each doc into BANDS rows and shuffles on (band, band_hash) — the classic
   band-bucket join whose output is ~|near-dup pairs|, never O(n^2).
-- SimHash: banded by 8-bit chunks, same bucket-join shape.
+- SimHash: banded by 15-bit chunks (60-bit fingerprint, 32k buckets per
+  band), same bucket-join shape.  Round-3 scale-sanity caught the original
+  4x8-bit banding saturating its 1024 buckets (~4M candidate pairs from
+  5k docs — quadratic); widening the band key keeps candidate volume
+  ~|near-dup pairs| as the corpus grows.  Hamming<=3 with 4 bands keeps the
+  pigeonhole recall guarantee (3 flipped bits leave >=1 band intact).
 - embedding cosine here is the small-side brute-force variant; the scale
   path is the LSH-bucketed join in ``similarity.py``.
 """
@@ -45,7 +50,7 @@ NUM_HASHES = 12
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 JACCARD_MIN = 0.5
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 HAMMING_MAX = 3
 COSINE_MIN = 0.40
@@ -248,7 +253,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over the word multiset, via explode + one groupBy.
+    """60-bit SimHash over the word multiset, via explode + one groupBy.
 
     bit_k(doc) = 1 iff sum over words of (+1 if bit k of h(word) else -1) > 0.
     The explode/groupBy shape gets map-side partial aggregation; at scale it
@@ -256,7 +261,7 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_spread(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
-    h = phash32(F.col("word"), "sh")
+    h = phash60(F.col("word"), "sh")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -272,12 +277,12 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 32-bit SimHash fingerprint (oracle checks the full sketch)."""
+    """Per-doc 60-bit SimHash fingerprint (oracle checks the full sketch)."""
     return _simhash(spark, sf_dir)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash: 4x8-bit band blocking, Hamming-verified.
+    """Near-dup pairs by SimHash: 4x15-bit band blocking, Hamming-verified.
 
     Served from the session-scoped shared artifact (see
     :func:`shared_dup_pairs`); the band-join pass below runs once per
@@ -295,8 +300,8 @@ def _simhash_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * j)
-                .bitwiseAND(F.lit(255))
+                F.shiftright(F.col("simhash"), 15 * j)
+                .bitwiseAND(F.lit(32767))
                 .alias("byte"),
             )
             for j in range(SIMHASH_BANDS)
@@ -600,7 +605,7 @@ def _components_over(spark: SparkSession, pairs: DataFrame) -> DataFrame:
 _SIMHASH_CTE = f"""
 docs AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
 wx AS (SELECT doc_id, unnest(w) AS word FROM docs),
-hs AS (SELECT doc_id, {phash32_sql('word', 'sh')} AS h FROM wx),
+hs AS (SELECT doc_id, {phash60_sql('word', 'sh')} AS h FROM wx),
 bitsums AS (
   SELECT doc_id,
          {", ".join(f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}" for k in range(SIMHASH_BITS))}
@@ -685,7 +690,7 @@ ORACLE = {
     "dedup_simhash_pairs": f"""
         WITH {_SIMHASH_CTE},
         ex AS (
-          SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+          SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS byte
           FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
         ),
         cand AS (
@@ -856,6 +861,159 @@ def dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph cohesion: edge/triangle/wedge census plus the global
+    transitivity ratio — the one-row diagnostic that distinguishes tight
+    duplicate CLIQUES (transitivity near 1: safe to collapse to one
+    canonical doc) from star-shaped boilerplate HUBS (many wedges, few
+    triangles: collapsing would glue unrelated docs), read before acting on
+    the graph the same way the reference verifies counts before mutating
+    state (test-pipeline.sh:31-40).
+
+    Consumes the shared pair artifact (:func:`shared_dup_pairs`), so this is
+    pair-scale work only.  Triangles are counted by the standard oriented
+    two-join (edges kept as doc_a < doc_b, so each triangle a<b<c is counted
+    exactly once); wedges come from the degree aggregate as sum(C(deg, 2)).
+    Transitivity = 3*triangles/wedges is emitted as truncating integer
+    division scaled 1e6 — bit-identical cross-engine.  Scale shape: two
+    shuffles over 8-byte id pairs; the wedge join fan-out is bounded by the
+    near-dup degree distribution, never corpus-size.
+    """
+    pairs = shared_dup_pairs(spark, sf_dir)
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wed = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("degree * (degree - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        edges.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "(3 * n_triangles * 1000000) div nullif(n_wedges, 0)"
+            ).alias("transitivity_q"),
+        )
+    )
+
+
+# Ground-truth blocking for the LSH eval: docs whose n_chars fall in the
+# same or adjacent 16-char window.  Every observed true near-dup pair in the
+# fixtures differs by <= 8 chars, and length-window blocking is the standard
+# linear-cost way to sample a verifiable pair universe (at 100 TB this eval
+# runs over a sampled slice; the point is measuring the sketch, not scanning
+# every pair).
+EVAL_BLK = 16
+
+
+def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator against exact
+    ground truth — the acceptance gate a curation team runs BEFORE trusting
+    banded signatures to dedup 100 TB.
+
+    Universe: doc pairs whose lengths land in the same or adjacent
+    ``EVAL_BLK``-char window (equi-join on an exploded block key — no range
+    join, no O(n^2)).  Ground truth: exact Jaccard on the hashed shingle
+    sets >= JACCARD_MIN (same rounded form the verify step uses).
+    Prediction: raw band collisions from the shared ``signature_table`` —
+    the signature-level decision, BEFORE Jaccard verification, because that
+    is the stage whose error rate banding determines.  Output is one row of
+    integer counts plus 1e6-scaled truncating-division precision/recall.
+
+    Scale shape: two equi-joins (block key, band key) whose outputs are
+    ~|near-length pairs| and ~|candidate pairs|; counts reduce map-side.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    sig = signature_table(docs).persist()
+    hsd = (
+        sig.select("doc_id", "hs")
+        .dropDuplicates(["doc_id"])
+        .join(
+            docs.select("doc_id", F.expr(f"n_chars div {EVAL_BLK}").alias("blk")),
+            "doc_id",
+        )
+    )
+    ex = hsd.select(
+        "doc_id", "hs", "blk",
+        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("k"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect("sha", "shb"))
+        / F.size(F.array_union("sha", "shb")),
+        4,
+    ).cast("decimal(7,4)")
+    universe = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.hs").alias("sha"),
+            F.col("b.hs").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", (jac >= JACCARD_MIN).alias("is_true"))
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    pred = (
+        sa.join(
+            sb,
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.bhash") == F.col("sb.bhash"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("is_pred", F.lit(True))
+    )
+    joined = universe.join(pred, ["doc_a", "doc_b"], "left").select(
+        "is_true", F.coalesce("is_pred", F.lit(False)).alias("is_pred")
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("n_truth"),
+        F.sum(F.when(F.col("is_pred"), 1).otherwise(0)).cast("long").alias("n_pred"),
+        F.sum(F.when(F.col("is_true") & F.col("is_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("is_pred") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("is_true") & ~F.col("is_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    ).select(
+        "n_truth", "n_pred", "tp", "fp", "fn",
+        F.expr("(tp * 1000000) div nullif(n_pred, 0)").alias("precision_q"),
+        F.expr("(tp * 1000000) div nullif(n_truth, 0)").alias("recall_q"),
+    )
+
+
 QUERIES = {
     "dedup_exact_stats": dedup_exact_stats,
     "dedup_passage_exact": dedup_passage_exact,
@@ -869,13 +1027,15 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_graph_degree": dedup_graph_degree,
+    "dedup_graph_triangles": dedup_graph_triangles,
+    "eval_minhash_pr": eval_minhash_pr,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLE["dedup_graph_degree"] = f"""
     WITH {_SIMHASH_CTE},
     ex AS (
-      SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+      SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS byte
       FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
     ),
     cand AS (
@@ -895,13 +1055,89 @@ ORACLE["dedup_graph_degree"] = f"""
     FROM deg GROUP BY degree
 """
 
+ORACLE["dedup_graph_triangles"] = f"""
+    WITH {_SIMHASH_CTE},
+    ex AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS byte
+      FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS ha, b.simhash AS hb
+      FROM ex a JOIN ex b
+        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    ),
+    p AS (SELECT doc_a, doc_b FROM cand
+          WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}),
+    deg AS (
+      SELECT doc_id, count(*)::BIGINT AS degree
+      FROM (SELECT doc_a AS doc_id FROM p
+            UNION ALL SELECT doc_b AS doc_id FROM p)
+      GROUP BY doc_id),
+    tri AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM p e1
+      JOIN p e2 ON e2.doc_a = e1.doc_b
+      JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    wed AS (
+      SELECT count(*)::BIGINT AS n_nodes,
+             sum(degree * (degree - 1) // 2)::BIGINT AS n_wedges
+      FROM deg),
+    ed AS (SELECT count(*)::BIGINT AS n_edges FROM p)
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           (3 * n_triangles * 1000000) // nullif(n_wedges, 0) AS transitivity_q
+    FROM ed, wed, tri
+"""
+
+ORACLE["eval_minhash_pr"] = f"""
+    WITH {_HASHED_SHINGLES_CTE},
+    sig AS (SELECT doc_id, hs, {_MINHASH_SIG_SQL} AS sig FROM hsh),
+    bands AS (
+      SELECT doc_id, b.band, b.bhash
+      FROM sig, LATERAL (VALUES {_BANDS_SQL}) AS b(band, bhash)
+    ),
+    blk AS (
+      SELECT h.doc_id, h.hs, d.n_chars // {EVAL_BLK} AS blk
+      FROM hsh h JOIN documents d ON d.doc_id = h.doc_id),
+    ex AS (SELECT doc_id, hs, unnest([blk, blk + 1]) AS k FROM blk),
+    uni AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.hs AS sha, b.hs AS shb
+      FROM ex a JOIN ex b ON a.k = b.k AND a.doc_id < b.doc_id),
+    u2 AS (
+      SELECT doc_a, doc_b,
+             CAST(round(len(list_intersect(sha, shb))::DOUBLE
+                  / len(list_distinct(list_concat(sha, shb))), 4)
+                  AS DECIMAL(7,4)) >= {JACCARD_MIN} AS is_true
+      FROM uni),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT u2.is_true, (p.doc_a IS NOT NULL) AS is_pred
+      FROM u2 LEFT JOIN pred p
+        ON p.doc_a = u2.doc_a AND p.doc_b = u2.doc_b),
+    c AS (
+      SELECT sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+             sum(CASE WHEN is_pred THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+             sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN is_pred AND NOT is_true THEN 1 ELSE 0 END)::BIGINT AS fp,
+             sum(CASE WHEN is_true AND NOT is_pred THEN 1 ELSE 0 END)::BIGINT AS fn
+      FROM j)
+    SELECT n_truth, n_pred, tp, fp, fn,
+           (tp * 1000000) // nullif(n_pred, 0) AS precision_q,
+           (tp * 1000000) // nullif(n_truth, 0) AS recall_q
+    FROM c
+"""
+
 # Recursive-CTE oracle for connected components: labels propagate one hop
 # per recursion step (set-semantics UNION terminates it); min(label) per
 # node over everything that ever reached it == the component minimum.
 ORACLE["dedup_components"] = f"""
     WITH RECURSIVE {_SIMHASH_CTE},
     ex AS (
-      SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+      SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS byte
       FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
     ),
     cand AS (
@@ -1098,7 +1334,7 @@ def _pagerank_oracle() -> str:
     head = f"""
 WITH {_SIMHASH_CTE},
 ex AS (
-  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+  SELECT doc_id, simhash, b.band, (simhash >> (15 * b.band)) & 32767 AS byte
   FROM simh, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
 ),
 cand AS (

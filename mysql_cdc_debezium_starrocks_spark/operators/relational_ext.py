@@ -314,3 +314,54 @@ ORACLE["agg_top1_per_group_argmax"] = """
            max(CAST(o_totalprice AS DECIMAL(12,2))) AS top_price
     FROM orders GROUP BY o_custkey
 """
+
+
+SALT_N = 16
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over a pathologically low-cardinality
+    key (l_returnflag x l_linestatus: 4 live groups for the whole fact
+    table) — the skew-mitigation pattern for when one reduce key would
+    otherwise receive the entire table.
+
+    Phase 1 groups by (key, salt) with salt = l_orderkey % SALT_N, spreading
+    each hot key over SALT_N reducers; phase 2 re-aggregates the SALT_N
+    partials per key.  Every aggregate used is associative (sum/count), so
+    the result is bit-identical to the direct groupBy — which is exactly
+    what the DuckDB oracle computes, making the parity gate a proof that
+    salting preserved semantics.  At 100 TB phase 1 is the whole job
+    (map-side combine then SALT_N*4 rows on the wire); phase 2 is free.
+    AQE's skew handling covers sort-merge JOIN skew automatically; explicit
+    salting remains the tool for aggregation skew like this one.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("salt", F.col("l_orderkey") % SALT_N)
+        .groupBy("l_returnflag", "l_linestatus", "salt")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("p_qty"),
+            F.sum(_dec("l_extendedprice")).alias("p_rev"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_qty").cast("decimal(18,2)").alias("sum_qty"),
+            F.sum("p_rev").cast("decimal(18,2)").alias("sum_revenue"),
+            F.sum("p_n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+QUERIES["join_skew_salted"] = join_skew_salted
+ORACLE["join_skew_salted"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS sum_revenue,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""

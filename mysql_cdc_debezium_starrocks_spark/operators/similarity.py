@@ -935,3 +935,181 @@ QUERIES = {
 
 ORACLE["ann_kmeans_assign"] = _kmeans_oracle()
 ORACLE["ann_pq_search"] = _pq_search_oracle()
+
+
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production-shape ANN index — IVF cells prune the
+    candidate list, PQ asymmetric distances (ADC) score it from compressed
+    codes.  ``ann_ivf_topk`` alone re-ranks with full float vectors;
+    ``ann_pq_search`` alone scans the whole corpus; composing them is what
+    FAISS-style engines actually deploy at billion scale (Jegou et al.
+    PAMI'11; Johnson et al., "Billion-scale similarity search").
+
+    Index build (one corpus pass each, both partial-agg shuffles): cell =
+    cosine-nearest deterministic-sample centroid; codes = per-subspace
+    nearest PQ codebook entry.  Search: broadcast the per-query probe list
+    (NPROBE cells) against the index, then PQ_SUB broadcast hash joins
+    attach the per-query ADC lookup-table entries — the float vectors of
+    candidates are NEVER touched, so at 100 TB the search reads only the
+    (cell, codes) index, ~5 bytes/vector.  Top-k ties break on vec_id.
+
+    Exactly oracled end-to-end: IVF assignment and PQ codes are the same
+    constructions ``ann_ivf_topk`` / ``emb_pq_codes`` already prove
+    bit-identical, and the ADC sum is a fixed-order 4-term double add.
+    """
+    e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") % CENT_MOD == CENT_RES).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "v", "norm", "cent_id", ccos.alias("ccos")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id",
+            F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc")),
+        ).alias("cell")
+    )
+    index = emb_pq_codes(spark, sf_dir).select(
+        "vec_id", *[f"code{s}" for s in range(PQ_SUB)]
+    ).join(assign, "vec_id")
+
+    pw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
+    probes = (
+        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cell"))
+    )
+    cand = index.join(
+        F.broadcast(probes),
+        (index["cell"] == probes["cell"]) & (F.col("vec_id") != F.col("qid")),
+    ).select("qid", "vec_id", *[f"code{s}" for s in range(PQ_SUB)])
+
+    raw = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = raw.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pqc = raw.filter(
+        (F.col("vec_id") % CENT_MOD == CENT_RES) & (F.col("vec_id") < PQ_CENT_CAP)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+
+    def sub_dist(s: int):
+        xs = F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cs = F.slice(F.col("cv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        sq = F.zip_with(
+            xs, cs,
+            lambda x, c: (x.cast("double") - c.cast("double"))
+            * (x.cast("double") - c.cast("double")),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+
+    dtab = q.join(F.broadcast(pqc)).select(
+        "qid", "cent_id", *[sub_dist(s).alias(f"t{s}") for s in range(PQ_SUB)]
+    )
+    scored2 = cand.join(
+        F.broadcast(dtab.select(F.col("qid").alias("jqid"),
+                                F.col("cent_id").alias("jcode0"), "t0")),
+        (F.col("jqid") == cand["qid"]) & (F.col("jcode0") == cand["code0"]),
+    ).drop("jqid", "jcode0")
+    for s in range(1, PQ_SUB):
+        scored2 = scored2.join(
+            F.broadcast(
+                dtab.select("qid", F.col("cent_id").alias(f"code{s}"), f"t{s}")
+            ),
+            ["qid", f"code{s}"],
+        )
+    adc = sum((F.col(f"t{s}") for s in range(1, PQ_SUB)), F.col("t0"))
+    win = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        scored2.select("qid", "vec_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            F.round(F.col("adc"), 6).cast("decimal(12,6)").alias("adc_dist"),
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    code_cols = ",\n           ".join(
+        f"max(CASE WHEN r{s} = 1 THEN cent_id END) AS code{s}"
+        for s in range(PQ_SUB)
+    )
+    d_cols = ",\n             ".join(
+        f"{_pq_sub_dist_sql('e.v', 'c.cv', s)} AS d{s}" for s in range(PQ_SUB)
+    )
+    r_cols = ",\n             ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, cent_id) AS r{s}"
+        for s in range(PQ_SUB)
+    )
+    t_cols = ",\n             ".join(
+        f"{_pq_sub_dist_sql('q.qv', 'c.cv', s)} AS t{s}" for s in range(PQ_SUB)
+    )
+    joins = "\n      ".join(
+        f"JOIN dtab j{s} ON j{s}.qid = j0.qid AND j{s}.cent_id = codes.code{s}"
+        for s in range(1, PQ_SUB)
+    )
+    adc = " + ".join(f"j{s}.t{s}" for s in range(PQ_SUB))
+    return f"""
+    WITH {_NORM_CTE},
+    ccents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+               WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+    cscored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
+      FROM e CROSS JOIN ccents c),
+    assign AS (
+      SELECT vec_id, cent_id AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cent_id) AS rnk FROM cscored) t
+      WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS qid, cent_id AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cent_id) AS prank FROM cscored
+            WHERE vec_id % {QUERY_MOD} = 0) t
+      WHERE prank <= {NPROBE}),
+    pqc AS (SELECT vec_id AS cent_id, v AS cv FROM e
+            WHERE vec_id % {CENT_MOD} = {CENT_RES} AND vec_id < {PQ_CENT_CAP}),
+    psc AS (
+      SELECT e.vec_id, c.cent_id,
+             {d_cols}
+      FROM e CROSS JOIN pqc c),
+    r AS (
+      SELECT *,
+             {r_cols}
+      FROM psc),
+    codes AS (
+      SELECT vec_id,
+           {code_cols}
+      FROM r GROUP BY vec_id),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    dtab AS (
+      SELECT q.qid, c.cent_id,
+             {t_cols}
+      FROM q CROSS JOIN pqc c),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+    sc AS (
+      SELECT j0.qid, cand.vec_id, {adc} AS adc
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.vec_id
+      JOIN dtab j0 ON j0.qid = cand.qid AND j0.cent_id = codes.code0
+      {joins})
+    SELECT qid, rank, vec_id, CAST(round(adc, 6) AS DECIMAL(12,6)) AS adc_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id)
+                 AS rank FROM sc)
+    WHERE rank <= {PQ_TOPK}
+    """
+
+
+QUERIES["ann_ivfpq_search"] = ann_ivfpq_search
+ORACLE["ann_ivfpq_search"] = _ivfpq_oracle()

@@ -140,6 +140,61 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_K = 16  # dyadic EWMA window: alpha = 1/2 truncated at 16 lags
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA trend value at the user's LAST event — exponential
+    smoothing with alpha = 1/2 truncated at ``EWMA_K`` lags, the standard
+    "current level" feature a monitoring/curation pipeline keeps per key.
+
+    Exactly oracled by construction: values are quantized to integer 1e-6
+    units (``floor(value * 1e6)`` — IEEE double multiply then floor is
+    bit-identical cross-engine), and the dyadic weights ``2^(K-1-lag)`` make
+    the weighted sum pure int64 arithmetic — no floating-point accumulation
+    order to disagree on.  The smoothed level is the truncating division
+    ``ewma_num div wt_sum`` back into 1e-6 units.
+
+    Scale shape: one window shuffle on user_id for row numbers, one
+    partial-agg'd groupBy for the per-user tail position, then an equi-join
+    on user_id that keeps only the last K rows per user — state per key is
+    O(K), never the user's full history.  (The streaming twin of this shape
+    is ``streaming/agg_mv.py``'s incremental per-key state.)
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("qv"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .drop("ts")
+    )
+    last = b.groupBy("user_id").agg(
+        F.max("rn").alias("last_rn"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    tail = b.join(last, "user_id").filter(F.col("rn") > F.col("last_rn") - EWMA_K)
+    wt = F.expr(f"shiftleft(CAST(1 AS BIGINT), {EWMA_K - 1} - (last_rn - rn))")
+    agg = tail.select("user_id", "n_events", "qv", wt.alias("wt")).groupBy(
+        "user_id"
+    ).agg(
+        F.max("n_events").alias("n_events"),
+        F.sum(F.col("qv") * F.col("wt")).cast("long").alias("ewma_num"),
+        F.sum("wt").cast("long").alias("wt_sum"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "ewma_num",
+        "wt_sum",
+        F.expr("ewma_num div wt_sum").alias("ewma_q"),
+    )
+
+
 _BANDS_SQL = "(VALUES " + ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in BANDS) + ")"
 
 ORACLE = {
@@ -167,9 +222,35 @@ ORACLE = {
           ON e.value >= b.lo AND e.value < b.hi
         GROUP BY 1, 2, 3
     """,
+    "ts_ewma": f"""
+        WITH b AS (
+          SELECT user_id, event_id,
+                 CAST(floor(value * 1000000) AS BIGINT) AS qv,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events WHERE value IS NOT NULL
+        ),
+        l AS (SELECT user_id, max(rn) AS last_rn, count(*)::BIGINT AS n_events
+              FROM b GROUP BY user_id),
+        t AS (
+          SELECT b.user_id, l.n_events, b.qv,
+                 (CAST(1 AS BIGINT) << ({EWMA_K - 1} - (l.last_rn - b.rn))) AS wt
+          FROM b JOIN l ON l.user_id = b.user_id
+          WHERE b.rn > l.last_rn - {EWMA_K}
+        ),
+        a AS (
+          SELECT user_id, max(n_events) AS n_events,
+                 sum(qv * wt)::BIGINT AS ewma_num, sum(wt)::BIGINT AS wt_sum
+          FROM t GROUP BY user_id
+        )
+        SELECT user_id, n_events, ewma_num, wt_sum,
+               ewma_num // wt_sum AS ewma_q
+        FROM a
+    """,
 }
 
 QUERIES = {
     "join_asof": join_asof,
     "join_range": join_range,
+    "ts_ewma": ts_ewma,
 }

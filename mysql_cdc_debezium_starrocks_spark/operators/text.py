@@ -1016,3 +1016,131 @@ SELECT doc_id, n_tok,
        CAST(round(exp((n_tok * qn - sum_q1)::DOUBLE / (n_tok * 1000000.0)), 2) AS DECIMAL(14,2)) AS ppl
 FROM per_doc
 """
+
+
+# URL-canonicalization dedup.  The fixture has no URL column, so each doc's
+# URL is SYNTHESIZED deterministically (4 surface variants per logical page:
+# tracking params, scheme/host case, trailing slash, fragment) — the
+# canonicalizer under test is the real thing, the variants are the standard
+# mess a web crawl produces for one page.
+URLDEDUP_HOSTS = 7
+
+_URL_SYNTH_SPARK = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN concat('https://www.cdn', CAST((doc_id div 4) % 7 AS STRING),
+                     '.example.com/docs/', CAST(doc_id div 4 AS STRING),
+                     '?utm_source=feed&id=', CAST(doc_id div 4 AS STRING))
+  WHEN 1 THEN concat('http://cdn', CAST((doc_id div 4) % 7 AS STRING),
+                     '.example.com/docs/', CAST(doc_id div 4 AS STRING),
+                     '/?id=', CAST(doc_id div 4 AS STRING))
+  WHEN 2 THEN concat('HTTPS://CDN', CAST((doc_id div 4) % 7 AS STRING),
+                     '.EXAMPLE.COM/docs/', CAST(doc_id div 4 AS STRING),
+                     '?id=', CAST(doc_id div 4 AS STRING), '&utm_campaign=x')
+  ELSE concat('https://cdn', CAST((doc_id div 4) % 7 AS STRING),
+              '.example.com/docs/', CAST(doc_id div 4 AS STRING),
+              '?id=', CAST(doc_id div 4 AS STRING), '#frag')
+END
+"""
+
+_URL_SYNTH_DUCK = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'https://www.cdn' || ((doc_id // 4) % 7) ||
+              '.example.com/docs/' || (doc_id // 4) ||
+              '?utm_source=feed&id=' || (doc_id // 4)
+  WHEN 1 THEN 'http://cdn' || ((doc_id // 4) % 7) ||
+              '.example.com/docs/' || (doc_id // 4) ||
+              '/?id=' || (doc_id // 4)
+  WHEN 2 THEN 'HTTPS://CDN' || ((doc_id // 4) % 7) ||
+              '.EXAMPLE.COM/docs/' || (doc_id // 4) ||
+              '?id=' || (doc_id // 4) || '&utm_campaign=x'
+  ELSE 'https://cdn' || ((doc_id // 4) % 7) ||
+       '.example.com/docs/' || (doc_id // 4) ||
+       '?id=' || (doc_id // 4) || '#frag'
+END
+"""
+
+
+def text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: collapse crawl-surface URL variants of the
+    same page to one canonical form and keep the smallest doc_id per page —
+    the cheapest dedup tier in a web-scale pipeline (it runs BEFORE any
+    content hashing and typically removes the bulk of refetches).
+
+    Canonical form: strip the #fragment, strip the scheme, lowercase the
+    host, drop a leading ``www.``, strip trailing slashes from the path,
+    drop ``utm_*`` tracking params, and re-emit the surviving query params
+    sorted.  All array/string built-ins — map-only until one hash groupBy on
+    the canonical key, the exact-dedup shuffle shape (dedup.py:55), so the
+    plan scales like ``dedup_exact_groups``.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_URL_SYNTH_SPARK).alias("url"))
+    c = u.select(
+        "doc_id",
+        "url",
+        F.expr(r"""
+        regexp_replace(split_part(regexp_replace(split_part(url, '#', 1),
+                       '(?i)^https?://', ''), '/', 1), '^www\\.', '')
+        """).alias("hostraw"),
+        F.expr(r"""
+        substring(regexp_replace(split_part(url, '#', 1), '(?i)^https?://', ''),
+                  length(split_part(regexp_replace(split_part(url, '#', 1),
+                         '(?i)^https?://', ''), '/', 1)) + 1)
+        """).alias("rest"),
+    )
+    c = c.select(
+        "doc_id",
+        "url",
+        F.lower("hostraw").alias("host"),
+        F.expr(r"regexp_replace(split_part(rest, '?', 1), '/+$', '')").alias("path"),
+        F.expr(r"""
+        array_join(array_sort(filter(split(split_part(rest, '?', 2), '&'),
+                   p -> p <> '' AND NOT startswith(p, 'utm_'))), '&')
+        """).alias("qs"),
+    )
+    canon = F.concat(
+        F.col("host"),
+        F.col("path"),
+        F.when(F.col("qs") != "", F.concat(F.lit("?"), F.col("qs"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        c.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+QUERIES["text_url_dedup"] = text_url_dedup
+ORACLE["text_url_dedup"] = f"""
+    WITH u AS (SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents),
+    s1 AS (
+      SELECT doc_id, url,
+             regexp_replace(split_part(url, '#', 1),
+                            '(?i)^https?://', '') AS noscheme
+      FROM u),
+    s2 AS (
+      SELECT doc_id, url,
+             regexp_replace(split_part(noscheme, '/', 1),
+                            '^www\\.', '') AS hostraw,
+             substring(noscheme, length(split_part(noscheme, '/', 1)) + 1)
+               AS rest
+      FROM s1),
+    s3 AS (
+      SELECT doc_id,
+             lower(hostraw) AS host,
+             regexp_replace(split_part(rest, '?', 1), '/+$', '') AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(split_part(rest, '?', 2), '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS qs
+      FROM s2)
+    SELECT host || path ||
+           CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url,
+           count(*)::BIGINT AS n_variants,
+           min(doc_id) AS keep_doc_id
+    FROM s3 GROUP BY 1
+"""

@@ -299,3 +299,42 @@ def test_advisor_flags_antipatterns(spark):
     clean = q1_pricing_summary(spark, SF_SMOKE)
     errors = [w for w in advise(clean) if w["severity"] == "error"]
     assert errors == [], errors
+
+
+def test_salted_agg_is_two_phase_partial(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.relational_ext import (
+        join_skew_salted,
+    )
+
+    p = plan_of(join_skew_salted(spark, SF_SMOKE))
+    assert partial_aggregates(p), "phase-1 sums must combine map-side"
+    assert shuffle_count(p) == 2, "salted agg is exactly pre-agg + final"
+    assert not has_cartesian(p)
+
+
+def test_url_dedup_is_single_shuffle(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.text import text_url_dedup
+
+    p = plan_of(text_url_dedup(spark, SF_SMOKE))
+    # 2 = the load_spread fixture-spreading repartition + the ONE hash
+    # groupBy; the whole canonicalization pipeline itself is map-only
+    assert shuffle_count(p) == 2, "canonicalize is map-only; one hash groupBy"
+    assert partial_aggregates(p)
+
+
+def test_ivfpq_scores_via_broadcasts(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
+        ann_ivfpq_search,
+    )
+
+    p = plan_of(ann_ivfpq_search(spark, SF_SMOKE))
+    assert broadcasts(p), "probe list and ADC tables must broadcast"
+    assert not has_cartesian(p)
+
+
+def test_ewma_no_cartesian(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.temporal import ts_ewma
+
+    p = plan_of(ts_ewma(spark, SF_SMOKE))
+    assert not has_cartesian(p)
+    assert partial_aggregates(p), "per-user tail position reduces map-side"

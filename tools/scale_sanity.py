@@ -49,6 +49,11 @@ CASES = {
     "dedup_exact_substring": ("operators.dedup", ["documents"]),
     "text_chunk": ("operators.text", ["documents"]),
     "events_top_paths": ("operators.events", ["events"]),
+    "text_url_dedup": ("operators.text", ["documents"]),
+    "ts_ewma": ("operators.temporal", ["events"]),
+    "join_skew_salted": ("operators.relational_ext", ["lineitem"]),
+    "ann_ivfpq_search": ("operators.similarity", ["embeddings"]),
+    "eval_minhash_pr": ("operators.dedup", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
@@ -60,6 +65,7 @@ GRAPH_CASES = {
     "dedup_pagerank": ("operators.dedup", ["documents"]),
     "corpus_curate": ("operators.text", ["documents"]),
     "corpus_split_leakage_safe": ("operators.dedup", ["documents"]),
+    "dedup_graph_triangles": ("operators.dedup", ["documents"]),
 }
 
 
@@ -81,6 +87,25 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
             df = base
             for c in REPL[t]:
                 df = df.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+            # Content must be disjoint across replicas like the keys are:
+            # verbatim text would give every doc (factor - 1) exact copies,
+            # so the near-dup graph gains C(factor, 2) * n clique pairs —
+            # an O(factor^2) harness artifact that masquerades as a scale
+            # cliff in the pair-generation queries.  Disjoint-for-NEAR-dup
+            # means every WORD must change (SimHash/MinHash are robust to
+            # small edits by design — a suffix token leaves cross-replica
+            # copies within Hamming<=3), so each word gets a per-replica
+            # prefix; dup structure stays internal to each replica, which
+            # is what "factor x the corpus" means for dedup workloads.
+            if t == "documents" and i > 0:
+                tag = f"r{i}x"
+                df = df.withColumn(
+                    "text",
+                    F.concat(
+                        F.lit(tag),
+                        F.regexp_replace(F.col("text"), " ", f" {tag}"),
+                    ),
+                )
             parts.append(df)
         u = parts[0]
         for p in parts[1:]:
