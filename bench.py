@@ -192,9 +192,19 @@ def main() -> None:
     full_path = os.path.join(repo_dir, "BENCH_FULL.json")
     vs_prev = None
     try:
+        prev = None
         if os.path.exists(full_path):
             with open(full_path) as f:
                 prev = json.load(f)
+        # an off-SF iteration run (e.g. sf0.01 while debugging) must not
+        # clobber the committed cross-round comparison base — divert it
+        if prev is not None and prev.get("sf") != sf:
+            full_path = os.path.join(repo_dir, f"BENCH_FULL_sf{sf}.json")
+            prev = None
+            if os.path.exists(full_path):
+                with open(full_path) as f:
+                    prev = json.load(f)
+        if prev is not None:
             pq = prev.get("queries") or {}
             comparable = prev.get("sf") == sf
             ratios = {

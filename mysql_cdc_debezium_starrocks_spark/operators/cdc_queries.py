@@ -152,6 +152,96 @@ FROM latest WHERE __deleted <> 'true'
 """
 
 
+def cdc_diff_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-sync diff: per-key INSERT/UPDATE/DELETE between two log
+    positions (40% and 80% through the sequence space) — the "what changed
+    since my last sync" read a downstream consumer issues instead of
+    re-copying the table (the CDC-log twin of Delta/Iceberg CDF).
+
+    Both snapshots come out of ONE keyed shuffle: the groupBy aggregates
+    ``max_by`` twice, once with the ordering key nulled past the first
+    cutoff (``max_by`` ignores null orderings, so v1 is the key's state at
+    t1, or NULL if the key was born later).  At 100 TB that is one log scan
+    + one partial-aggregatable reduction, vs two full replays + a self-join
+    for the naive two-snapshot diff.
+    """
+    from ..cdc.apply import parse_envelope
+
+    parsed = parse_envelope(synth_order_events_json(spark, sf_dir))
+    cuts = parsed.agg(
+        F.floor(F.max("_seq") * 0.4).cast("long").alias("cut1"),
+        F.floor(F.max("_seq") * 0.8).cast("long").alias("cut2"),
+    )
+    ev = parsed.crossJoin(F.broadcast(cuts)).filter(F.col("_seq") <= F.col("cut2"))
+    snap = F.struct("status", "total_price", "__deleted")
+    st = ev.groupBy("order_key").agg(
+        F.max_by(
+            snap, F.when(F.col("_seq") <= F.col("cut1"), F.col("_seq"))
+        ).alias("v1"),
+        F.max_by(snap, F.col("_seq")).alias("v2"),
+    )
+    p1 = F.col("v1").isNotNull() & (F.col("v1.__deleted") != "true")
+    p2 = F.col("v2").isNotNull() & (F.col("v2.__deleted") != "true")
+    changed = ~F.col("v1.status").eqNullSafe(F.col("v2.status")) | ~F.col(
+        "v1.total_price"
+    ).eqNullSafe(F.col("v2.total_price"))
+    change = (
+        F.when(~p1 & p2, "INSERT")
+        .when(p1 & ~p2, "DELETE")
+        .when(p1 & p2 & changed, "UPDATE")
+    )
+    return (
+        st.select(
+            "order_key",
+            change.alias("change"),
+            F.when(p1, F.col("v1.status")).alias("old_status"),
+            F.when(p2, F.col("v2.status")).alias("new_status"),
+            F.when(p1, F.col("v1.total_price"))
+            .cast("decimal(10,2)")
+            .alias("old_total"),
+            F.when(p2, F.col("v2.total_price"))
+            .cast("decimal(10,2)")
+            .alias("new_total"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
+_ORACLE_DIFF = _ORACLE_EV + """,
+cuts AS (SELECT CAST(floor(max(_seq) * 0.4) AS BIGINT) AS cut1,
+                CAST(floor(max(_seq) * 0.8) AS BIGINT) AS cut2 FROM ev),
+s1 AS (
+  SELECT * FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY order_key ORDER BY _seq DESC) AS rn
+    FROM ev, cuts WHERE _seq <= cut1) t WHERE rn = 1),
+s2 AS (
+  SELECT * FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY order_key ORDER BY _seq DESC) AS rn
+    FROM ev, cuts WHERE _seq <= cut2) t WHERE rn = 1),
+d AS (
+  SELECT coalesce(s1.order_key, s2.order_key) AS order_key,
+         (s1.order_key IS NOT NULL AND s1.__deleted <> 'true') AS p1,
+         (s2.order_key IS NOT NULL AND s2.__deleted <> 'true') AS p2,
+         s1.status AS os, s2.status AS ns,
+         s1.total_price AS ot, s2.total_price AS nt
+  FROM s1 FULL JOIN s2 ON s1.order_key = s2.order_key),
+c AS (
+  SELECT order_key, p1, p2, os, ns, ot, nt,
+         CASE WHEN NOT p1 AND p2 THEN 'INSERT'
+              WHEN p1 AND NOT p2 THEN 'DELETE'
+              WHEN p1 AND p2 AND (os IS DISTINCT FROM ns
+                                  OR ot IS DISTINCT FROM nt) THEN 'UPDATE'
+         END AS change
+  FROM d)
+SELECT order_key, change,
+       CASE WHEN p1 THEN os END AS old_status,
+       CASE WHEN p2 THEN ns END AS new_status,
+       CAST(CASE WHEN p1 THEN ot END AS DECIMAL(10,2)) AS old_total,
+       CAST(CASE WHEN p2 THEN nt END AS DECIMAL(10,2)) AS new_total
+FROM c WHERE change IS NOT NULL
+"""
+
+
 _ORACLE_SCD2 = _ORACLE_EV + """,
 hist AS (
   SELECT ev.*,
@@ -171,10 +261,12 @@ QUERIES = {
     "cdc_counts": cdc_counts,
     "cdc_scd2": cdc_scd2,
     "cdc_asof_snapshot": cdc_asof_snapshot,
+    "cdc_diff_window": cdc_diff_window,
 }
 
 ORACLE = {
     "cdc_asof_snapshot": _ORACLE_ASOF,
+    "cdc_diff_window": _ORACLE_DIFF,
     "cdc_apply": _ORACLE_LIVE,
     "cdc_topk": f"SELECT * FROM ({_ORACLE_LIVE}) t ORDER BY order_key DESC LIMIT 5",
     "cdc_counts": f"SELECT status, count(*) AS n FROM ({_ORACLE_LIVE}) t GROUP BY status",

@@ -260,11 +260,16 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one shuffle on doc_id.
     """
     d = load_spread(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
-    h = phash60(F.col("word"), "sh")
+    # hash each word ONCE into a column; the 60 per-bit aggregates below then
+    # do only a shift+mask each (inline, phash60 would be evaluated per bit)
+    w = d.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    ).select("doc_id", phash60(F.col("word"), "sh").alias("h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"s{k}")
         for k in range(SIMHASH_BITS)
     ]
@@ -944,9 +949,12 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_spread(spark, sf_dir, "documents")
     sig = signature_table(docs).persist()
+    # band 0 carries one (doc_id, hs) row per doc — a free projection of the
+    # persisted signature table, where dropDuplicates(doc_id) would shuffle
+    # BANDS copies of every shingle array
     hsd = (
-        sig.select("doc_id", "hs")
-        .dropDuplicates(["doc_id"])
+        sig.filter(F.col("band") == 0)
+        .select("doc_id", "hs")
         .join(
             docs.select("doc_id", F.expr(f"n_chars div {EVAL_BLK}").alias("blk")),
             "doc_id",
@@ -962,11 +970,17 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union("sha", "shb")),
         4,
     ).cast("decimal(7,4)")
+    # each qualifying pair (|blk_a - blk_b| <= 1) shares exactly one exploded
+    # key equal to greatest(blk_a, blk_b): same-window pairs share two keys
+    # {blk, blk+1} but only k == blk passes; adjacent-window pairs share only
+    # k == greatest.  This replaces a dropDuplicates that re-shuffled every
+    # pair with both shingle arrays attached.
     universe = (
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.k") == F.greatest(F.col("a.blk"), F.col("b.blk"))),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -974,7 +988,6 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.hs").alias("sha"),
             F.col("b.hs").alias("shb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", (jac >= JACCARD_MIN).alias("is_true"))
     )
     sa, sb = sig.alias("sa"), sig.alias("sb")
@@ -1444,4 +1457,80 @@ ORACLE["corpus_split_leakage_safe"] = f"""
     FROM (SELECT doc_id, group_id,
                  ({phash32_sql("group_id::VARCHAR", "split")} % 10) AS b
           FROM g)
+"""
+
+
+# --- Cross-source duplication matrix ------------------------------------------
+
+XSRC_K = 8  # words per window: long enough that shared windows mean copying
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every pair of corpus sources, how
+    much verbatim text they share — the governance diagnostic that catches
+    mirror sites, syndicated feeds, and scraped re-posts BEFORE per-doc
+    dedup runs (complement of ``text_decontaminate``, which sweeps the
+    corpus against a held-out eval split rather than against itself).
+
+    Overlap unit: distinct ``XSRC_K``-word windows, 60-bit hashed (32-bit
+    saturates at web-corpus window counts — see :func:`phash60`).  Scale
+    shape: one corpus-scale partial-agg to distinct (source, h) pairs, then
+    the self-join fans out only |sources-sharing-window| per hash (bounded
+    by the source count, not the corpus), and per-source totals broadcast.
+    Output is |sources|^2-bounded: containment is scaled to the SMALLER
+    side (mirror detection), jaccard to the union, both integer 1e6.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    sp = (
+        d.select(
+            "source",
+            F.explode(word_shingles(words(F.col("text")), XSRC_K)).alias("gr"),
+        )
+        .select("source", phash60(F.col("gr"), "xsrc").alias("h"))
+        .distinct()
+    )
+    ns = sp.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = sp.alias("a"), sp.alias("b")
+    pr = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    na = F.broadcast(ns.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    nb = F.broadcast(ns.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        pr.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("(n_common * 1000000) div least(n_a, n_b)").alias("containment_q"),
+            F.expr("(n_common * 1000000) div (n_a + n_b - n_common)").alias("jaccard_q"),
+        )
+    )
+
+
+QUERIES["dedup_cross_source_matrix"] = dedup_cross_source_matrix
+
+ORACLE["dedup_cross_source_matrix"] = f"""
+    WITH w AS (SELECT source, {WORDS_SQL.format(expr="text")} AS w FROM documents),
+    sh AS (SELECT source, unnest({word_shingles_sql("w", XSRC_K)}) AS gr FROM w),
+    sp AS (SELECT DISTINCT source, {phash60_sql("gr", "xsrc")} AS h FROM sh),
+    ns AS (SELECT source, count(*)::BIGINT AS n FROM sp GROUP BY source),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_common
+      FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, n_common,
+           (n_common * 1000000) // least(na.n, nb.n) AS containment_q,
+           (n_common * 1000000) // (na.n + nb.n - n_common) AS jaccard_q
+    FROM pr
+    JOIN ns na ON na.source = pr.source_a
+    JOIN ns nb ON nb.source = pr.source_b
 """

@@ -161,7 +161,11 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(K), never the user's full history.  (The streaming twin of this shape
     is ``streaming/agg_mv.py``'s incremental per-key state.)
     """
-    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # NaN excluded like NULL: Spark's non-ANSI cast would fold NaN to 0
+    # while DuckDB errors — neither is the smoothed level of anything
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     b = (
         e.select(
@@ -228,7 +232,7 @@ ORACLE = {
                  CAST(floor(value * 1000000) AS BIGINT) AS qv,
                  row_number() OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS rn
-          FROM events WHERE value IS NOT NULL
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         ),
         l AS (SELECT user_id, max(rn) AS last_rn, count(*)::BIGINT AS n_events
               FROM b GROUP BY user_id),
@@ -254,3 +258,123 @@ QUERIES = {
     "join_range": join_range,
     "ts_ewma": ts_ewma,
 }
+
+
+# --- Robust (median/MAD) per-key anomaly profile ------------------------------
+
+MAD_MIN_N = 8  # medians over fewer points are not a robust baseline
+
+
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust anomaly profile: median / MAD (median absolute
+    deviation) of the event-value series and the count of values beyond
+    3 MAD — the outlier detector that, unlike ``ts_anomaly_zscore``'s
+    mean/std, is not itself dragged by the outliers it is hunting.
+
+    Exact-integer formulation so the medians hash-match cross-engine:
+    values quantize to int64 (1e6), a median is the SUM of the two middle
+    order statistics (``med2`` = 2x median; odd n picks the same element
+    twice), deviations ``dev2 = |2*qv - med2|`` = 2x|x - median| stay
+    integral, and ``mad4`` = 2x median of dev2 = 4x MAD.  The 3-MAD flag
+    is then the pure-integer comparison ``2*dev2 > 3*mad4`` — no float
+    division anywhere.
+
+    Scale shape: two window sorts and three aggregations, ALL keyed by
+    user_id — one balanced shuffle key, per-key state only (the exact
+    twin of ``ts_ewma``).  An exact global median per low-cardinality key
+    would skew; that variant belongs to ``hist_quantile_bins``'s mergeable
+    sketch instead.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("qv"),
+    )
+    wp = Window.partitionBy("user_id")
+    m = base.select(
+        "user_id",
+        "qv",
+        F.row_number().over(wp.orderBy("qv", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).filter(F.col("n") >= MAD_MIN_N)
+    lo, hi = F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
+    med = m.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("qv")))
+            + F.sum(F.when(F.col("rn") == hi, F.col("qv")))
+        ).alias("med2"),
+    )
+    d = m.join(med, "user_id").select(
+        "user_id",
+        "n_events",
+        "med2",
+        "qv",
+        F.abs(F.lit(2) * F.col("qv") - F.col("med2")).alias("dev2"),
+        F.col("rn").alias("vrn"),
+        "n",
+    )
+    d2 = d.withColumn(
+        "rn", F.row_number().over(wp.orderBy("dev2", "vrn"))
+    )
+    mad = d2.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("dev2")))
+            + F.sum(F.when(F.col("rn") == hi, F.col("dev2")))
+        ).alias("mad4"),
+    )
+    return (
+        d2.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("med2").alias("med2"),
+            F.max("mad4").alias("mad4"),
+            F.sum(
+                F.when(F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+QUERIES["ts_anomaly_mad"] = ts_anomaly_mad
+
+ORACLE["ts_anomaly_mad"] = f"""
+    WITH base AS (
+      SELECT user_id, event_id, CAST(floor(value * 1000000) AS BIGINT) AS qv
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+    m AS (
+      SELECT user_id, qv,
+             row_number() OVER (PARTITION BY user_id ORDER BY qv, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM base QUALIFY n >= {MAD_MIN_N}),
+    med AS (
+      SELECT user_id, max(n) AS n_events,
+             (sum(CASE WHEN rn = (n + 1) // 2 THEN qv END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN qv END)) AS med2
+      FROM m GROUP BY user_id),
+    d AS (
+      SELECT m.user_id, med.n_events, med.med2, m.qv,
+             abs(2 * m.qv - med.med2) AS dev2, m.rn AS vrn, m.n
+      FROM m JOIN med ON med.user_id = m.user_id),
+    d2 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev2, vrn) AS rn
+      FROM d),
+    mad AS (
+      SELECT user_id,
+             (sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN dev2 END)) AS mad4
+      FROM d2 GROUP BY user_id)
+    SELECT d2.user_id, max(d2.n_events) AS n_events, max(d2.med2) AS med2,
+           max(mad.mad4) AS mad4,
+           sum(CASE WHEN 2 * d2.dev2 > 3 * mad.mad4 THEN 1 ELSE 0 END)::BIGINT
+             AS n_anomalies
+    FROM d2 JOIN mad ON mad.user_id = d2.user_id
+    GROUP BY d2.user_id
+"""

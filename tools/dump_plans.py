@@ -123,6 +123,27 @@ HEADLINE = [
         "integer-quantized log-probs so the per-doc sum partial-aggs "
         "exactly.",
     ),
+    (
+        "ann_ivfpq_search",
+        "IVF-PQ composed index: cell assignment and PQ codes are each one "
+        "partial-agg shuffle over a broadcast codebook; search touches only "
+        "the (cell, codes) index — probe list and per-query ADC tables all "
+        "broadcast, candidate float vectors never read.",
+    ),
+    (
+        "join_skew_salted",
+        "Skew-salted aggregation: phase-1 groupBy (key, salt) spreads each "
+        "hot key over 16 reducers with map-side combine; phase-2 folds the "
+        "16 partials — exactly two exchanges, result bit-equal to the "
+        "direct groupBy (proven by the DuckDB parity gate).",
+    ),
+    (
+        "ts_ewma",
+        "Dyadic EWMA level per key: one window shuffle for row numbers, a "
+        "partial-agg'd tail-position reduce, and an equi-join that keeps "
+        "only the last K=16 rows per key — O(K) state per key, all-int64 "
+        "weighted sum.",
+    ),
 ]
 
 
