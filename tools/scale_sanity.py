@@ -54,6 +54,9 @@ CASES = {
     "join_skew_salted": ("operators.relational_ext", ["lineitem"]),
     "ann_ivfpq_search": ("operators.similarity", ["embeddings"]),
     "eval_minhash_pr": ("operators.dedup", ["documents"]),
+    "ts_anomaly_mad": ("operators.temporal", ["events"]),
+    "cdc_diff_window": ("operators.cdc_queries", ["orders"]),
+    "dedup_cross_source_matrix": ("operators.dedup", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
