@@ -67,18 +67,64 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile assignment by price + per-quartile rollup: global ntile needs
-    one total-order sort; the rollup after it is a cheap 4-group agg."""
+    """Quartile assignment by price + per-quartile rollup, via DISTRIBUTED
+    exact global ranking — ``F.ntile().over(Window.orderBy(...))`` would
+    move every row to ONE partition (WindowExec has no range-sort mode),
+    the classic 100 TB single-executor OOM.
+
+    Instead: range-repartition on the (unique) sort key, number rows
+    within each range partition, and add per-partition offsets — a
+    32-long broadcast — to get the exact global rank with no
+    single-partition stage.  The SQL ntile bucket is then closed-form
+    from (rank, n): the first ``n mod 4`` buckets take ``n div 4 + 1``
+    rows, the rest ``n div 4`` (the tie-free total order makes this
+    bit-identical to the oracle's ``ntile(4) OVER``).
+    """
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
-    tiles = o.select(
-        _dec("o_totalprice").alias("price"),
-        F.ntile(4).over(w).alias("quartile"),
+    sorted_o = (
+        o.select(_dec("o_totalprice").alias("price"), "o_orderkey")
+        .repartitionByRange(32, F.col("price"), F.col("o_orderkey"))
+        .persist()
     )
-    return tiles.groupBy("quartile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("price").alias("min_price"),
-        F.max("price").alias("max_price"),
+    pid = F.spark_partition_id()
+    counts = (
+        sorted_o.groupBy(pid.alias("pid"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("pc").over(woff), F.lit(0)).alias("off"),
+        F.sum("pc").over(
+            Window.orderBy("pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    wrn = Window.partitionBy("pid").orderBy("price", "o_orderkey")
+    ranked = (
+        sorted_o.withColumn("pid", pid)
+        .withColumn("rn", F.row_number().over(wrn))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "price",
+            (F.col("off") + F.col("rn")).alias("r"),
+            F.expr("n div 4").alias("q"),
+            F.expr("n % 4").alias("m"),
+        )
+    )
+    bucket = F.when(
+        F.col("r") <= F.col("m") * (F.col("q") + 1),
+        F.expr("(r + q) div (q + 1)"),
+    ).otherwise(F.expr("m + (r - m * (q + 1) + q - 1) div q"))
+    return (
+        ranked.select("price", bucket.cast("int").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
     )
 
 

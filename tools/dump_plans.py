@@ -144,6 +144,26 @@ HEADLINE = [
         "only the last K=16 rows per key — O(K) state per key, all-int64 "
         "weighted sum.",
     ),
+    (
+        "cdc_diff_window",
+        "Two-snapshot CDC diff from ONE keyed shuffle: the groupBy "
+        "aggregates max_by twice (ordering key nulled past cutoff 1), so "
+        "the diff costs one log scan + one partial-aggregatable reduction "
+        "— no second replay, no snapshot self-join.",
+    ),
+    (
+        "dedup_cross_source_matrix",
+        "Source-overlap matrix: corpus-scale work is one distinct on "
+        "(source, 60-bit window hash); the self-join fans out per shared "
+        "hash by the number of sources sharing it (bounded by |sources|), "
+        "and per-source totals broadcast onto the |sources|^2 result.",
+    ),
+    (
+        "ts_anomaly_mad",
+        "Median/MAD outlier profile: two window sorts and three "
+        "aggregations all keyed by user_id — one balanced shuffle key, "
+        "order statistics summed in int64, no float division.",
+    ),
 ]
 
 
