@@ -252,31 +252,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash ------------------------------------------------------------------
 
 
+_SWAR_STRIDE = 15  # 4 packed 15-bit popcount fields per int64 accumulator
+_SWAR_MASK = sum(1 << (_SWAR_STRIDE * j) for j in range(4))  # bits 0,15,30,45
+
+
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash over the word multiset, via explode + one groupBy.
 
-    bit_k(doc) = 1 iff sum over words of (+1 if bit k of h(word) else -1) > 0.
-    The explode/groupBy shape gets map-side partial aggregation; at scale it
-    is one shuffle on doc_id.
+    bit_k(doc) = 1 iff sum over words of (+1 if bit k of h(word) else -1) > 0,
+    i.e. iff 2 * ones_k > n_words.  The per-bit ones-counts are accumulated
+    SWAR-style: group g sums ``(h >> g) & MASK`` where MASK has bits
+    0/15/30/45 set, packing FOUR 15-bit popcount fields into one int64 sum —
+    15 branch-free aggregates instead of 60 conditional ones (the naive
+    per-bit form was the bench's cost after the 32→60-bit widening).  Field
+    capacity is 2^15-1 words per doc; corpus docs beyond 32k words should be
+    pre-chunked (text_chunk) before fingerprinting anyway.  The
+    explode/groupBy shape gets map-side partial aggregation; at scale it is
+    one shuffle on doc_id.
     """
     d = load_spread(spark, sf_dir, "documents")
-    # hash each word ONCE into a column; the 60 per-bit aggregates below then
-    # do only a shift+mask each (inline, phash60 would be evaluated per bit)
+    # hash each word ONCE into a column; the aggregates below then do only
+    # a shift+mask each (inline, phash60 would be evaluated per group)
     w = d.select(
         "doc_id", F.explode(words(F.col("text"))).alias("word")
     ).select("doc_id", phash60(F.col("word"), "sh").alias("h"))
-    bit_sums = [
+    packed_sums = [
         F.sum(
-            F.when(
-                F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"s{k}")
-        for k in range(SIMHASH_BITS)
+            F.shiftright(F.col("h"), g).bitwiseAND(F.lit(_SWAR_MASK))
+        ).alias(f"g{g}")
+        for g in range(_SWAR_STRIDE)
     ]
-    sums = w.groupBy("doc_id").agg(*bit_sums)
+    sums = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nw"), *packed_sums
+    )
     sim = None
     for k in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        g, j = k % _SWAR_STRIDE, k // _SWAR_STRIDE
+        ones = F.shiftright(F.col(f"g{g}"), _SWAR_STRIDE * j).bitwiseAND(
+            F.lit((1 << _SWAR_STRIDE) - 1)
+        )
+        term = F.when(ones * 2 > F.col("nw"), F.lit(1 << k)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
@@ -944,8 +959,14 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the stage whose error rate banding determines.  Output is one row of
     integer counts plus 1e6-scaled truncating-division precision/recall.
 
-    Scale shape: two equi-joins (block key, band key) whose outputs are
-    ~|near-length pairs| and ~|candidate pairs|; counts reduce map-side.
+    Scale shape: the TN quadrant of the universe contributes to NO metric,
+    so the pair universe is never materialized.  Ground-truth pairs come
+    from a shingle-hash equi-join (output ~ shared-shingle occurrences —
+    near-dup pairs only, not |near-length pairs|), with Jaccard rebuilt
+    from the match count as ``i / (na + nb - i)``; predicted pairs get
+    universe membership from two dimension-scale block lookups.  An
+    earlier draft joined full shingle ARRAYS onto every near-length pair
+    (~1.2M pairs x 2 set ops at sf0.1) — 4x the wall of this form.
     """
     docs = load_spread(spark, sf_dir, "documents")
     sig = signature_table(docs).persist()
@@ -959,38 +980,47 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("doc_id", F.expr(f"n_chars div {EVAL_BLK}").alias("blk")),
             "doc_id",
         )
+        .select("doc_id", "blk", F.size("hs").alias("n_sh"), "hs")
     )
-    ex = hsd.select(
-        "doc_id", "hs", "blk",
-        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("k"),
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    jac = F.round(
-        F.size(F.array_intersect("sha", "shb"))
-        / F.size(F.array_union("sha", "shb")),
-        4,
-    ).cast("decimal(7,4)")
     # each qualifying pair (|blk_a - blk_b| <= 1) shares exactly one exploded
     # key equal to greatest(blk_a, blk_b): same-window pairs share two keys
     # {blk, blk+1} but only k == blk passes; adjacent-window pairs share only
-    # k == greatest.  This replaces a dropDuplicates that re-shuffled every
-    # pair with both shingle arrays attached.
-    universe = (
+    # k == greatest — so no pair-level dedup is ever needed.
+    sh_ex = hsd.select(
+        "doc_id",
+        "blk",
+        "n_sh",
+        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("k"),
+        F.col("hs"),
+    ).select("doc_id", "blk", "n_sh", "k", F.explode("hs").alias("h"))
+    a, b = sh_ex.alias("a"), sh_ex.alias("b")
+    inter = (
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.k") == F.greatest(F.col("a.blk"), F.col("b.blk"))),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.hs").alias("sha"),
-            F.col("b.hs").alias("shb"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
         )
-        .select("doc_a", "doc_b", (jac >= JACCARD_MIN).alias("is_true"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    # hs is distinct per doc, so |union| = na + nb - i exactly; same rounded
+    # decimal form the array_intersect/array_union draft produced
+    jac = F.round(
+        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
+    ).cast("decimal(7,4)")
+    truth = (
+        inter.filter(jac >= JACCARD_MIN)
+        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
     )
     sa, sb = sig.alias("sa"), sig.alias("sb")
+    blk = hsd.select("doc_id", "blk")
     pred = (
         sa.join(
             sb,
@@ -1003,10 +1033,16 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sb.doc_id").alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("is_pred", F.lit(True))
+        # universe membership (ground truth is defined): adjacent length
+        # blocks — two dimension-scale lookups on the tiny pair set
+        .join(blk.select(F.col("doc_id").alias("doc_a"), F.col("blk").alias("blk_a")), "doc_a")
+        .join(blk.select(F.col("doc_id").alias("doc_b"), F.col("blk").alias("blk_b")), "doc_b")
+        .filter(F.abs(F.col("blk_a") - F.col("blk_b")) <= 1)
+        .select("doc_a", "doc_b", F.lit(True).alias("is_pred"))
     )
-    joined = universe.join(pred, ["doc_a", "doc_b"], "left").select(
-        "is_true", F.coalesce("is_pred", F.lit(False)).alias("is_pred")
+    joined = truth.join(pred, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        F.coalesce("is_pred", F.lit(False)).alias("is_pred"),
     )
     return joined.agg(
         F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("n_truth"),

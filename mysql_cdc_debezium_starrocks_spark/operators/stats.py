@@ -534,6 +534,139 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.col("df").desc(), F.col("bigram")).limit(20)
 
 
+PMI_WINDOW = 3  # co-occurrence window: pairs up to this many tokens apart
+PMI_MIN_SUP = 5  # minimum pair count before a pair is scored
+
+
+def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word associations by windowed-PMI score — the co-occurrence
+    statistic behind collocation extraction, word-embedding corpora (the
+    word2vec/GloVe count matrix), and phrase-mining pipelines.
+
+    Pair generation is MAP-SIDE, no self-join: for each offset d in
+    1..window, zip the token list with itself shifted by d (the
+    :func:`word_grams` shifted-slice idiom), canonicalize each pair
+    alphabetically, and explode.  Output volume is window x |tokens| —
+    linear in corpus size, and the only shuffles are the two token-keyed
+    partial-agg counts (pairs, unigrams) plus the vocabulary-bounded join
+    of pair counts to unigram counts (pair side is tiny after the support
+    filter; AQE broadcasts it).  No |vocab|^2 anywhere.
+
+    The score is the PMI kernel ``c_ab / (c_a * c_b)`` as truncating
+    integer division scaled 1e9 — a monotone transform of PMI for a fixed
+    corpus, so the ranking is identical while every value stays
+    bit-exact cross-engine (native ``log`` would hash-diverge).
+    ``c_ab * 1e9`` fits int64 to ~10^9 pair occurrences (~3e9 corpus
+    tokens); past that, cast the numerator to DECIMAL(38,0) on both
+    engines.  Self-pairs (a == b) are window-internal repetition, not
+    association, and are dropped before counting.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n = F.size(w)
+    offsets = []
+    for dd in range(1, PMI_WINDOW + 1):
+        ln = F.greatest(n - dd, F.lit(0))
+        offsets.append(
+            F.zip_with(
+                F.slice(w, F.lit(1), ln),
+                F.slice(w, F.lit(dd + 1), ln),
+                lambda a, b: F.when(
+                    a != b, F.concat_ws(" ", F.least(a, b), F.greatest(a, b))
+                ),
+            )
+        )
+    pair_list = F.filter(F.concat(*offsets), lambda x: x.isNotNull())
+    pairs = d.select(F.explode(pair_list).alias("pair"))
+    pc = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_SUP)
+        .select(
+            F.split("pair", " ").getItem(0).alias("word_a"),
+            F.split("pair", " ").getItem(1).alias("word_b"),
+            "n_ab",
+        )
+    )
+    # vocab-bounded; persisted so the word_a and word_b joins share ONE
+    # corpus-scale token-explode scan instead of recomputing it per join
+    uni = (
+        d.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    scored = (
+        pc.join(uni.select(F.col("word").alias("word_a"), F.col("c").alias("n_a")), "word_a")
+        .join(uni.select(F.col("word").alias("word_b"), F.col("c").alias("n_b")), "word_b")
+        .withColumn("score_ppb", F.expr("(n_ab * 1000000000) div (n_a * n_b)"))
+        .select("word_a", "word_b", "n_ab", "n_a", "n_b", "score_ppb")
+    )
+    return scored.orderBy(
+        F.col("score_ppb").desc(), F.col("word_a"), F.col("word_b")
+    ).limit(50)
+
+
+def stats_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov–Smirnov drift: for each source, the
+    KS statistic between its document token-length distribution and the
+    rest of the corpus — the distribution-shift gate a pipeline runs
+    before admitting a new crawl source (complements the binned TV
+    distance of :func:`stats_hist_drift` with the exact sup-norm ECDF
+    statistic, no binning).
+
+    Exact integer formulation: at each jump point v of the combined
+    sample, ``|cum_s(v) * n_rest - cum_rest(v) * n_s|``; the max scaled
+    1e6 over ``n_s * n_rest`` is floor(KS * 1e6) — bit-identical
+    cross-engine, no ECDF doubles.  Scale shape: one data-scale
+    partial-agg to the (source, token-count) histogram; everything after
+    runs on histogram rows (|sources| x |distinct lengths|, value-bounded
+    — doc length caps the cardinality no matter the corpus row count).
+    The grid cross-join and both cumulative windows are over that
+    histogram, partitioned by source (cum_rest(v) is derived as
+    cum_all(v) - cum_s(v), so the global cumsum also rides the
+    source-partitioned window — no single-partition stage).  The
+    products reach n_s * n_rest ~ N^2/4: fine in int64 to ~4e9 docs,
+    DECIMAL(38,0) on both engines past that.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    # histogram-scale; persisted so gv/srcs/grid share ONE corpus scan
+    hist = (
+        d.select("source", F.size(words(F.col("text"))).cast("long").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    gv = hist.groupBy("v").agg(F.sum("c").cast("long").alias("c_all"))
+    srcs = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    # histogram-scale cross join: |sources| x |distinct lengths| rows
+    grid = srcs.crossJoin(F.broadcast(gv)).join(hist, ["source", "v"], "left")
+    wcum = Window.partitionBy("source").orderBy("v")
+    wall = Window.partitionBy("source")
+    cum = grid.select(
+        "source",
+        "n_s",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(wcum).alias("cs"),
+        F.sum("c_all").over(wcum).alias("call"),
+        F.sum("c_all").over(wall).alias("n_tot"),
+    )
+    dev = cum.select(
+        "source",
+        "n_s",
+        (F.col("n_tot") - F.col("n_s")).alias("n_rest"),
+        F.abs(
+            F.col("cs") * (F.col("n_tot") - F.col("n_s"))
+            - (F.col("call") - F.col("cs")) * F.col("n_s")
+        ).alias("d"),
+    )
+    return (
+        dev.groupBy("source", "n_s", "n_rest")
+        .agg(F.max("d").cast("long").alias("max_dev"))
+        .withColumn("ks_ppm", F.expr("(max_dev * 1000000) div (n_s * n_rest)"))
+        .orderBy("source")
+    )
+
+
 _W = WORDS_SQL.format(expr="text")
 
 ORACLE = {
@@ -757,8 +890,78 @@ ORACLE["basket_part_pairs"] = f"""
     CROSS JOIN n
 """
 
+def _pmi_pairs_sql() -> str:
+    """DuckDB mirror of the shifted-zip canonical-pair lists for offsets
+    1..PMI_WINDOW, over an in-scope token list ``w`` (1-indexed)."""
+    parts = []
+    for d in range(1, PMI_WINDOW + 1):
+        pair = (
+            f"CASE WHEN w[i] = w[i+{d}] THEN NULL "
+            f"WHEN w[i] < w[i+{d}] THEN w[i] || ' ' || w[i+{d}] "
+            f"ELSE w[i+{d}] || ' ' || w[i] END"
+        )
+        parts.append(
+            f"CASE WHEN len(w) >= {d + 1} THEN "
+            f"list_transform(generate_series(1, len(w) - {d}), i -> {pair}) "
+            f"ELSE [] END"
+        )
+    return " || ".join(parts)
+
+
+ORACLE["text_pmi_cooccur"] = f"""
+    WITH toks AS (SELECT {_W} AS w FROM documents),
+    grams AS (
+      SELECT list_filter({_pmi_pairs_sql()}, x -> x IS NOT NULL) AS ps
+      FROM toks),
+    pc AS (
+      SELECT pair, count(*)::BIGINT AS n_ab
+      FROM (SELECT unnest(ps) AS pair FROM grams)
+      GROUP BY pair HAVING count(*) >= {PMI_MIN_SUP}),
+    uni AS (
+      SELECT word, count(*)::BIGINT AS c
+      FROM (SELECT unnest(w) AS word FROM toks)
+      GROUP BY word),
+    sp AS (
+      SELECT str_split(pair, ' ')[1] AS word_a,
+             str_split(pair, ' ')[2] AS word_b, n_ab
+      FROM pc)
+    SELECT word_a, word_b, n_ab, ua.c AS n_a, ub.c AS n_b,
+           ((n_ab * 1000000000) // (ua.c * ub.c))::BIGINT AS score_ppb
+    FROM sp
+    JOIN uni ua ON sp.word_a = ua.word
+    JOIN uni ub ON sp.word_b = ub.word
+    ORDER BY score_ppb DESC, word_a, word_b LIMIT 50
+"""
+
+ORACLE["stats_ks_by_source"] = f"""
+    WITH hist AS (
+      SELECT source, len({_W})::BIGINT AS v, count(*)::BIGINT AS c
+      FROM documents GROUP BY 1, 2),
+    gv AS (SELECT v, sum(c)::BIGINT AS c_all FROM hist GROUP BY v),
+    srcs AS (SELECT source, sum(c)::BIGINT AS n_s FROM hist GROUP BY source),
+    grid AS (
+      SELECT s.source, s.n_s, g.v, g.c_all, coalesce(h.c, 0)::BIGINT AS c
+      FROM srcs s CROSS JOIN gv g
+      LEFT JOIN hist h ON h.source = s.source AND h.v = g.v),
+    cum AS (
+      SELECT source, n_s,
+             sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cs,
+             sum(c_all) OVER (PARTITION BY source ORDER BY v)::BIGINT AS call,
+             sum(c_all) OVER (PARTITION BY source)::BIGINT AS n_tot
+      FROM grid)
+    SELECT source, n_s, (n_tot - n_s)::BIGINT AS n_rest,
+           max(abs(cs * (n_tot - n_s) - (call - cs) * n_s))::BIGINT AS max_dev,
+           ((max(abs(cs * (n_tot - n_s) - (call - cs) * n_s)) * 1000000)
+               // (n_s * (n_tot - n_s)))::BIGINT AS ks_ppm
+    FROM cum
+    GROUP BY source, n_s, n_tot
+    ORDER BY source
+"""
+
 QUERIES = {
     "stats_corr_price_qty": stats_corr_price_qty,
+    "stats_ks_by_source": stats_ks_by_source,
+    "text_pmi_cooccur": text_pmi_cooccur,
     "stats_hist_drift": stats_hist_drift,
     "basket_part_pairs": basket_part_pairs,
     "mix_sample_apply": mix_sample_apply,

@@ -338,3 +338,25 @@ def test_ewma_no_cartesian(spark):
     p = plan_of(ts_ewma(spark, SF_SMOKE))
     assert not has_cartesian(p)
     assert partial_aggregates(p), "per-user tail position reduces map-side"
+
+
+def test_pmi_pairs_map_side_no_self_join(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import text_pmi_cooccur
+
+    p = plan_of(text_pmi_cooccur(spark, SF_SMOKE))
+    assert not has_cartesian(p)
+    # pair generation is shifted-zip explode (map-side), so the only
+    # data-scale shuffles are the two count partial-aggs; the unigram
+    # lookups ride vocab-bounded joins
+    assert partial_aggregates(p), "pair/unigram counts must combine map-side"
+    assert "SortMergeJoin" not in p or broadcasts(p)
+
+
+def test_ks_drift_windows_are_source_partitioned(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import stats_ks_by_source
+
+    p = plan_of(stats_ks_by_source(spark, SF_SMOKE))
+    assert not has_cartesian(p) or broadcasts(p)  # histogram-scale grid only
+    assert partial_aggregates(p), "histogram reduction must combine map-side"
+    # no partition-less window: the global cumsum rides the per-source grid
+    assert "Window [" not in p or "PartitionBy" not in p

@@ -1,0 +1,79 @@
+"""Semantic invariants of the round-3 third-batch operators — windowed PMI
+co-occurrence and per-source KS drift (value-level parity is tools/parity.py;
+these pin the properties a hash can't express)."""
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_debezium_starrocks_spark.catalog import load
+from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+    PMI_MIN_SUP,
+    stats_ks_by_source,
+    text_pmi_cooccur,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_pmi_pairs_canonical_and_supported(spark):
+    rows = text_pmi_cooccur(spark, SF_SMOKE).collect()
+    assert rows, "fixture corpus must surface co-occurring pairs"
+    for r in rows:
+        # canonical unordered pair: alphabetical, never a self-pair
+        assert r.word_a < r.word_b
+        assert r.n_ab >= PMI_MIN_SUP
+        # a pair can't co-occur more often than either word occurs
+        assert r.n_ab <= r.n_a and r.n_ab <= r.n_b
+        # score is exactly the integer-scaled PMI kernel
+        assert r.score_ppb == (r.n_ab * 1_000_000_000) // (r.n_a * r.n_b)
+    # ranking is (score desc, pair asc) — deterministic under ties
+    key = [(-r.score_ppb, r.word_a, r.word_b) for r in rows]
+    assert key == sorted(key)
+
+
+def test_pmi_unigram_counts_match_corpus(spark):
+    """The unigram counts joined onto pairs must be the true corpus counts
+    (guards the persisted-uni plumbing)."""
+    rows = text_pmi_cooccur(spark, SF_SMOKE).collect()
+    some = {r.word_a: r.n_a for r in rows[:5]}
+    d = load(spark, SF_SMOKE, "documents")
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: F.length(x) > 0)
+    truth = dict(
+        d.select(F.explode(w).alias("word"))
+        .filter(F.col("word").isin(*some))
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    assert {k: truth[k] for k in some} == some
+
+
+def test_ks_drift_bounds_and_totals(spark):
+    rows = stats_ks_by_source(spark, SF_SMOKE).collect()
+    d = load(spark, SF_SMOKE, "documents")
+    n_docs = d.count()
+    n_sources = d.select("source").distinct().count()
+    assert len(rows) == n_sources
+    for r in rows:
+        # KS statistic is a probability-scale sup-norm
+        assert 0 <= r.ks_ppm <= 1_000_000
+        # each source + its complement partition the corpus
+        assert r.n_s + r.n_rest == n_docs
+        assert r.max_dev <= r.n_s * r.n_rest
+
+
+def test_ks_detects_injected_shift(spark, tmp_path):
+    """A source whose docs are all much longer than the rest must dominate
+    the drift ranking (the property the gate exists to catch)."""
+    d = load(spark, SF_SMOKE, "documents")
+    shifted = d.withColumn(
+        "text",
+        F.when(
+            F.col("source") == "src0",
+            F.concat_ws(" ", F.col("text"), F.repeat(F.lit("pad "), 400)),
+        ).otherwise(F.col("text")),
+    )
+    shifted.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = stats_ks_by_source(spark, str(tmp_path)).collect()
+    by_src = {r.source: r.ks_ppm for r in rows}
+    assert by_src["src0"] == max(by_src.values())
+    assert by_src["src0"] > 900_000  # near-total separation

@@ -164,6 +164,20 @@ HEADLINE = [
         "aggregations all keyed by user_id — one balanced shuffle key, "
         "order statistics summed in int64, no float division.",
     ),
+    (
+        "text_pmi_cooccur",
+        "Windowed PMI associations: shifted-zip pair generation is "
+        "map-side (no self-join), the only data-scale shuffles are two "
+        "token-keyed partial-agg counts; unigram lookups broadcast off "
+        "ONE persisted vocab aggregate.",
+    ),
+    (
+        "stats_ks_by_source",
+        "Two-sample KS drift: one partial-agg to the (source, length) "
+        "histogram; grid, cumsums, and sup-norm all run on histogram "
+        "rows partitioned by source — the global ECDF rides the same "
+        "window as cum_all - cum_s, no single-partition stage.",
+    ),
 ]
 
 

@@ -57,6 +57,8 @@ CASES = {
     "ts_anomaly_mad": ("operators.temporal", ["events"]),
     "cdc_diff_window": ("operators.cdc_queries", ["orders"]),
     "dedup_cross_source_matrix": ("operators.dedup", ["documents"]),
+    "text_pmi_cooccur": ("operators.stats", ["documents"]),
+    "stats_ks_by_source": ("operators.stats", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
