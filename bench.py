@@ -189,21 +189,21 @@ def main() -> None:
     # of stdout, so our own full-detail file is the stable comparison base);
     # flags any query regressing >1.3x so drift is visible per round
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(repo_dir, "BENCH_FULL.json")
+    # an off-SF iteration run (e.g. sf0.01 while debugging) must not clobber
+    # the committed cross-round comparison base — the divert keys on THIS
+    # run's sf (not on the previous file's, which fails open when
+    # BENCH_FULL.json is missing or unreadable)
+    _CANON_SF = 0.1
+    full_path = os.path.join(
+        repo_dir,
+        "BENCH_FULL.json" if sf == _CANON_SF else f"BENCH_FULL_sf{sf}.json",
+    )
     vs_prev = None
     try:
         prev = None
         if os.path.exists(full_path):
             with open(full_path) as f:
                 prev = json.load(f)
-        # an off-SF iteration run (e.g. sf0.01 while debugging) must not
-        # clobber the committed cross-round comparison base — divert it
-        if prev is not None and prev.get("sf") != sf:
-            full_path = os.path.join(repo_dir, f"BENCH_FULL_sf{sf}.json")
-            prev = None
-            if os.path.exists(full_path):
-                with open(full_path) as f:
-                    prev = json.load(f)
         if prev is not None:
             pq = prev.get("queries") or {}
             comparable = prev.get("sf") == sf

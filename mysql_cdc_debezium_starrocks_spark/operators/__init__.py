@@ -39,16 +39,24 @@ def _fixture_dir() -> str:
 # byte-strict local-parity evidence.  dedup_simhash / dedup_components /
 # dedup_graph_degree stay in-window because the round-3 60-bit SimHash
 # widening changed their values; the driver should re-verify them.
+# Round 3 (final) further rotates in everything whose IMPLEMENTATION
+# changed late in the round — ntile_quartiles (distributed-ranking
+# rewrite), text_pmi_cooccur / stats_ks_by_source (new), with
+# eval_minhash_pr (pair-free reform), dedup_simhash (SWAR fold), and
+# text_bpe_merges/encode (two-pass greedy merge) already in-window —
+# displacing the unchanged round-2 greens year_histogram,
+# window_running_sum, and cube_counts (emb_covariance stays: it is the
+# window's only emb_-family member).
 # Entries beyond this list follow in module order.
 DRIVER_PRIORITY = (
     "cdc_apply", "cdc_topk", "cdc_counts", "cdc_scd2", "cdc_asof_snapshot",
     "q1_pricing_summary", "dedup_exact_stats", "agg_stats",
     "ann_bruteforce_topk", "text_quality", "events_windowed",
-    "sketch_kmv_distinct", "mm_binary_meta", "year_histogram",
+    "sketch_kmv_distinct", "mm_binary_meta", "ntile_quartiles",
     "dedup_minhash_lsh", "scalar_functions", "ann_ivf_topk", "text_langid",
-    "events_sessionize", "window_running_sum", "emb_covariance",
+    "events_sessionize", "text_pmi_cooccur", "stats_ks_by_source",
     "q2_min_cost_supplier", "sample_stratified",
-    "window_range_rolling_revenue", "dedup_simhash", "cube_counts",
+    "window_range_rolling_revenue", "dedup_simhash", "emb_covariance",
     "text_tfidf_topk", "text_bpe_merges", "events_rate",
     "text_bpe_encode", "ann_lsh_topk", "dedup_minhash_containment",
     "sketch_cms_heavy", "dedup_graph_degree", "mm_fake_features",

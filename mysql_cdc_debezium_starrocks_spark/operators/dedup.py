@@ -252,8 +252,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash ------------------------------------------------------------------
 
 
-_SWAR_STRIDE = 15  # 4 packed 15-bit popcount fields per int64 accumulator
-_SWAR_MASK = sum(1 << (_SWAR_STRIDE * j) for j in range(4))  # bits 0,15,30,45
+_SWAR_STRIDE = 20  # 3 packed 20-bit popcount fields per int64 accumulator
+_SWAR_FIELDS = SIMHASH_BITS // _SWAR_STRIDE
+_SWAR_MASK = sum(1 << (_SWAR_STRIDE * j) for j in range(_SWAR_FIELDS))
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,13 +263,14 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_k(doc) = 1 iff sum over words of (+1 if bit k of h(word) else -1) > 0,
     i.e. iff 2 * ones_k > n_words.  The per-bit ones-counts are accumulated
     SWAR-style: group g sums ``(h >> g) & MASK`` where MASK has bits
-    0/15/30/45 set, packing FOUR 15-bit popcount fields into one int64 sum —
-    15 branch-free aggregates instead of 60 conditional ones (the naive
-    per-bit form was the bench's cost after the 32→60-bit widening).  Field
-    capacity is 2^15-1 words per doc; corpus docs beyond 32k words should be
-    pre-chunked (text_chunk) before fingerprinting anyway.  The
-    explode/groupBy shape gets map-side partial aggregation; at scale it is
-    one shuffle on doc_id.
+    0/20/40 set, packing THREE 20-bit popcount fields into one int64 sum —
+    20 branch-free aggregates instead of 60 conditional ones (the naive
+    per-bit form was the bench's cost after the 32→60-bit widening), and
+    per-doc aggregate state shrinks 61 -> 21 longs through the shuffle.
+    Field capacity is 2^20-1 words per doc (a million-word doc is a book;
+    anything near it gets pre-chunked by text_chunk long before
+    fingerprinting).  The explode/groupBy shape gets map-side partial
+    aggregation; at scale it is one shuffle on doc_id.
     """
     d = load_spread(spark, sf_dir, "documents")
     # hash each word ONCE into a column; the aggregates below then do only
@@ -459,19 +461,36 @@ def _artifact_key(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
 
 
 def _artifact_get(spark: SparkSession, sf_dir: str, kind: str):
-    return _ARTIFACT_CACHE.get(_artifact_key(spark, sf_dir, kind))
+    key = _artifact_key(spark, sf_dir, kind)
+    df = _ARTIFACT_CACHE.get(key)
+    if df is not None:
+        # true LRU: refresh recency so a hot entry (the active dataset's
+        # pairs frame, hit by every curation consumer) never evicts first
+        _ARTIFACT_CACHE[key] = _ARTIFACT_CACHE.pop(key)
+    return df
+
+
+def _unpersist_quiet(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session may be gone; eviction is best-effort
 
 
 def _artifact_put(
     spark: SparkSession, sf_dir: str, kind: str, df: DataFrame
 ) -> DataFrame:
+    key = _artifact_key(spark, sf_dir, kind)
+    displaced = _ARTIFACT_CACHE.pop(key, None)
+    if displaced is not None and displaced is not df:
+        # replacement (e.g. materialize_dup_artifacts swapping in the
+        # parquet-backed frame): release the displaced frame's executor
+        # storage — correctness-safe, any caller still holding it just
+        # recomputes on next access
+        _unpersist_quiet(displaced)
     while len(_ARTIFACT_CACHE) >= _ARTIFACT_CACHE_MAX:
-        old = _ARTIFACT_CACHE.pop(next(iter(_ARTIFACT_CACHE)))  # oldest first
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # session may be gone; eviction is best-effort
-    _ARTIFACT_CACHE[_artifact_key(spark, sf_dir, kind)] = df
+        _unpersist_quiet(_ARTIFACT_CACHE.pop(next(iter(_ARTIFACT_CACHE))))
+    _ARTIFACT_CACHE[key] = df
     return df
 
 
@@ -482,12 +501,10 @@ def shared_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair set is the distributed band join's OUTPUT — ~|near-dup pairs|
     rows (8-byte ids, no text), orders of magnitude smaller than the corpus
     — so persisting it is bounded and the four curation queries share one
-    generation pass instead of re-running the corpus-scale join each."""
-    df = _artifact_get(spark, sf_dir, "pairs")
-    if df is None:
-        df = _simhash_pairs_uncached(spark, sf_dir).persist()
-        _artifact_put(spark, sf_dir, "pairs", df)
-    return df.select("doc_a", "doc_b")
+    generation pass instead of re-running the corpus-scale join each.
+    Delegates to :func:`dedup_simhash_pairs` — ONE memoize site, so the two
+    entry points can never cache divergent frames under the same key."""
+    return dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
 
 
 def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:

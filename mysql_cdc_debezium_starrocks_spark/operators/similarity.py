@@ -727,6 +727,78 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_TOPK = 3
 
 
+def _pq_sub_dist(s: int):
+    """Per-subspace squared L2 between in-scope ``qv`` and ``cv`` columns —
+    the same fixed-order left fold ``emb_pq_codes`` parity proves
+    bit-identical cross-engine."""
+    xs = F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+    cs = F.slice(F.col("cv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+    sq = F.zip_with(
+        xs, cs,
+        lambda x, c: (x.cast("double") - c.cast("double"))
+        * (x.cast("double") - c.cast("double")),
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+
+
+def _adc_topk(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, per_query: bool
+) -> DataFrame:
+    """Shared ADC scoring kernel for :func:`ann_pq_search` (corpus-wide,
+    ``per_query=False``: cand carries codes only and the code0 join fans
+    every query onto every candidate) and :func:`ann_ivfpq_search`
+    (``per_query=True``: cand is already a per-query pruned list with a
+    ``qid`` column).  Builds the per-query distance table from two
+    broadcast-scale sets, attaches it through PQ_SUB broadcast hash joins,
+    and ranks the fixed-order ADC sum with vec_id tie-break — ONE
+    implementation so the distance fold and tie-break can never drift
+    between the two operators."""
+    raw = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = raw.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pqc = raw.filter(
+        (F.col("vec_id") % CENT_MOD == CENT_RES) & (F.col("vec_id") < PQ_CENT_CAP)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    dtab = q.join(F.broadcast(pqc)).select(
+        "qid", "cent_id", *[_pq_sub_dist(s).alias(f"t{s}") for s in range(PQ_SUB)]
+    )
+    if per_query:
+        scored = cand.join(
+            F.broadcast(
+                dtab.select(
+                    F.col("qid").alias("jqid"), F.col("cent_id").alias("jcode0"), "t0"
+                )
+            ),
+            (F.col("jqid") == cand["qid"]) & (F.col("jcode0") == cand["code0"]),
+        ).drop("jqid", "jcode0")
+    else:
+        scored = cand.join(
+            F.broadcast(dtab.select("qid", F.col("cent_id").alias("code0"), "t0")),
+            "code0",
+        )
+    for s in range(1, PQ_SUB):
+        scored = scored.join(
+            F.broadcast(
+                dtab.select("qid", F.col("cent_id").alias(f"code{s}"), f"t{s}")
+            ),
+            ["qid", f"code{s}"],
+        )
+    adc = sum((F.col(f"t{s}") for s in range(1, PQ_SUB)), F.col("t0"))
+    win = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        scored.select("qid", "vec_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            F.round(F.col("adc"), 6).cast("decimal(12,6)").alias("adc_dist"),
+        )
+    )
+
+
 def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance search (ADC, Jegou et al. PAMI'11): top-k
     neighbors per query scored against the COMPRESSED corpus — each database
@@ -750,51 +822,7 @@ def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = emb_pq_codes(spark, sf_dir).select(
         "vec_id", *[f"code{s}" for s in range(PQ_SUB)]
     )
-    e = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    cents = e.filter(
-        (F.col("vec_id") % CENT_MOD == CENT_RES) & (F.col("vec_id") < PQ_CENT_CAP)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
-
-    def sub_dist(s: int):
-        xs = F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        cs = F.slice(F.col("cv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        sq = F.zip_with(
-            xs, cs,
-            lambda x, c: (x.cast("double") - c.cast("double"))
-            * (x.cast("double") - c.cast("double")),
-        )
-        return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
-
-    dtab = q.join(F.broadcast(cents)).select(
-        "qid", "cent_id", *[sub_dist(s).alias(f"t{s}") for s in range(PQ_SUB)]
-    )
-    scored = codes.join(
-        F.broadcast(dtab.select("qid", F.col("cent_id").alias("code0"), "t0")),
-        "code0",
-    )
-    for s in range(1, PQ_SUB):
-        scored = scored.join(
-            F.broadcast(
-                dtab.select("qid", F.col("cent_id").alias(f"code{s}"), f"t{s}")
-            ),
-            ["qid", f"code{s}"],
-        )
-    adc = sum((F.col(f"t{s}") for s in range(1, PQ_SUB)), F.col("t0"))
-    win = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
-    return (
-        scored.select("qid", "vec_id", adc.alias("adc"))
-        .withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select(
-            "qid",
-            "rank",
-            "vec_id",
-            F.round(F.col("adc"), 6).cast("decimal(12,6)").alias("adc_dist"),
-        )
-    )
+    return _adc_topk(spark, sf_dir, codes, per_query=False)
 
 
 def _pq_sub_dist_sql(a: str, b: str, s: int) -> str:
@@ -807,26 +835,40 @@ def _pq_sub_dist_sql(a: str, b: str, s: int) -> str:
     )
 
 
+def _pq_oracle_fragments() -> dict:
+    """SQL fragments shared by ``_pq_search_oracle`` and ``_ivfpq_oracle``
+    — one definition of the code assignment, ADC lookup-table, join chain,
+    and distance fold, mirroring the shared :func:`_adc_topk` kernel."""
+    return {
+        "code_cols": ",\n           ".join(
+            f"max(CASE WHEN r{s} = 1 THEN cent_id END) AS code{s}"
+            for s in range(PQ_SUB)
+        ),
+        "d_cols": ",\n             ".join(
+            f"{_pq_sub_dist_sql('e.v', 'c.cv', s)} AS d{s}" for s in range(PQ_SUB)
+        ),
+        "r_cols": ",\n             ".join(
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, cent_id)"
+            f" AS r{s}"
+            for s in range(PQ_SUB)
+        ),
+        "t_cols": ",\n             ".join(
+            f"{_pq_sub_dist_sql('q.qv', 'c.cv', s)} AS t{s}" for s in range(PQ_SUB)
+        ),
+        "joins": "\n      ".join(
+            f"JOIN dtab j{s} ON j{s}.qid = j0.qid AND j{s}.cent_id = codes.code{s}"
+            for s in range(1, PQ_SUB)
+        ),
+        "adc": " + ".join(f"j{s}.t{s}" for s in range(PQ_SUB)),
+    }
+
+
 def _pq_search_oracle() -> str:
-    code_cols = ",\n           ".join(
-        f"max(CASE WHEN r{s} = 1 THEN cent_id END) AS code{s}"
-        for s in range(PQ_SUB)
+    fr = _pq_oracle_fragments()
+    code_cols, d_cols, r_cols, t_cols, joins, adc = (
+        fr["code_cols"], fr["d_cols"], fr["r_cols"], fr["t_cols"],
+        fr["joins"], fr["adc"],
     )
-    d_cols = ",\n             ".join(
-        f"{_pq_sub_dist_sql('e.v', 'c.cv', s)} AS d{s}" for s in range(PQ_SUB)
-    )
-    r_cols = ",\n             ".join(
-        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, cent_id) AS r{s}"
-        for s in range(PQ_SUB)
-    )
-    t_cols = ",\n             ".join(
-        f"{_pq_sub_dist_sql('q.qv', 'c.cv', s)} AS t{s}" for s in range(PQ_SUB)
-    )
-    joins = "\n      ".join(
-        f"JOIN dtab j{s} ON j{s}.qid = j0.qid AND j{s}.cent_id = codes.code{s}"
-        for s in range(1, PQ_SUB)
-    )
-    adc = " + ".join(f"j{s}.t{s}" for s in range(PQ_SUB))
     return f"""
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
@@ -988,75 +1030,15 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes),
         (index["cell"] == probes["cell"]) & (F.col("vec_id") != F.col("qid")),
     ).select("qid", "vec_id", *[f"code{s}" for s in range(PQ_SUB)])
-
-    raw = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = raw.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    pqc = raw.filter(
-        (F.col("vec_id") % CENT_MOD == CENT_RES) & (F.col("vec_id") < PQ_CENT_CAP)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
-
-    def sub_dist(s: int):
-        xs = F.slice(F.col("qv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        cs = F.slice(F.col("cv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        sq = F.zip_with(
-            xs, cs,
-            lambda x, c: (x.cast("double") - c.cast("double"))
-            * (x.cast("double") - c.cast("double")),
-        )
-        return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
-
-    dtab = q.join(F.broadcast(pqc)).select(
-        "qid", "cent_id", *[sub_dist(s).alias(f"t{s}") for s in range(PQ_SUB)]
-    )
-    scored2 = cand.join(
-        F.broadcast(dtab.select(F.col("qid").alias("jqid"),
-                                F.col("cent_id").alias("jcode0"), "t0")),
-        (F.col("jqid") == cand["qid"]) & (F.col("jcode0") == cand["code0"]),
-    ).drop("jqid", "jcode0")
-    for s in range(1, PQ_SUB):
-        scored2 = scored2.join(
-            F.broadcast(
-                dtab.select("qid", F.col("cent_id").alias(f"code{s}"), f"t{s}")
-            ),
-            ["qid", f"code{s}"],
-        )
-    adc = sum((F.col(f"t{s}") for s in range(1, PQ_SUB)), F.col("t0"))
-    win = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
-    return (
-        scored2.select("qid", "vec_id", adc.alias("adc"))
-        .withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select(
-            "qid",
-            "rank",
-            "vec_id",
-            F.round(F.col("adc"), 6).cast("decimal(12,6)").alias("adc_dist"),
-        )
-    )
+    return _adc_topk(spark, sf_dir, cand, per_query=True)
 
 
 def _ivfpq_oracle() -> str:
-    code_cols = ",\n           ".join(
-        f"max(CASE WHEN r{s} = 1 THEN cent_id END) AS code{s}"
-        for s in range(PQ_SUB)
+    fr = _pq_oracle_fragments()
+    code_cols, d_cols, r_cols, t_cols, joins, adc = (
+        fr["code_cols"], fr["d_cols"], fr["r_cols"], fr["t_cols"],
+        fr["joins"], fr["adc"],
     )
-    d_cols = ",\n             ".join(
-        f"{_pq_sub_dist_sql('e.v', 'c.cv', s)} AS d{s}" for s in range(PQ_SUB)
-    )
-    r_cols = ",\n             ".join(
-        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, cent_id) AS r{s}"
-        for s in range(PQ_SUB)
-    )
-    t_cols = ",\n             ".join(
-        f"{_pq_sub_dist_sql('q.qv', 'c.cv', s)} AS t{s}" for s in range(PQ_SUB)
-    )
-    joins = "\n      ".join(
-        f"JOIN dtab j{s} ON j{s}.qid = j0.qid AND j{s}.cent_id = codes.code{s}"
-        for s in range(1, PQ_SUB)
-    )
-    adc = " + ".join(f"j{s}.t{s}" for s in range(PQ_SUB))
     return f"""
     WITH {_NORM_CTE},
     ccents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e

@@ -282,7 +282,11 @@ def stats_hist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     approaches 2^63, normalize per-bin to decimals first; the fixture range
     keeps the cross-normalized form exact.)
     """
-    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # NaN guarded like NULL: Spark's non-ANSI cast folds NaN to bin 0 while
+    # DuckDB errors casting it — the same hazard agg_mv._hist_bin guards
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
+    )
     half = (F.col("event_id") % 2).cast("int")
     bin_ = F.least(
         F.greatest(F.floor(F.col("value") / F.lit(DRIFT_W)).cast("int"), F.lit(0)),
@@ -852,7 +856,7 @@ ORACLE["stats_hist_drift"] = f"""
       SELECT event_type, CAST(event_id % 2 AS INT) AS half,
              least(greatest(CAST(floor(value / {DRIFT_W}) AS INT), 0),
                    {DRIFT_BINS - 1}) AS bin
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value::DOUBLE)),
     per_bin AS (
       SELECT event_type, bin,
              sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,

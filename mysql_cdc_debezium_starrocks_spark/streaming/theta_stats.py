@@ -170,8 +170,25 @@ def update_theta_batch(
     NULL keys never enter the sketch (``theta_sketch`` drops them — a
     NULL hash would bias theta, and a NULL FK is an orphan by definition,
     not a key to sample).
+
+    A batch id already folded into the committed baseline is REFUSED: a
+    contribution dir whose id is in ``_folded`` is unreadable by design
+    (read_theta must skip those ids so a crash mid-compaction — baseline
+    committed, GC incomplete — never double-counts), so writing one would
+    silently lose the batch.  Ids recycle only when a stream restarts
+    with a reset checkpoint; that caller needs a fresh state_dir or an
+    epoch offset, and this guard turns the silent loss into an error.
     """
     _ensure_meta(state_dir, k, seed)
+    base = _committed_baseline(state_dir)
+    if base is not None and batch_id in base[1]:
+        raise ValueError(
+            f"theta state {state_dir}: batch_id {batch_id} was already "
+            f"folded into baseline {base[0]} — a restarted stream with "
+            f"recycled batch ids must write to a fresh state_dir (or "
+            f"offset its epoch ids); writing here would be invisible to "
+            f"read_theta"
+        )
     sk = theta_sketch(
         batch.select(F.lit("s").alias("_set"), F.col(col)),
         "_set", col, k=k, seed=seed,

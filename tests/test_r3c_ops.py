@@ -77,3 +77,63 @@ def test_ks_detects_injected_shift(spark, tmp_path):
     by_src = {r.source: r.ks_ppm for r in rows}
     assert by_src["src0"] == max(by_src.values())
     assert by_src["src0"] > 900_000  # near-total separation
+
+
+def test_bpe_merge_application_handles_runs(spark, tmp_path):
+    """Back-to-back occurrences of the winning pair must ALL merge (the
+    single left-to-right replace consumes the shared delimiter and skips
+    every other one; the two-pass form reaches the greedy fixpoint)."""
+    from pyspark.sql import Row
+
+    from mysql_cdc_debezium_starrocks_spark.operators.text import _bpe_state
+
+    docs = spark.createDataFrame(
+        # 'xy' dominates the pair counts; 'xyxyxy' is the run case
+        [Row(doc_id=i, text="xy xy xy xyxyxy", lang="en", source="s",
+             n_chars=15) for i in range(5)]
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    state, outs = _bpe_state(spark, str(tmp_path))
+    first = outs[0].collect()[0]
+    assert (first.left_sym, first.right_sym) == ("x", "y")
+    # round 2 learns (xy, xy): BOTH its occurrences inside 'xy xy xy' merge
+    # (count 10 = 2 per word x 5 docs), so round 3 learns (xyxy, xy)
+    second = outs[1].collect()[0]
+    assert (second.left_sym, second.right_sym, second.pair_count) == (
+        "xy", "xy", 10,
+    )
+    third = outs[2].collect()[0]
+    assert (third.left_sym, third.right_sym) == ("xyxy", "xy")
+    enc = {r.w: r.s for r in state.collect()}
+    # vocab exhausted after 3 rounds: later no-pair rounds must leave the
+    # state intact (a crossJoin against an empty best annihilated it)
+    assert enc["xyxyxy"].split() == ["xyxyxy"]
+    assert enc["xy"].split() == ["xy"]
+    assert all(not o.collect() for o in outs[3:])
+
+
+def test_artifact_cache_is_lru_and_releases_displaced(spark):
+    from pyspark.sql import Row
+
+    from mysql_cdc_debezium_starrocks_spark.operators import dedup
+
+    saved = dict(dedup._ARTIFACT_CACHE)
+    dedup._ARTIFACT_CACHE.clear()
+    try:
+        dfs = {i: spark.createDataFrame([Row(x=i)]).persist() for i in range(9)}
+        for i in range(8):
+            dedup._artifact_put(spark, f"/d{i}", "pairs", dfs[i])
+        # touching the oldest entry must refresh its recency...
+        assert dedup._artifact_get(spark, "/d0", "pairs") is dfs[0]
+        dedup._artifact_put(spark, "/d8", "pairs", dfs[8])
+        # ...so the eviction takes /d1 (true LRU), not /d0 (FIFO)
+        assert dedup._artifact_get(spark, "/d0", "pairs") is dfs[0]
+        assert dedup._artifact_get(spark, "/d1", "pairs") is None
+        # replacement unpersists the displaced frame
+        repl = spark.createDataFrame([Row(x=100)])
+        dedup._artifact_put(spark, "/d8", "pairs", repl)
+        assert not dfs[8].is_cached
+        assert dedup._artifact_get(spark, "/d8", "pairs") is repl
+    finally:
+        dedup._ARTIFACT_CACHE.clear()
+        dedup._ARTIFACT_CACHE.update(saved)

@@ -174,3 +174,31 @@ def test_theta_crash_mid_compaction_is_invisible(spark, tmp_path):
     compact_theta(spark, state, keep_last=1)
     after = sorted(r.h for r in read_theta(spark, state).collect())
     assert after == before  # recovery re-folded from intact contributions
+
+
+def test_theta_refuses_recycled_batch_id(spark, tmp_path):
+    """A batch id already folded into the committed baseline must be
+    REFUSED on write: read_theta skips folded ids (crash-mid-compaction
+    safety), so accepting the write would silently lose the batch."""
+    import pytest
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.theta_stats import (
+        compact_theta,
+        read_theta,
+        update_theta_batch,
+    )
+
+    state = str(tmp_path / "t")
+    for b in range(4):
+        batch = spark.range(b * 100, b * 100 + 150).select(
+            F.col("id").cast("string").alias("k")
+        )
+        update_theta_batch(spark, state, batch, "k", b, k=32)
+    compact_theta(spark, state, keep_last=2)  # folds batches 0 and 1
+
+    fresh = spark.range(9000, 9100).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="already.*folded|folded.*already"):
+        update_theta_batch(spark, state, fresh, "k", 0, k=32)
+    # non-recycled ids still write, and the sketch stays readable
+    update_theta_batch(spark, state, fresh, "k", 4, k=32)
+    assert read_theta(spark, state).count() > 0
