@@ -360,3 +360,20 @@ def test_ks_drift_windows_are_source_partitioned(spark):
     assert partial_aggregates(p), "histogram reduction must combine map-side"
     # no partition-less window: the global cumsum rides the per-source grid
     assert "Window [" not in p or "PartitionBy" not in p
+
+
+def test_advisor_sweep_no_errors_across_registry(spark):
+    """Registry-wide anti-pattern gate: every driver-facing query's physical
+    plan must be free of error-severity advisor findings (cartesian
+    products, row-at-a-time Python UDFs) — the same checks test_plans pins
+    for individual queries, enforced for every future operator by default."""
+    import __spark_entry__ as se
+    from mysql_cdc_debezium_starrocks_spark.plans.advisor import advise
+
+    bad = {}
+    for name, fn in se.queries().items():
+        errors = [w for w in advise(fn(spark, SF_SMOKE))
+                  if w["severity"] == "error"]
+        if errors:
+            bad[name] = [w["rule"] for w in errors]
+    assert not bad, bad
