@@ -148,11 +148,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the signature table once: both sides of the self-join (and
     # the Jaccard verify) reuse it instead of recomputing the shingle+hash
     # subtree per branch.  At 100 TB this is "write the signature table to
-    # storage"; in-session it's an in-memory persist (~1.5 KB/doc).
+    # storage"; in-session it's the session-memoized artifact shared with
+    # dedup_minhash_containment and eval_minhash_pr (~1.5 KB/doc).
     # ONE definition of the banded-signature pipeline (signature_table),
     # shared with streaming dedup-at-ingest — a drifted copy here would
     # silently desynchronize the batch and streaming near-dup paths
-    exploded = signature_table(load_spread(spark, sf_dir, "documents")).persist()
+    exploded = shared_signatures(spark, sf_dir)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -193,7 +194,7 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``x DIV y`` == DuckDB ``//``) — bit-identical cross-engine, no float
     in the hash surface.  Kept pairs: max containment >= 0.70.
     """
-    exploded = signature_table(load_spread(spark, sf_dir, "documents")).persist()
+    exploded = shared_signatures(spark, sf_dir)
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -505,6 +506,21 @@ def shared_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delegates to :func:`dedup_simhash_pairs` — ONE memoize site, so the two
     entry points can never cache divergent frames under the same key."""
     return dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+
+
+def shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized banded MinHash :func:`signature_table` over the
+    corpus — the third shared artifact (pairs, components, signatures).
+    The signature build is a corpus-scale shingle+permutation pass that
+    ``dedup_minhash_lsh``, ``dedup_minhash_containment``, and
+    ``eval_minhash_pr`` each repeated; at 100 TB it is the signature
+    table a funnel writes to storage once (the streaming twin is
+    ``dedup_ingest``'s incremental store)."""
+    df = _artifact_get(spark, sf_dir, "sigs")
+    if df is None:
+        df = signature_table(load_spread(spark, sf_dir, "documents")).persist()
+        _artifact_put(spark, sf_dir, "sigs", df)
+    return df
 
 
 def shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,7 +1002,7 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1.2M pairs x 2 set ops at sf0.1) — 4x the wall of this form.
     """
     docs = load_spread(spark, sf_dir, "documents")
-    sig = signature_table(docs).persist()
+    sig = shared_signatures(spark, sf_dir)
     # band 0 carries one (doc_id, hs) row per doc — a free projection of the
     # persisted signature table, where dropDuplicates(doc_id) would shuffle
     # BANDS copies of every shingle array
