@@ -1095,3 +1095,123 @@ def _ivfpq_oracle() -> str:
 
 QUERIES["ann_ivfpq_search"] = ann_ivfpq_search
 ORACLE["ann_ivfpq_search"] = _ivfpq_oracle()
+
+
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the pruned ANN indexes (IVF, LSH) against brute-force
+    cosine ground truth — the acceptance gate before trusting an index's
+    cell/bucket parameters at corpus scale (the ANN twin of
+    :func:`~..dedup.eval_minhash_pr`).  Per (index, query): predicted
+    count, hits in the exact top-k, and 1e6-scaled truncating-division
+    recall.
+
+    Scale shape: truth and each index are the already-bounded top-k
+    outputs (|queries| x k rows), so everything past the three index
+    scans is dimension-scale joins on (query_id, neighbor_id); the
+    corpus passes are the indexes' own documented single scans.
+    """
+    truth = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", F.lit(1).alias("m"))
+    )
+    preds = (
+        ann_ivf_topk(spark, sf_dir)
+        .select(F.lit("ivf").alias("index_name"), "query_id", "neighbor_id")
+        .unionByName(
+            ann_lsh_topk(spark, sf_dir).select(
+                F.lit("lsh").alias("index_name"), "query_id", "neighbor_id"
+            )
+        )
+    )
+    per_q = (
+        preds.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("index_name", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pred"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("long").alias("hits"),
+        )
+    )
+    tq = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    return (
+        per_q.join(tq, "query_id")
+        .withColumn("recall_ppm", F.expr("(hits * 1000000) div n_truth"))
+        .select(
+            "index_name", "query_id", "n_truth", "n_pred", "hits", "recall_ppm"
+        )
+        .orderBy("index_name", "query_id")
+    )
+
+
+_EVAL_COS = "CAST(round({dot} / (qnorm * norm), 6) AS DECIMAL(9,6))"
+
+ORACLE["eval_ann_recall"] = f"""
+    WITH {_NORM_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+          WHERE vec_id % {QUERY_MOD} = 0),
+    bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_EVAL_COS.format(dot=_DOT_SQL.format(a='qv', b='v'))}
+                          DESC, e.vec_id) AS rank
+        FROM e JOIN q ON e.vec_id <> q.query_id) t
+      WHERE rank <= {IVF_TOPK}),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+    csc AS (
+      SELECT e.vec_id, e.v, e.norm, c.cent_id,
+             {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
+      FROM e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, v, norm, cent_id AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cent_id) AS rnk FROM csc) t
+      WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cent_id) AS prank FROM csc
+            WHERE vec_id % {QUERY_MOD} = 0) t
+      WHERE prank <= {NPROBE}),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_EVAL_COS.format(dot=_DOT_SQL.format(a='qv', b='v'))}
+                          DESC, a.vec_id) AS rank
+        FROM assign a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id) t
+      WHERE rank <= {IVF_TOPK}),
+    eb AS (SELECT vec_id, v, norm, {_BUCKET_SQL} AS bucket FROM e),
+    lq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
+           FROM eb WHERE vec_id % {QUERY_MOD} = 0),
+    lsh AS (
+      SELECT query_id, vec_id FROM (
+        SELECT lq.query_id, eb.vec_id,
+               row_number() OVER (PARTITION BY lq.query_id
+                 ORDER BY {_EVAL_COS.format(dot=_DOT_SQL.format(a='qv', b='v'))}
+                          DESC, eb.vec_id) AS rank
+        FROM eb JOIN lq ON eb.bucket = lq.qbucket AND eb.vec_id <> lq.query_id) t
+      WHERE rank <= {LSH_TOPK}),
+    preds AS (
+      SELECT 'ivf' AS index_name, query_id, vec_id FROM ivf
+      UNION ALL
+      SELECT 'lsh' AS index_name, query_id, vec_id FROM lsh),
+    tq AS (SELECT query_id, count(*)::BIGINT AS n_truth FROM bf GROUP BY 1),
+    hq AS (
+      SELECT p.index_name, p.query_id,
+             count(*)::BIGINT AS n_pred,
+             count(b.vec_id)::BIGINT AS hits
+      FROM preds p LEFT JOIN bf b
+        ON b.query_id = p.query_id AND b.vec_id = p.vec_id
+      GROUP BY 1, 2)
+    SELECT h.index_name, h.query_id, t.n_truth, h.n_pred, h.hits,
+           ((h.hits * 1000000) // t.n_truth)::BIGINT AS recall_ppm
+    FROM hq h JOIN tq t ON h.query_id = t.query_id
+    ORDER BY h.index_name, h.query_id
+"""
+
+QUERIES["eval_ann_recall"] = eval_ann_recall

@@ -137,3 +137,21 @@ def test_artifact_cache_is_lru_and_releases_displaced(spark):
     finally:
         dedup._ARTIFACT_CACHE.clear()
         dedup._ARTIFACT_CACHE.update(saved)
+
+
+def test_ann_recall_eval_invariants(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
+        IVF_TOPK,
+        eval_ann_recall,
+    )
+
+    rows = eval_ann_recall(spark, SF_SMOKE).collect()
+    assert {r.index_name for r in rows} == {"ivf", "lsh"}
+    for r in rows:
+        assert r.n_truth == IVF_TOPK
+        assert 0 <= r.hits <= min(r.n_pred, r.n_truth)
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.recall_ppm == (r.hits * 1_000_000) // r.n_truth
+    # the pruned indexes must actually find something on the fixture —
+    # a 0-recall index would mean the cell/bucket params are broken
+    assert sum(r.hits for r in rows if r.index_name == "ivf") > 0
