@@ -46,7 +46,9 @@ def _fixture_dir() -> str:
 # text_bpe_merges/encode (two-pass greedy merge) already in-window —
 # displacing the unchanged round-2 greens year_histogram,
 # window_running_sum, and cube_counts (emb_covariance stays: it is the
-# window's only emb_-family member).
+# window's only emb_-family member); eval_ann_recall (newest oracle-backed
+# operator) displaces events_rate (events_sessionize keeps the family
+# covered).
 # Entries beyond this list follow in module order.
 DRIVER_PRIORITY = (
     "cdc_apply", "cdc_topk", "cdc_counts", "cdc_scd2", "cdc_asof_snapshot",
@@ -57,7 +59,7 @@ DRIVER_PRIORITY = (
     "events_sessionize", "text_pmi_cooccur", "stats_ks_by_source",
     "q2_min_cost_supplier", "sample_stratified",
     "window_range_rolling_revenue", "dedup_simhash", "emb_covariance",
-    "text_tfidf_topk", "text_bpe_merges", "events_rate",
+    "text_tfidf_topk", "text_bpe_merges", "eval_ann_recall",
     "text_bpe_encode", "ann_lsh_topk", "dedup_minhash_containment",
     "sketch_cms_heavy", "dedup_graph_degree", "mm_fake_features",
     "dedup_graph_triangles", "dedup_components", "q8_market_share",

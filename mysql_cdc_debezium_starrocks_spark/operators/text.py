@@ -582,28 +582,33 @@ def _bpe_state(spark: SparkSession, sf_dir: str):
         b = F.broadcast(
             best.select(F.col("a").alias("_ba"), F.col("b").alias("_bb"))
         )
-        # the literal replace consumes the shared delimiter space, so a
-        # left-to-right scan skips every OTHER occurrence in a back-to-back
-        # run (' a b a b ' -> ' ab a b ').  Skipped occurrences alternate
-        # with merged ones, so after one pass every survivor is isolated
-        # between merged tokens and a SECOND pass reaches the greedy
-        # non-overlapping fixpoint (the replacement token can never recreate
-        # the pattern) — exactly reference BPE merge application.
-        pat = F.concat(
-            F.lit(" "), F.col("_ba"), F.lit(" "), F.col("_bb"), F.lit(" ")
+        # EXACT left-to-right greedy merge via delimiter doubling: a plain
+        # literal replace of ' a b ' consumes the shared space, skipping
+        # every other occurrence in a back-to-back run (and mis-merging
+        # self-pair runs like ' a a a a a ').  Doubling every space first
+        # makes each occurrence carry its OWN delimiters (' a  b ' takes
+        # one of the two spaces on each side), so one non-overlapping
+        # left-to-right scan — the literal-replace semantics both engines
+        # share — IS reference greedy merge application; collapsing the
+        # doubles (runs are never longer than 2) restores the encoding.
+        pat2 = F.concat(
+            F.lit(" "), F.col("_ba"), F.lit("  "), F.col("_bb"), F.lit(" ")
         )
         rep = F.concat(F.lit(" "), F.col("_ba"), F.col("_bb"), F.lit(" "))
+        merged = F.replace(
+            F.replace(
+                F.replace(F.col("s"), F.lit(" "), F.lit("  ")), pat2, rep
+            ),
+            F.lit("  "),
+            F.lit(" "),
+        )
         # LEFT join against the (0-or-1 row) best pair: a round that learns
         # nothing (every word already a single symbol) must leave the state
         # UNCHANGED — a crossJoin would annihilate it and every later round
         state = state.join(b, F.lit(True), "left").select(
             "w",
             "cnt",
-            F.when(
-                F.col("_ba").isNull(), F.col("s")
-            ).otherwise(
-                F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
-            ).alias("s"),
+            F.when(F.col("_ba").isNull(), F.col("s")).otherwise(merged).alias("s"),
         )
     return state, outs
 
@@ -685,15 +690,15 @@ pc{r} AS (
   GROUP BY a, b),
 best{r} AS (SELECT a, b, n FROM pc{r} ORDER BY n DESC, a, b LIMIT 1),
 wf{r} AS (
-  -- double replace: same two-pass greedy fixpoint as the Spark side
-  -- (one pass skips alternate occurrences in back-to-back runs); LEFT
-  -- join so a round with no learnable pair leaves the state unchanged
+  -- delimiter-doubled single replace: exact left-to-right greedy merge
+  -- (same construction as the Spark side — see _bpe_state); LEFT join
+  -- so a round with no learnable pair leaves the state unchanged
   SELECT w, cnt,
          CASE WHEN best.a IS NULL THEN s
-              ELSE replace(replace(s, ' ' || best.a || ' ' || best.b || ' ',
-                                      ' ' || best.a || best.b || ' '),
-                           ' ' || best.a || ' ' || best.b || ' ',
-                           ' ' || best.a || best.b || ' ') END AS s
+              ELSE replace(replace(replace(s, ' ', '  '),
+                                   ' ' || best.a || '  ' || best.b || ' ',
+                                   ' ' || best.a || best.b || ' '),
+                           '  ', ' ') END AS s
   FROM wf{r - 1} LEFT JOIN best{r} best ON TRUE)""")
     return head + "".join(rounds)
 

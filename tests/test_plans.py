@@ -358,8 +358,17 @@ def test_ks_drift_windows_are_source_partitioned(spark):
     p = plan_of(stats_ks_by_source(spark, SF_SMOKE))
     assert not has_cartesian(p) or broadcasts(p)  # histogram-scale grid only
     assert partial_aggregates(p), "histogram reduction must combine map-side"
-    # no partition-less window: the global cumsum rides the per-source grid
-    assert "Window [" not in p or "PartitionBy" not in p
+    # no partition-less window: every windowspecdefinition must lead with a
+    # partition column (an unpartitioned spec starts straight at the sort
+    # spec, i.e. its first argument carries ASC/DESC)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    assert specs, "expected window specs in the KS plan"
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            f"partition-less window spec: starts with sort expr {first_arg!r}"
+        )
 
 
 def test_advisor_sweep_no_errors_across_registry(spark):
