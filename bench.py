@@ -139,13 +139,18 @@ def main() -> None:
             for _ in range(TIMED_RUNS)
         ]
         med = _median(runs)
-        # the micro-VM intermittently bleeds 20-100 s of JVM teardown into a
-        # random query; if the median is far off this query's own warm-pass
-        # time, the noise hit a majority of runs — re-measure once and
-        # re-take the median over everything observed
-        if med > max(2 * warm[name], warm[name] + 2.0):
+        # the micro-VM bleeds noise in WINDOWS (contiguous alphabetical
+        # blocks of a run all inflate together), so a temporally-local
+        # median can still be noise-dominated; when the median sits well
+        # above this query's own warm-pass time, keep re-measuring (up to
+        # 3 extra runs) and re-take the median over everything observed —
+        # the earlier guard's +2.0 s absolute floor waved sub-2.5 s noise
+        # straight through on sub-second queries
+        extra = 0
+        while med > max(1.3 * warm[name], warm[name] + 0.5) and extra < 3:
             runs.append(_exec(queries[name], spark, sf_dir, settle=True))
             med = _median(runs)
+            extra += 1
         timings[name] = round(med, 3)
         print(f"timed {name}: {med:.2f}s", file=sys.stderr, flush=True)
 

@@ -178,6 +178,12 @@ HEADLINE = [
         "rows partitioned by source — the global ECDF rides the same "
         "window as cum_all - cum_s, no single-partition stage.",
     ),
+    (
+        "eval_ann_recall",
+        "ANN acceptance gate: truth and index outputs are bounded top-k "
+        "sets, so past the indexes' own single corpus scans everything "
+        "is a dimension-scale join on (query_id, neighbor_id).",
+    ),
 ]
 
 
