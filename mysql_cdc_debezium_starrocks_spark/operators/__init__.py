@@ -48,7 +48,8 @@ def _fixture_dir() -> str:
 # window_running_sum, and cube_counts (emb_covariance stays: it is the
 # window's only emb_-family member); eval_ann_recall (newest oracle-backed
 # operator) displaces events_rate (events_sessionize keeps the family
-# covered).
+# covered); text_hash_embed (feature-hashing vectorizer, newest) displaces
+# the unchanged round-2 green q2_min_cost_supplier.
 # Entries beyond this list follow in module order.
 DRIVER_PRIORITY = (
     "cdc_apply", "cdc_topk", "cdc_counts", "cdc_scd2", "cdc_asof_snapshot",
@@ -57,7 +58,7 @@ DRIVER_PRIORITY = (
     "sketch_kmv_distinct", "mm_binary_meta", "ntile_quartiles",
     "dedup_minhash_lsh", "scalar_functions", "ann_ivf_topk", "text_langid",
     "events_sessionize", "text_pmi_cooccur", "stats_ks_by_source",
-    "q2_min_cost_supplier", "sample_stratified",
+    "text_hash_embed", "sample_stratified",
     "window_range_rolling_revenue", "dedup_simhash", "emb_covariance",
     "text_tfidf_topk", "text_bpe_merges", "eval_ann_recall",
     "text_bpe_encode", "ann_lsh_topk", "dedup_minhash_containment",

@@ -1170,3 +1170,76 @@ ORACLE["text_url_dedup"] = f"""
            min(doc_id) AS keep_doc_id
     FROM s3 GROUP BY 1
 """
+
+
+HASH_DIM = 64  # feature-hashing target dimension
+
+
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text vectorization (the "hashing trick", Weinberger
+    et al. ICML'09): each document becomes a fixed HASH_DIM-dim integer
+    vector — bucket = hash(word) mod dim, signed by an independent hash
+    bit so collisions cancel in expectation.  The bridge from raw text to
+    ML features with NO vocabulary state (the input side of the
+    ``ml_logreg_*`` filter-distillation family), streaming-friendly by
+    construction.
+
+    Scale shape: one token explode + one partial-agg'd groupBy(doc_id,
+    bucket) — the (doc, bucket) table is at most dim rows per doc — then
+    a map-side dense-fill to the fixed-width vector.  All-integer, so the
+    comma-joined emission is hash-exact cross-engine (same idiom as
+    ``emb_quantize_int8``).
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    h = phash32(F.col("word"), "fe")
+    per = (
+        tok.select(
+            "doc_id",
+            (h % HASH_DIM).cast("int").alias("b"),
+            # sign from bit 6: independent of the low-6-bit bucket
+            F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").cast("long").alias("v"))
+    )
+    m = per.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(HASH_DIM - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0)),
+    )
+    return m.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(arr, lambda x: x.cast("string"))).alias("vec"),
+        F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("l1"),
+    ).orderBy("doc_id")
+
+
+QUERIES["text_hash_embed"] = text_hash_embed
+ORACLE["text_hash_embed"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_W}) AS word FROM documents),
+    per AS (
+      SELECT doc_id,
+             ({phash32_sql("word", "fe")} % {HASH_DIM})::INT AS b,
+             sum(CASE WHEN ({phash32_sql("word", "fe")} >> 6) & 1 = 1
+                      THEN 1 ELSE -1 END)::BIGINT AS v
+      FROM tok GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, g.b, coalesce(p.v, 0)::BIGINT AS v
+      FROM (SELECT DISTINCT doc_id FROM per) d
+      CROSS JOIN (SELECT unnest(generate_series(0, {HASH_DIM - 1}))::INT AS b) g
+      LEFT JOIN per p ON p.doc_id = d.doc_id AND p.b = g.b)
+    SELECT doc_id,
+           array_to_string(list(v::VARCHAR ORDER BY b), ',') AS vec,
+           sum(abs(v))::BIGINT AS l1
+    FROM grid
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

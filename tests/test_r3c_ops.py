@@ -200,3 +200,28 @@ def test_ann_recall_eval_invariants(spark):
     # the pruned indexes must actually find something on the fixture —
     # a 0-recall index would mean the cell/bucket params are broken
     assert sum(r.hits for r in rows if r.index_name == "ivf") > 0
+
+
+def test_hash_embed_invariants(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        HASH_DIM,
+        text_hash_embed,
+    )
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        text_token_count,
+    )
+
+    rows = text_hash_embed(spark, SF_SMOKE).collect()
+    assert rows
+    total_tokens = sum(
+        r.tokens_ws for r in text_token_count(spark, SF_SMOKE).collect()
+    )
+    l1_total = 0
+    for r in rows:
+        vec = [int(x) for x in r.vec.split(",")]
+        assert len(vec) == HASH_DIM
+        assert r.l1 == sum(abs(x) for x in vec)
+        # signed collisions can only CANCEL mass, never create it
+        assert r.l1 >= 0
+        l1_total += r.l1
+    assert l1_total <= total_tokens

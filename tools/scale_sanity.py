@@ -59,6 +59,7 @@ CASES = {
     "dedup_cross_source_matrix": ("operators.dedup", ["documents"]),
     "text_pmi_cooccur": ("operators.stats", ["documents"]),
     "stats_ks_by_source": ("operators.stats", ["documents"]),
+    "text_hash_embed": ("operators.text", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
