@@ -184,6 +184,12 @@ HEADLINE = [
         "sets, so past the indexes' own single corpus scans everything "
         "is a dimension-scale join on (query_id, neighbor_id).",
     ),
+    (
+        "text_hash_embed",
+        "Feature hashing: one token explode + one partial-agg'd "
+        "(doc, bucket) groupBy — at most dim rows per doc through the "
+        "shuffle — then a map-side dense fill to the fixed-width vector.",
+    ),
 ]
 
 
