@@ -914,6 +914,83 @@ ORACLE["basket_part_pairs"] = f"""
     CROSS JOIN n
 """
 
+VOCAB_CHECKPOINTS = 20  # Heaps-curve resolution
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct-word count
+    vs cumulative token count at fixed corpus checkpoints — the diagnostic
+    that says whether a crawl is still contributing new vocabulary or just
+    repeating itself (flattening curve = diminishing returns / duplication).
+
+    A naive "distinct so far per doc" needs a data-scale unpartitioned
+    window; instead each word contributes at its FIRST-occurrence
+    checkpoint (min over one partial-agg'd groupBy(word)), token mass
+    reduces to per-checkpoint counts, and the cumulative sums run over
+    VOCAB_CHECKPOINTS rows — constant-size no matter the corpus.  The
+    checkpoint is doc_id-proportional via one broadcast max.  All-integer.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    ck = F.least(
+        F.expr(f"(doc_id * {VOCAB_CHECKPOINTS}) div (mx + 1)"),
+        F.lit(VOCAB_CHECKPOINTS - 1),
+    ).cast("int")
+    tok = (
+        d.join(F.broadcast(mx))
+        .select(ck.alias("ck"), F.explode(words(F.col("text"))).alias("word"))
+    )
+    toks_per = tok.groupBy("ck").agg(F.count(F.lit(1)).cast("long").alias("toks"))
+    new_per = (
+        tok.groupBy("word")
+        .agg(F.min("ck").alias("ck"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_words"))
+    )
+    grid = spark.range(VOCAB_CHECKPOINTS).select(F.col("id").cast("int").alias("ck"))
+    w = Window.orderBy("ck")  # VOCAB_CHECKPOINTS rows — constant-size window
+    return (
+        grid.join(toks_per, "ck", "left")
+        .join(new_per, "ck", "left")
+        .select(
+            "ck",
+            F.coalesce("toks", F.lit(0)).alias("toks"),
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+        .select(
+            F.col("ck").alias("checkpoint"),
+            "new_words",
+            F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+ORACLE_VOCAB_GROWTH = f"""
+    WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+    tok AS (
+      SELECT least((doc_id * {VOCAB_CHECKPOINTS}) // (mx + 1),
+                   {VOCAB_CHECKPOINTS - 1})::INT AS ck,
+             unnest({{W}}) AS word
+      FROM documents, mx),
+    toks_per AS (SELECT ck, count(*)::BIGINT AS toks FROM tok GROUP BY ck),
+    new_per AS (
+      SELECT ck, count(*)::BIGINT AS new_words
+      FROM (SELECT word, min(ck) AS ck FROM tok GROUP BY word)
+      GROUP BY ck),
+    grid AS (SELECT unnest(generate_series(0, {VOCAB_CHECKPOINTS - 1}))::INT AS ck)
+    SELECT g.ck AS checkpoint,
+           coalesce(n.new_words, 0)::BIGINT AS new_words,
+           sum(coalesce(t.toks, 0)) OVER (ORDER BY g.ck)::BIGINT AS cum_tokens,
+           sum(coalesce(n.new_words, 0)) OVER (ORDER BY g.ck)::BIGINT AS cum_vocab
+    FROM grid g
+    LEFT JOIN toks_per t ON t.ck = g.ck
+    LEFT JOIN new_per n ON n.ck = g.ck
+    ORDER BY g.ck
+"""
+
+
 def _pmi_pairs_sql() -> str:
     """DuckDB mirror of the shifted-zip canonical-pair lists for offsets
     1..PMI_WINDOW, over an in-scope token list ``w`` (1-indexed)."""
@@ -982,10 +1059,13 @@ ORACLE["stats_ks_by_source"] = f"""
     ORDER BY source
 """
 
+ORACLE["text_vocab_growth"] = ORACLE_VOCAB_GROWTH.format(W=_W)
+
 QUERIES = {
     "stats_corr_price_qty": stats_corr_price_qty,
     "stats_ks_by_source": stats_ks_by_source,
     "text_pmi_cooccur": text_pmi_cooccur,
+    "text_vocab_growth": text_vocab_growth,
     "stats_hist_drift": stats_hist_drift,
     "basket_part_pairs": basket_part_pairs,
     "mix_sample_apply": mix_sample_apply,

@@ -225,3 +225,20 @@ def test_hash_embed_invariants(spark):
         assert r.l1 >= 0
         l1_total += r.l1
     assert l1_total <= total_tokens
+
+
+def test_vocab_growth_monotone_and_bounded(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        VOCAB_CHECKPOINTS,
+        text_vocab_growth,
+    )
+
+    rows = text_vocab_growth(spark, SF_SMOKE).collect()
+    assert len(rows) == VOCAB_CHECKPOINTS
+    prev_t = prev_v = 0
+    for r in rows:
+        # both cumulatives are monotone, vocab never outgrows tokens
+        assert r.cum_tokens >= prev_t and r.cum_vocab >= prev_v
+        assert r.cum_vocab <= r.cum_tokens
+        prev_t, prev_v = r.cum_tokens, r.cum_vocab
+    assert rows[-1].cum_vocab > 0
