@@ -28,49 +28,57 @@ def _fixture_dir() -> str:
 # bounded PREFIX of this registry (observed: first 50 entries, insertion
 # order), so any prefix must maximize information — the CDC flagship first,
 # then every operator family represented (relational/TPC-H, dedup, ANN,
-# text, ML, events, sketches, multimodal, linalg, sampling) interleaved with
-# the queries whose cross-engine hash-stability the canon layer (_canon.py)
-# specifically fixes (all 21 round-1 hash-red rows stay inside the prefix).
-# Round 3 (cont.) rotates this session's NEW queries (graph triangles,
-# LSH precision/recall eval, dyadic EWMA, salted-agg skew pattern, URL
-# dedup, IVF-PQ search) into the window, displacing entries that already
-# hold green driver rows from round 2 (q9/q10/q11, mix_weights_by_source,
-# agg_top1_per_group_argmax, text_token_count) — those keep their
-# byte-strict local-parity evidence.  dedup_simhash / dedup_components /
-# dedup_graph_degree stay in-window because the round-3 60-bit SimHash
-# widening changed their values; the driver should re-verify them.
-# Round 3 (final) further rotates in everything whose IMPLEMENTATION
-# changed late in the round — ntile_quartiles (distributed-ranking
-# rewrite), text_pmi_cooccur / stats_ks_by_source (new), with
-# eval_minhash_pr (pair-free reform), dedup_simhash (SWAR fold), and
-# text_bpe_merges/encode (two-pass greedy merge) already in-window —
-# displacing the unchanged round-2 greens year_histogram,
-# window_running_sum, and cube_counts (emb_covariance stays: it is the
-# window's only emb_-family member); eval_ann_recall (newest oracle-backed
-# operator) displaces events_rate (events_sessionize keeps the family
-# covered); text_hash_embed (feature-hashing vectorizer, newest) displaces
-# the unchanged round-2 green q2_min_cost_supplier.
+# text, ML, events, sketches, multimodal, linalg, sampling).
+# Round 4 policy (VERDICT.md round-3 #2): implementations are stable and 92
+# of 163 queries have held a green driver row at least once, so this
+# round's 50-row budget goes to the NEVER-driver-checked tail — 41
+# first-time names (q12–q22, the events_* family, emb_*, sketch_theta_*,
+# joins/asof/range, anomaly/timeseries, reservoir/prefix sampling,
+# text_perplexity, corpus_curate, dedup_pagerank, merge_upsert_orders,
+# cdc_diff_window, mm_frame_sample) — plus everything round 4 CHANGED: the
+# ANN family now reads session-shared index artifacts (similarity.py
+# shared_ivf_index/probes, memoized pq_codes/truth/lsh_topk) and
+# eval_ann_recall gained ivfpq rows, so all eight re-verify.  cdc_apply
+# (flagship) stays; window_range_rolling_revenue and ml_logreg_weights
+# stay solely as their families' required in-window members
+# (test_driver_priority_window).  Every displaced entry holds a green
+# driver row from r02/r03 and keeps byte-strict local-parity evidence.
 # Entries beyond this list follow in module order.
 DRIVER_PRIORITY = (
-    "cdc_apply", "cdc_topk", "cdc_counts", "cdc_scd2", "cdc_asof_snapshot",
-    "q1_pricing_summary", "dedup_exact_stats", "agg_stats",
-    "ann_bruteforce_topk", "text_quality", "events_windowed",
-    "sketch_kmv_distinct", "mm_binary_meta", "ntile_quartiles",
-    "dedup_minhash_lsh", "scalar_functions", "ann_ivf_topk", "text_langid",
-    "events_sessionize", "text_pmi_cooccur", "stats_ks_by_source",
-    "text_hash_embed", "sample_stratified",
-    "window_range_rolling_revenue", "dedup_simhash", "emb_covariance",
-    "text_tfidf_topk", "text_bpe_merges", "eval_ann_recall",
-    "text_bpe_encode", "ann_lsh_topk", "dedup_minhash_containment",
-    "sketch_cms_heavy", "dedup_graph_degree", "mm_fake_features",
-    "dedup_graph_triangles", "dedup_components", "q8_market_share",
-    "eval_minhash_pr", "ts_ewma", "join_skew_salted",
-    "text_url_dedup", "ann_ivfpq_search", "join_dims_broadcast",
-    "ml_logreg_weights", "stats_hist_drift", "basket_part_pairs",
-    "ann_pq_search", "text_domain_signature", "mm_decode_pixels",
-    # entries below duplicate families already evidenced inside the 50-wide
-    # window (J2/TPC-H join coverage); they follow immediately after it
-    "q3_shipping_priority", "q5_region_revenue",
+    "cdc_apply",
+    # --- changed this round: shared-artifact ANN family + widened gate ---
+    "eval_ann_recall", "ann_ivfpq_search", "ann_pq_search",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_kmeans_assign", "emb_pq_codes",
+    # --- never-driver-checked tail: TPC-H q12–q22 block ---
+    "q12_late_shipments", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # --- never-checked: events family ---
+    "events_json_props", "events_rollup_cascade", "events_funnel",
+    "events_transitions", "events_top_paths",
+    "events_conversion_within_hour", "events_weekday_profile",
+    "events_retention",
+    # --- never-checked: embeddings / sketches ---
+    "emb_quantize_int8", "emb_top_eigenvector", "emb_norm_stats",
+    "emb_centroid_by_label", "sketch_bloom_semijoin",
+    "sketch_theta_intersect", "sketch_theta_containment",
+    # --- never-checked: text / curation / temporal / joins / sampling ---
+    "text_perplexity", "corpus_curate", "dedup_pagerank",
+    "ts_anomaly_zscore", "ts_anomaly_mad", "timeseries_gapfill",
+    "cdc_diff_window", "join_asof", "join_range",
+    "sample_reservoir_per_source", "sample_shuffle_prefix",
+    "mm_frame_sample", "merge_upsert_orders",
+    # --- unchanged greens kept only for family coverage of the window ---
+    "window_range_rolling_revenue", "ml_logreg_weights",
+    # --- beyond the observed 50-row window: rest of the never-checked
+    # tail, so a wider driver prefix still lands on fresh names first ---
+    "mm_audio_energy", "mm_resize", "text_vocab_growth",
+    "text_fingerprint", "text_inverted_index", "text_bigram_topk",
+    "text_decontaminate", "dedup_keep_canonical",
+    "corpus_split_leakage_safe", "dedup_cross_source_matrix",
 )
 
 

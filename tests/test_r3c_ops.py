@@ -162,23 +162,26 @@ def test_artifact_cache_is_lru_and_releases_displaced(spark):
 
     from mysql_cdc_debezium_starrocks_spark.operators import dedup
 
+    cap = dedup._ARTIFACT_CACHE_MAX
     saved = dict(dedup._ARTIFACT_CACHE)
     dedup._ARTIFACT_CACHE.clear()
     try:
-        dfs = {i: spark.createDataFrame([Row(x=i)]).persist() for i in range(9)}
-        for i in range(8):
+        dfs = {
+            i: spark.createDataFrame([Row(x=i)]).persist() for i in range(cap + 1)
+        }
+        for i in range(cap):
             dedup._artifact_put(spark, f"/d{i}", "pairs", dfs[i])
         # touching the oldest entry must refresh its recency...
         assert dedup._artifact_get(spark, "/d0", "pairs") is dfs[0]
-        dedup._artifact_put(spark, "/d8", "pairs", dfs[8])
+        dedup._artifact_put(spark, f"/d{cap}", "pairs", dfs[cap])
         # ...so the eviction takes /d1 (true LRU), not /d0 (FIFO)
         assert dedup._artifact_get(spark, "/d0", "pairs") is dfs[0]
         assert dedup._artifact_get(spark, "/d1", "pairs") is None
         # replacement unpersists the displaced frame
         repl = spark.createDataFrame([Row(x=100)])
-        dedup._artifact_put(spark, "/d8", "pairs", repl)
-        assert not dfs[8].is_cached
-        assert dedup._artifact_get(spark, "/d8", "pairs") is repl
+        dedup._artifact_put(spark, f"/d{cap}", "pairs", repl)
+        assert not dfs[cap].is_cached
+        assert dedup._artifact_get(spark, f"/d{cap}", "pairs") is repl
     finally:
         dedup._ARTIFACT_CACHE.clear()
         dedup._ARTIFACT_CACHE.update(saved)
@@ -191,7 +194,7 @@ def test_ann_recall_eval_invariants(spark):
     )
 
     rows = eval_ann_recall(spark, SF_SMOKE).collect()
-    assert {r.index_name for r in rows} == {"ivf", "lsh"}
+    assert {r.index_name for r in rows} == {"ivf", "lsh", "ivfpq"}
     for r in rows:
         assert r.n_truth == IVF_TOPK
         assert 0 <= r.hits <= min(r.n_pred, r.n_truth)
@@ -200,6 +203,17 @@ def test_ann_recall_eval_invariants(spark):
     # the pruned indexes must actually find something on the fixture —
     # a 0-recall index would mean the cell/bucket params are broken
     assert sum(r.hits for r in rows if r.index_name == "ivf") > 0
+    # IVF-PQ probes the same cells as IVF but scores with quantized ADC
+    # distances — it may lose recall to quantization but the floor is the
+    # same gate IVF carries: the composed index must find real neighbors
+    assert sum(r.hits for r in rows if r.index_name == "ivfpq") > 0
+    # and its candidate pool equals IVF's (same cells), so n_pred matches
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.index_name] = r.n_pred
+    for q, m in by_q.items():
+        if "ivf" in m and "ivfpq" in m:
+            assert m["ivfpq"] == m["ivf"], (q, m)
 
 
 def test_hash_embed_invariants(spark):

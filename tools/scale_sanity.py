@@ -28,6 +28,8 @@ REPL = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "embeddings": ["vec_id"],
+    # customer replicates alongside orders so FK containment keeps resolving
+    "customer": ["c_custkey"],
 }
 
 # query name -> (callable path, tables it needs replicated)
@@ -60,6 +62,17 @@ CASES = {
     "text_pmi_cooccur": ("operators.stats", ["documents"]),
     "stats_ks_by_source": ("operators.stats", ["documents"]),
     "text_hash_embed": ("operators.text", ["documents"]),
+    # round-4 additions (VERDICT r03 #4): the round-3 bench leaders.  The
+    # replica word-prefixing grows the VOCABULARY ~factor x, so the BPE
+    # rows stress exactly the axis the verdict flagged (word-frequency
+    # table size; plan depth is fixed at BPE_ROUNDS).
+    "text_bpe_merges": ("operators.text", ["documents"]),
+    "text_bpe_encode": ("operators.text", ["documents"]),
+    "text_vocab_growth": ("operators.text", ["documents"]),
+    "ann_pq_search": ("operators.similarity", ["embeddings"]),
+    "eval_ann_recall": ("operators.similarity", ["embeddings"]),
+    "sketch_theta_containment": ("operators.sketches", ["orders", "customer"]),
+    "basket_part_pairs": ("operators.stats", ["lineitem"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
@@ -121,7 +134,16 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
 
 
 def _time(fn, spark, d: str) -> float:
+    """Warm-then-timed wall clock with the session artifact cache cleared
+    before EACH run: memoized shared artifacts (dedup pairs/signatures, the
+    round-4 ANN index family) would otherwise make the timed run a cache
+    read — the ratio must charge every query its full build, the
+    scale-relevant part.  No-op for queries that don't memoize."""
+    from mysql_cdc_debezium_starrocks_spark.operators import dedup
+
+    dedup._ARTIFACT_CACHE.clear()
     fn(spark, d).write.mode("overwrite").format("noop").save()  # warm
+    dedup._ARTIFACT_CACHE.clear()
     t0 = time.perf_counter()
     fn(spark, d).write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
@@ -156,13 +178,7 @@ def main() -> None:
     # so the threshold is dropped to 0 — same code path the switch takes)
     from mysql_cdc_debezium_starrocks_spark.operators import dedup
 
-    def _time_fresh(fn, spark, d: str) -> float:
-        dedup._ARTIFACT_CACHE.clear()
-        fn(spark, d).write.mode("overwrite").format("noop").save()  # warm
-        dedup._ARTIFACT_CACHE.clear()
-        t0 = time.perf_counter()
-        fn(spark, d).write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+    _time_fresh = _time  # cache-clearing is now _time's default behavior
 
     for tier, threshold in (("unionfind", None), ("distributed", 0)):
         saved = dedup._UNION_FIND_MAX_PAIRS
