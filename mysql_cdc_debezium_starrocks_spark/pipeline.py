@@ -109,6 +109,41 @@ class CorpusPipeline:
         self.steps.append("filter")
         return self
 
+    def tokenize(self) -> "CorpusPipeline":
+        """Tokenizer-prep step: attach per-document BPE token statistics
+        (``n_words``, ``n_bpe_tokens``, ``tokens_per_word_q``) from the
+        on-cluster BPE learner+encoder (``text_bpe_encode`` — the merge
+        table is learned from the corpus word-frequency table, encoding is
+        a broadcast vocab join).  Run after document-level filters so the
+        fertility stats describe the corpus that will actually train."""
+        from .operators.text import text_bpe_encode
+
+        t = text_bpe_encode(self.spark, self.sf_dir)
+        self._df = self._df.join(t, "doc_id")
+        self.steps.append("tokenize")
+        return self
+
+    def vectorize(self) -> "CorpusPipeline":
+        """Vectorization step: attach the HASH_DIM-dim feature-hashing
+        embedding (``text_hash_embed``, Weinberger et al.) as a ``vec``
+        column — the cheap trainable-feature representation downstream
+        dedup/clustering/mixing stages consume."""
+        from .operators.text import text_hash_embed
+
+        v = text_hash_embed(self.spark, self.sf_dir)
+        self._df = self._df.join(v, "doc_id")
+        self.steps.append("vectorize")
+        return self
+
+    def vocab_stats(self) -> DataFrame:
+        """Side-channel report (does not change the running frame): the
+        windowed-PMI collocation table over the corpus — the vocabulary
+        diagnostics a tokenizer-training run reviews next to the BPE merge
+        list."""
+        from .operators.stats import text_pmi_cooccur
+
+        return text_pmi_cooccur(self.spark, self.sf_dir)
+
     def chunk(self) -> "CorpusPipeline":
         """Embedding-prep terminal transform: explode the (curated) corpus
         into fixed-token-window chunk rows (doc_id, chunk_idx, start_word,

@@ -55,6 +55,43 @@ def test_split_column_and_export(spark, tmp_path):
     assert back.count() == df.count()
 
 
+def test_tokenize_vectorize_match_standalone_ops(spark):
+    """The round-3 tokenizer-prep operators composed through the facade must
+    equal the standalone oracle-backed queries (VERDICT r03 #6): unfiltered
+    tokenize/vectorize attach exactly text_bpe_encode / text_hash_embed, and
+    a filtered pipeline carries stats only for surviving docs."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        text_bpe_encode,
+        text_hash_embed,
+    )
+
+    p = CorpusPipeline(spark, SF).tokenize().vectorize()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["tokens_per_word_q"], r["vec"])
+        for r in p.df.collect()
+    }
+    bpe = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["tokens_per_word_q"])
+        for r in text_bpe_encode(spark, SF).collect()
+    }
+    vec = {r["doc_id"]: r["vec"] for r in text_hash_embed(spark, SF).collect()}
+    want = {d: (*bpe[d], vec[d]) for d in bpe if d in vec}
+    assert got == want and got
+    assert p.steps == ["tokenize", "vectorize"]
+
+    q = CorpusPipeline(spark, SF).quality().tokenize()
+    kept = {r["doc_id"] for r in CorpusPipeline(spark, SF).quality().df.collect()}
+    tok_ids = {r["doc_id"] for r in q.df.collect()}
+    assert tok_ids == kept & set(bpe)
+
+    # vocab_stats is a side-channel report equal to the standalone PMI table
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import text_pmi_cooccur
+
+    side = sorted(tuple(r) for r in p.vocab_stats().collect())
+    want_pmi = sorted(tuple(r) for r in text_pmi_cooccur(spark, SF).collect())
+    assert side == want_pmi and side
+
+
 def test_chunk_step_matches_standalone_op(spark):
     """Unfiltered pipeline chunking equals text_chunk; a filtered pipeline
     chunks exactly the surviving documents."""
