@@ -68,7 +68,7 @@ CASES = {
     # table size; plan depth is fixed at BPE_ROUNDS).
     "text_bpe_merges": ("operators.text", ["documents"]),
     "text_bpe_encode": ("operators.text", ["documents"]),
-    "text_vocab_growth": ("operators.text", ["documents"]),
+    "text_vocab_growth": ("operators.stats", ["documents"]),
     "ann_pq_search": ("operators.similarity", ["embeddings"]),
     "eval_ann_recall": ("operators.similarity", ["embeddings"]),
     "sketch_theta_containment": ("operators.sketches", ["orders", "customer"]),
