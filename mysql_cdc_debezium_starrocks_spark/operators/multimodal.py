@@ -448,3 +448,168 @@ ORACLE["mm_audio_energy"] = f"""
     FROM w, LATERAL unnest(generate_series(0, n_win - 1)) AS t(wi)
     WHERE n_win > 0
 """
+
+
+PHASH_W, PHASH_H = 8, 8  # block-mean pHash geometry (64 bits)
+_PHASH_NPX = PHASH_W * PHASH_H * 3
+_PHASH_HEADER = f"P6\n{PHASH_W} {PHASH_H}\n255\n".encode()
+PHASH_BANDS = 4  # 4 x 16-bit bands for the Hamming-near-dup bucket join
+PHASH_MAX_HAMMING = 6
+
+
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean perceptual image hash (the classic pHash/aHash family):
+    synthesize a real 8x8 P6 PPM per doc (pixel bytes = the doc's first 192
+    text bytes, space-padded — the same in-container stand-in
+    ``mm_decode_pixels`` proves byte-exact), run the REAL decode path, gray
+    = r+g+b per pixel (integer, no division), bit i = [gray_i * 64 >
+    sum(gray)] — a 64-char bit string, brightness-invariant by
+    construction.
+
+    Scale shape: map-only mapInPandas over input splits (numpy-vectorized
+    per batch), zero shuffle; the hash is the 8-byte-per-image artifact an
+    image-dedup funnel materializes once.  Exactly oracled: PPM decode is
+    byte-exact, so DuckDB reproduces every bit from the text chars alone.
+    """
+    import numpy as np
+
+    b = _with_blob(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bits_out, ones = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = (bytes(blob) + b" " * _PHASH_NPX)[:_PHASH_NPX]
+                img = decode_image(_PHASH_HEADER + raw)
+                gray = img.astype(np.int64).sum(axis=2).reshape(-1)  # 64 ints
+                bits = (gray * gray.size > gray.sum()).astype(np.uint8)
+                ids.append(doc_id)
+                bits_out.append("".join("1" if x else "0" for x in bits))
+                ones.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash_bits": pd.Series(bits_out, dtype="object"),
+                    "n_ones": pd.Series(ones, dtype="int32"),
+                }
+            )
+
+    return b.mapInPandas(run, "doc_id long, phash_bits string, n_ones int")
+
+
+def mm_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs by pHash Hamming distance — SimHash-style
+    banded blocking over the 64-bit perceptual hash: split the bit string
+    into PHASH_BANDS 16-bit bands, bucket-join on any exact band match
+    (a pair within Hamming <= PHASH_MAX_HAMMING <= 2*bands-2 shares at
+    least one exact band by pigeonhole when errors spread; the standard
+    recall/candidate tradeoff), then verify the TRUE Hamming distance on
+    candidates only.
+
+    Scale shape: the band join shuffles (band_idx, 16-char key, doc_id) —
+    never pixels; candidate volume is bounded by band-bucket collisions
+    exactly like ``dedup_simhash``.  The Hamming check compares two 64-char
+    strings position-wise — integer-exact on both engines.
+    """
+    ph = mm_image_phash(spark, sf_dir).select("doc_id", "phash_bits")
+    band_w = 64 // PHASH_BANDS
+    bands = ph.select(
+        "doc_id",
+        "phash_bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("phash_bits", i * band_w + 1, band_w).alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash_bits", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.select(
+        "band", "key",
+        F.col("doc_id").alias("doc_a"), F.col("phash_bits").alias("pa"),
+    )
+    bb = bands.select(
+        "band", "key",
+        F.col("doc_id").alias("doc_b"), F.col("phash_bits").alias("pb"),
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("pa"), ""),
+                F.split(F.col("pb"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        a.join(bb, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()  # a pair matching several bands counts once
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
+def _phash_bits_sql() -> str:
+    """DuckDB mirror: gray_i = byte(3i+1)+byte(3i+2)+byte(3i+3) of the
+    padded 192-char pixel string; bit i = gray_i*64 > total."""
+    npix = PHASH_W * PHASH_H
+    gray = (
+        "list_transform(generate_series(0, {n} - 1), i -> "
+        "unicode(substr(px, i * 3 + 1, 1)) + unicode(substr(px, i * 3 + 2, 1))"
+        " + unicode(substr(px, i * 3 + 3, 1)))"
+    ).format(n=npix)
+    return (
+        f"array_to_string(list_transform({gray}, "
+        f"g -> CASE WHEN g * {npix} > list_sum({gray}) THEN '1' ELSE '0' END), '')"
+    )
+
+
+ORACLE["mm_image_phash"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             substr(text || repeat(' ', {_PHASH_NPX}), 1, {_PHASH_NPX}) AS px
+      FROM documents),
+    h AS (SELECT doc_id, {_phash_bits_sql()} AS phash_bits FROM p)
+    SELECT doc_id, phash_bits,
+           CAST(len(phash_bits) - len(replace(phash_bits, '1', ''))
+                AS INTEGER) AS n_ones
+    FROM h
+"""
+
+_PHASH_BAND_W = 64 // PHASH_BANDS
+
+ORACLE["mm_phash_dupes"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             substr(text || repeat(' ', {_PHASH_NPX}), 1, {_PHASH_NPX}) AS px
+      FROM documents),
+    h AS (SELECT doc_id, {_phash_bits_sql()} AS phash_bits FROM p),
+    bands AS (
+      SELECT doc_id, phash_bits, b AS band,
+             substr(phash_bits, b * {_PHASH_BAND_W} + 1, {_PHASH_BAND_W}) AS key
+      FROM h, LATERAL unnest(generate_series(0, {PHASH_BANDS - 1})) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash_bits AS pa, b.phash_bits AS pb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(generate_series(1, 64),
+                i -> substr(pa, i, 1) <> substr(pb, i, 1))) AS INTEGER)
+             AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 64),
+          i -> substr(pa, i, 1) <> substr(pb, i, 1))) <= {PHASH_MAX_HAMMING}
+"""
+
+QUERIES["mm_image_phash"] = mm_image_phash
+QUERIES["mm_phash_dupes"] = mm_phash_dupes

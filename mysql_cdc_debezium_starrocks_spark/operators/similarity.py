@@ -823,7 +823,8 @@ def _pq_sub_dist(s: int):
 
 
 def _adc_topk(
-    spark: SparkSession, sf_dir: str, cand: DataFrame, per_query: bool
+    spark: SparkSession, sf_dir: str, cand: DataFrame, per_query: bool,
+    k: int = PQ_TOPK,
 ) -> DataFrame:
     """Shared ADC scoring kernel for :func:`ann_pq_search` (corpus-wide,
     ``per_query=False``: cand carries codes only and the code0 join fans
@@ -881,7 +882,7 @@ def _adc_topk(
     return (
         scored.select("qid", "vec_id", adc.alias("adc"))
         .withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= PQ_TOPK)
+        .filter(F.col("rank") <= k)
         .select(
             "qid",
             "rank",
@@ -1174,6 +1175,136 @@ _IVFPQ_ORACLE_BODY = _ivfpq_oracle()
 ORACLE["ann_ivfpq_search"] = _IVFPQ_ORACLE_BODY
 
 
+REFINE_SHORTLIST = 8  # ADC shortlist width the exact re-rank stage reads
+
+
+def ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search WITH exact re-rank (the full FAISS-style production
+    pipeline): the compressed-code ADC pass produces a REFINE_SHORTLIST
+    shortlist per query, then ONLY those shortlist vectors' floats are read
+    for an exact cosine re-rank to top-k.  This is the standard accuracy
+    recovery for PQ quantization error (Jegou et al. PAMI'11 §IV.D): the
+    corpus-scale scan still touches ~5 B/vector of codes; the float reads
+    are |queries| x REFINE_SHORTLIST — re-rank cost is query-bounded, not
+    corpus-bounded.
+
+    Plan shape: stage 1 is ``ann_ivfpq_search``'s plan with a wider k
+    (shared index artifacts, broadcast probes/ADC tables); stage 2
+    broadcasts the shortlist into one corpus scan (semi-join pruned), then
+    broadcasts the query vectors for the codegen'd cosine fold and ranks
+    |queries| x shortlist rows.  Exactly oracled end-to-end.
+    """
+    assign = shared_ivf_index(spark, sf_dir).select("vec_id", "cell")
+    index = emb_pq_codes(spark, sf_dir).select(
+        "vec_id", *[f"code{s}" for s in range(PQ_SUB)]
+    ).join(assign, "vec_id")
+    probes = shared_ivf_probes(spark, sf_dir).select(
+        F.col("query_id").alias("qid"), "cell"
+    )
+    cand = index.join(
+        F.broadcast(probes),
+        (index["cell"] == probes["cell"]) & (F.col("vec_id") != F.col("qid")),
+    ).select("qid", "vec_id", *[f"code{s}" for s in range(PQ_SUB)])
+    shortlist = _adc_topk(
+        spark, sf_dir, cand, per_query=True, k=REFINE_SHORTLIST
+    ).select("qid", "vec_id")
+
+    e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    hits = e.join(F.broadcast(shortlist), "vec_id").join(
+        F.broadcast(q), "qid"
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+    ).cast("decimal(9,6)")
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        hits.select("qid", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", F.col("rank").cast("int").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
+def _ivfpq_refine_oracle() -> str:
+    fr = _pq_oracle_fragments()
+    return f"""
+    WITH {_NORM_CTE},
+    short AS (
+      SELECT qid, vec_id FROM (
+        WITH ccents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+                   WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+        cscored AS (
+          SELECT e.vec_id, c.cent_id,
+                 {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
+          FROM e CROSS JOIN ccents c),
+        assign AS (
+          SELECT vec_id, cent_id AS cell
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cent_id) AS rnk FROM cscored) t
+          WHERE rnk = 1),
+        probes AS (
+          SELECT vec_id AS qid, cent_id AS cell
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, cent_id) AS prank FROM cscored
+                WHERE vec_id % {QUERY_MOD} = 0) t
+          WHERE prank <= {NPROBE}),
+        pqc AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                WHERE vec_id % {CENT_MOD} = {CENT_RES} AND vec_id < {PQ_CENT_CAP}),
+        psc AS (
+          SELECT e.vec_id, c.cent_id,
+                 {fr["d_cols"]}
+          FROM e CROSS JOIN pqc c),
+        r AS (
+          SELECT *,
+                 {fr["r_cols"]}
+          FROM psc),
+        codes AS (
+          SELECT vec_id,
+               {fr["code_cols"]}
+          FROM r GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+        dtab AS (
+          SELECT q.qid, c.cent_id,
+                 {fr["t_cols"]}
+          FROM q CROSS JOIN pqc c),
+        cand AS (
+          SELECT p.qid, a.vec_id
+          FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+        sc AS (
+          SELECT j0.qid, cand.vec_id, {fr["adc"]} AS adc
+          FROM cand
+          JOIN codes ON codes.vec_id = cand.vec_id
+          JOIN dtab j0 ON j0.qid = cand.qid AND j0.cent_id = codes.code0
+          {fr["joins"]})
+        SELECT qid, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id)
+                     AS rank FROM sc)
+        WHERE rank <= {REFINE_SHORTLIST}) t),
+    qe AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e
+           WHERE vec_id % {QUERY_MOD} = 0),
+    rer AS (
+      SELECT s.qid, s.vec_id,
+             CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
+                  AS DECIMAL(9,6)) AS cosine
+      FROM short s JOIN e ON e.vec_id = s.vec_id
+      JOIN qe ON qe.qid = s.qid)
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, vec_id) AS rank FROM rer)
+    WHERE rank <= {PQ_TOPK}
+    """
+
+
+QUERIES["ann_ivfpq_refine"] = ann_ivfpq_refine
+ORACLE["ann_ivfpq_refine"] = _ivfpq_refine_oracle()
+
+
 def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the pruned ANN indexes (IVF, LSH, IVF-PQ) against
     brute-force cosine ground truth — the acceptance gate before trusting
@@ -1310,3 +1441,139 @@ ORACLE["eval_ann_recall"] = f"""
 """
 
 QUERIES["eval_ann_recall"] = eval_ann_recall
+
+
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR (mean reciprocal rank) of each pruned index against the exact
+    cosine top-k truth — the ranking-quality companion to
+    :func:`eval_ann_recall` (recall says WHETHER the truth was found; MRR
+    says how early in the returned list).  Per index: the count of graded
+    queries, how many had at least one true hit, and the 1e6-scaled
+    truncating-division MRR (reciprocal of the first true hit's rank,
+    0 for unanswered queries, averaged over ALL graded queries).
+
+    Scale shape: every input is an already-bounded top-k artifact (shared
+    truth + the three index outputs), so the whole eval is
+    |queries| x k joins; the only corpus passes are the indexes' own.
+    """
+    truth = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    preds = (
+        ann_ivf_topk(spark, sf_dir)
+        .select(F.lit("ivf").alias("index_name"), "query_id", "neighbor_id", "rank")
+        .unionByName(
+            ann_lsh_topk(spark, sf_dir).select(
+                F.lit("lsh").alias("index_name"), "query_id", "neighbor_id", "rank"
+            )
+        )
+        .unionByName(
+            ann_ivfpq_search(spark, sf_dir).select(
+                F.lit("ivfpq").alias("index_name"),
+                F.col("qid").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                "rank",
+            )
+        )
+    )
+    hits = (
+        preds.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("index_name", "query_id")
+        .agg(F.min("rank").alias("first_hit"))
+    )
+    nq = truth.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    per = hits.groupBy("index_name").agg(
+        F.count(F.lit(1)).cast("long").alias("answered"),
+        F.sum(F.expr("1000000 div first_hit")).cast("long").alias("sum_rr"),
+    )
+    return (
+        per.join(F.broadcast(nq))  # 1-row aggregate broadcast (repo idiom)
+        .select(
+            "index_name",
+            "n_queries",
+            "answered",
+            F.expr("sum_rr div n_queries").cast("long").alias("mrr_ppm"),
+        )
+        .orderBy("index_name")
+    )
+
+
+ORACLE["eval_retrieval_mrr"] = f"""
+    WITH {_NORM_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+          WHERE vec_id % {QUERY_MOD} = 0),
+    bf AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_EVAL_COS.format(dot=_DOT_SQL.format(a='qv', b='v'))}
+                          DESC, e.vec_id) AS rank
+        FROM e JOIN q ON e.vec_id <> q.query_id) t
+      WHERE rank <= {IVF_TOPK}),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+    csc AS (
+      SELECT e.vec_id, e.v, e.norm, c.cent_id,
+             {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
+      FROM e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, v, norm, cent_id AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cent_id) AS rnk FROM csc) t
+      WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cent_id) AS prank FROM csc
+            WHERE vec_id % {QUERY_MOD} = 0) t
+      WHERE prank <= {NPROBE}),
+    ivf AS (
+      SELECT query_id, vec_id AS neighbor_id, rank FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {_EVAL_COS.format(dot=_DOT_SQL.format(a='qv', b='v'))}
+                          DESC, a.vec_id) AS rank
+        FROM assign a JOIN probes p
+          ON a.cell = p.cell AND a.vec_id <> p.query_id) t
+      WHERE rank <= {IVF_TOPK}),
+    eb AS (SELECT vec_id, v, norm, {_BUCKET_SQL} AS bucket FROM e),
+    lq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
+           FROM eb WHERE vec_id % {QUERY_MOD} = 0),
+    lsh AS (
+      SELECT query_id, vec_id AS neighbor_id, rank FROM (
+        SELECT lq.query_id, eb.vec_id,
+               row_number() OVER (PARTITION BY lq.query_id
+                 ORDER BY {_EVAL_COS.format(dot=_DOT_SQL.format(a='qv', b='v'))}
+                          DESC, eb.vec_id) AS rank
+        FROM eb JOIN lq ON eb.bucket = lq.qbucket AND eb.vec_id <> lq.query_id) t
+      WHERE rank <= {LSH_TOPK}),
+    ivfpq AS (
+      SELECT qid AS query_id, vec_id AS neighbor_id, rank
+      FROM ({_IVFPQ_ORACLE_BODY}) ipq),
+    preds AS (
+      SELECT 'ivf' AS index_name, query_id, neighbor_id, rank FROM ivf
+      UNION ALL
+      SELECT 'lsh' AS index_name, query_id, neighbor_id, rank FROM lsh
+      UNION ALL
+      SELECT 'ivfpq' AS index_name, query_id, neighbor_id, rank FROM ivfpq),
+    hits AS (
+      SELECT p.index_name, p.query_id, min(p.rank) AS first_hit
+      FROM preds p JOIN bf b
+        ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+      GROUP BY 1, 2),
+    nq AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries FROM bf),
+    per AS (
+      SELECT index_name, count(*)::BIGINT AS answered,
+             sum(1000000 // first_hit)::BIGINT AS sum_rr
+      FROM hits GROUP BY 1)
+    SELECT index_name, nq.n_queries, answered,
+           (sum_rr // nq.n_queries)::BIGINT AS mrr_ppm
+    FROM per CROSS JOIN nq
+    ORDER BY index_name
+"""
+
+QUERIES["eval_retrieval_mrr"] = eval_retrieval_mrr

@@ -1081,3 +1081,154 @@ QUERIES = {
     "set_intersect_except": set_intersect_except,
     "text_bigram_topk": text_bigram_topk,
 }
+
+
+VOCAB_COVERAGE_KS = (16, 64, 256, 1024, 4096)
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve: what fraction of the corpus token mass the
+    top-K vocabulary words cover, at standard vocab-size checkpoints — the
+    number a tokenizer-vocab decision reads next to the Heaps curve
+    (``text_vocab_growth``: how fast NEW words arrive; this: how much mass
+    the HEAD already covers).
+
+    Scale shape: one partial-agg'd groupBy(word) builds the frequency
+    table (|vocab| rows, bounded by the language); the exact global rank
+    over it uses the DISTRIBUTED ranking pattern (range-repartition on
+    (cnt desc, word), per-partition row_number + a 32-row broadcast of
+    partition offsets — no single-partition window, the ntile_quartiles
+    rewrite); coverage per checkpoint is one more partial-agg'd groupBy
+    over an exploded 5-element checkpoint array.  All-integer.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked_src = wc.repartitionByRange(
+        32, F.col("cnt").desc(), F.col("word")
+    )
+    pid = F.spark_partition_id()
+    counts = ranked_src.groupBy(pid.alias("pid")).agg(
+        F.count(F.lit(1)).alias("pc")
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("pc").over(woff), F.lit(0)).alias("off")
+    )
+    wrn = Window.partitionBy("pid").orderBy(F.col("cnt").desc(), "word")
+    ranked = (
+        ranked_src.withColumn("pid", pid)
+        .withColumn("rn", F.row_number().over(wrn))
+        .join(F.broadcast(offsets), "pid")
+        .select("cnt", (F.col("off") + F.col("rn")).alias("r"))
+    )
+    tot = wc.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in VOCAB_COVERAGE_KS])
+    ).alias("vocab_k")
+    cov = (
+        ranked.select(ks, "cnt", "r")
+        .groupBy("vocab_k")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("vocab_k"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens")
+        )
+    )
+    return (
+        cov.join(F.broadcast(tot))  # 1-row aggregate broadcast
+        .select(
+            F.col("vocab_k").cast("int").alias("vocab_k"),
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            F.expr("(covered_tokens * 1000000) div total_tokens")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("vocab_k")
+    )
+
+
+ORACLE["text_vocab_coverage"] = f"""
+    WITH wc AS (
+      SELECT word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest({_W}) AS word FROM documents)
+      WHERE len(word) > 0
+      GROUP BY word),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk FROM wc),
+    tot AS (SELECT sum(cnt)::BIGINT AS total_tokens,
+                   count(*)::BIGINT AS vocab_size FROM wc),
+    ks AS (SELECT unnest({list(VOCAB_COVERAGE_KS)}) AS vocab_k)
+    SELECT CAST(ks.vocab_k AS INTEGER) AS vocab_k,
+           sum(CASE WHEN r.rk <= ks.vocab_k THEN r.cnt ELSE 0 END)::BIGINT
+             AS covered_tokens,
+           tot.total_tokens, tot.vocab_size,
+           ((sum(CASE WHEN r.rk <= ks.vocab_k THEN r.cnt ELSE 0 END)::BIGINT
+             * 1000000) // tot.total_tokens)::BIGINT AS coverage_ppm
+    FROM r CROSS JOIN ks CROSS JOIN tot
+    GROUP BY ks.vocab_k, tot.total_tokens, tot.vocab_size
+    ORDER BY vocab_k
+"""
+
+QUERIES["text_vocab_coverage"] = text_vocab_coverage
+
+
+def stats_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration diagnostic: Gini coefficient (and max share) of
+    token mass across corpus sources — the imbalance number a data-mixing
+    decision starts from (a crawl where one source carries most of the
+    mass needs reweighting before training; see ``mix_weights_by_source``
+    for the corrective step).
+
+    Gini over the |sources|-row mass table (sources are bounded — a window
+    over them is constant-size, the ``text_vocab_growth`` argument):
+    sort masses ascending, G = 2*sum(i*m_i)/(S*sum(m)) - (S+1)/S, emitted
+    in 1e6-scaled truncating-division integer form so both engines agree
+    bit-exactly.  The corpus-scale work is ONE partial-agg'd
+    groupBy(source) token count.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.sum(F.size(words(F.col("text")))).cast("long").alias("mass")
+    )
+    w = Window.orderBy(F.col("mass").asc(), F.col("source").asc())
+    ranked = m.select("mass", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("mass").cast("long").alias("total_tokens"),
+        F.expr("(max(mass) * 1000000) div sum(mass)")
+        .cast("long")
+        .alias("max_share_ppm"),
+        (
+            F.expr("(2 * sum(i * mass) * 1000000) div (count(1) * sum(mass))")
+            - F.expr("((count(1) + 1) * 1000000) div count(1)")
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+ORACLE["stats_source_gini"] = f"""
+    WITH m AS (
+      SELECT source, sum(len({_W}))::BIGINT AS mass
+      FROM documents GROUP BY source),
+    r AS (SELECT mass,
+                 row_number() OVER (ORDER BY mass ASC, source ASC) AS i
+          FROM m)
+    SELECT count(*)::BIGINT AS n_sources,
+           sum(mass)::BIGINT AS total_tokens,
+           ((max(mass) * 1000000) // sum(mass))::BIGINT AS max_share_ppm,
+           ((2 * sum(i * mass) * 1000000) // (count(*) * sum(mass))
+            - ((count(*) + 1) * 1000000) // count(*))::BIGINT AS gini_ppm
+    FROM r
+"""
+
+QUERIES["stats_source_gini"] = stats_source_gini

@@ -1,0 +1,119 @@
+"""Round-4 operators: exact-rerank IVF-PQ, retrieval MRR gate, Zipf vocab
+coverage, source-concentration Gini, perceptual image hashing.  Value-level
+cross-engine parity is tools/parity.py; these test the operator-level
+invariants the oracles can't express.
+"""
+
+from .conftest import SF_SMOKE
+
+
+def test_ivfpq_refine_never_loses_recall_to_adc(spark):
+    """Exact re-rank of an ADC-shortlist superset can only keep or improve
+    per-query recall vs the plain ADC top-k (any shortlist member that
+    out-ranks a true neighbor in exact cosine is itself a true neighbor)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
+        IVF_TOPK,
+        ann_bruteforce_topk,
+        ann_ivfpq_refine,
+        ann_ivfpq_search,
+    )
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(spark, SF_SMOKE)
+        .filter(f"rank <= {IVF_TOPK}")
+        .collect()
+    }
+    adc_hits, ref_hits = {}, {}
+    for r in ann_ivfpq_search(spark, SF_SMOKE).collect():
+        adc_hits[r.qid] = adc_hits.get(r.qid, 0) + (
+            (r.qid, r.vec_id) in truth
+        )
+    for r in ann_ivfpq_refine(spark, SF_SMOKE).collect():
+        ref_hits[r.qid] = ref_hits.get(r.qid, 0) + (
+            (r.qid, r.neighbor_id) in truth
+        )
+    assert ref_hits and set(ref_hits) == set(adc_hits)
+    for q in adc_hits:
+        assert ref_hits[q] >= adc_hits[q], q
+    # the refined ranks themselves are exact-cosine ordered: rank 1..k dense
+    rows = ann_ivfpq_refine(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_retrieval_mrr_invariants(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
+        eval_retrieval_mrr,
+    )
+
+    rows = eval_retrieval_mrr(spark, SF_SMOKE).collect()
+    assert {r.index_name for r in rows} <= {"ivf", "lsh", "ivfpq"}
+    assert any(r.index_name == "ivf" for r in rows)
+    for r in rows:
+        assert 0 < r.mrr_ppm <= 1_000_000
+        assert 0 < r.answered <= r.n_queries
+        # MRR can't exceed recall-weighted perfect ranking: answered/n * 1e6
+        assert r.mrr_ppm <= (r.answered * 1_000_000) // r.n_queries
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        VOCAB_COVERAGE_KS,
+        text_vocab_coverage,
+    )
+
+    rows = sorted(
+        text_vocab_coverage(spark, SF_SMOKE).collect(), key=lambda r: r.vocab_k
+    )
+    assert [r.vocab_k for r in rows] == list(VOCAB_COVERAGE_KS)
+    prev = 0
+    for r in rows:
+        assert 0 <= r.covered_tokens <= r.total_tokens
+        assert r.coverage_ppm == (r.covered_tokens * 1_000_000) // r.total_tokens
+        assert r.covered_tokens >= prev  # coverage grows with vocab size
+        prev = r.covered_tokens
+    last = rows[-1]
+    if last.vocab_k >= last.vocab_size:  # full-vocab checkpoint covers all
+        assert last.coverage_ppm == 1_000_000
+
+
+def test_source_gini_bounds(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        stats_source_gini,
+    )
+
+    [r] = stats_source_gini(spark, SF_SMOKE).collect()
+    assert r.n_sources >= 2 and r.total_tokens > 0
+    # Gini of a discrete distribution lies in [0, 1 - 1/S); ppm-quantized
+    assert 0 <= r.gini_ppm < 1_000_000
+    assert r.max_share_ppm >= 1_000_000 // r.n_sources  # max >= mean share
+    assert r.max_share_ppm <= 1_000_000
+
+
+def test_image_phash_shape_and_dupes(spark):
+    from mysql_cdc_debezium_starrocks_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        mm_image_phash,
+        mm_phash_dupes,
+    )
+
+    rows = mm_image_phash(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert len(r.phash_bits) == 64
+        assert set(r.phash_bits) <= {"0", "1"}
+        assert r.n_ones == r.phash_bits.count("1")
+
+    ph = {r.doc_id: r.phash_bits for r in rows}
+    dupes = mm_phash_dupes(spark, SF_SMOKE).collect()
+    assert dupes  # the fixture's duplicated docs share 192-byte prefixes
+    for d in dupes:
+        assert d.doc_a < d.doc_b
+        true_h = sum(
+            1 for x, y in zip(ph[d.doc_a], ph[d.doc_b]) if x != y
+        )
+        assert d.hamming == true_h <= PHASH_MAX_HAMMING
