@@ -1577,3 +1577,32 @@ ORACLE["eval_retrieval_mrr"] = f"""
 """
 
 QUERIES["eval_retrieval_mrr"] = eval_retrieval_mrr
+
+
+def materialize_ann_artifacts(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict:
+    """Write the ANN index artifacts (IVF cell assignment, probe lists, PQ
+    code table, brute-force truth) as parquet and register the
+    parquet-backed frames as the session's shared artifacts — the batch
+    persist of what an index-build job ships to storage, so later sessions
+    (or other engines) SEARCH the materialized index instead of rebuilding
+    it.  The ANN analog of ``dedup.materialize_dup_artifacts`` and of the
+    reference's load-once layout (create-routine-load.sh ingests; queries
+    hit the ingested form)."""
+    import os
+
+    from .dedup import _artifact_put
+
+    out = {}
+    for kind, df in (
+        ("ivf_index", shared_ivf_index(spark, sf_dir)),
+        ("ivf_probes", shared_ivf_probes(spark, sf_dir)),
+        ("pq_codes", emb_pq_codes(spark, sf_dir)),
+        ("ann_truth", ann_bruteforce_topk(spark, sf_dir)),
+    ):
+        path = os.path.join(out_dir, kind)
+        df.write.mode("overwrite").parquet(path)
+        _artifact_put(spark, sf_dir, kind, spark.read.parquet(path))
+        out[kind] = path
+    return out

@@ -117,3 +117,44 @@ def test_image_phash_shape_and_dupes(spark):
             1 for x, y in zip(ph[d.doc_a], ph[d.doc_b]) if x != y
         )
         assert d.hamming == true_h <= PHASH_MAX_HAMMING
+
+
+def test_materialize_ann_artifacts_roundtrip(spark, tmp_path):
+    """The parquet-backed index must serve every ANN consumer with values
+    identical to the freshly built artifacts (search-the-materialized-form
+    contract), and the registered artifacts must actually be the parquet
+    frames."""
+    from mysql_cdc_debezium_starrocks_spark.operators import dedup
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivfpq_search,
+        materialize_ann_artifacts,
+    )
+
+    fresh_ivf = sorted(tuple(r) for r in ann_ivf_topk(spark, SF_SMOKE).collect())
+    fresh_pq = sorted(
+        tuple(r) for r in ann_ivfpq_search(spark, SF_SMOKE).collect()
+    )
+
+    paths = materialize_ann_artifacts(spark, SF_SMOKE, str(tmp_path / "ann"))
+    assert set(paths) == {"ivf_index", "ivf_probes", "pq_codes", "ann_truth"}
+    import os
+
+    for p in paths.values():
+        assert os.path.isdir(p)
+    # consumers now read the parquet-backed artifacts — same values
+    assert (
+        sorted(tuple(r) for r in ann_ivf_topk(spark, SF_SMOKE).collect())
+        == fresh_ivf
+    )
+    assert (
+        sorted(tuple(r) for r in ann_ivfpq_search(spark, SF_SMOKE).collect())
+        == fresh_pq
+    )
+    # and a cold session-cache still resolves through parquet contents:
+    # clear the memo, re-materialize nothing, verify a fresh build matches
+    dedup._ARTIFACT_CACHE.clear()
+    assert (
+        sorted(tuple(r) for r in ann_ivf_topk(spark, SF_SMOKE).collect())
+        == fresh_ivf
+    )
