@@ -613,3 +613,52 @@ ORACLE["mm_phash_dupes"] = f"""
 
 QUERIES["mm_image_phash"] = mm_image_phash
 QUERIES["mm_phash_dupes"] = mm_phash_dupes
+
+
+def mm_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-IMAGE clusters: connected components over the pHash
+    near-dup pairs (component_id = min doc_id), composing the multimodal
+    perceptual hash with the SAME two-tier component machinery the text
+    dedup family uses (``dedup._components_over``: union-find at pair
+    scale, distributed min-label above the threshold) — the image analog
+    of ``dedup_components``, and the keep-one-per-cluster key an image
+    corpus dedup writes."""
+    from .dedup import _components_over
+
+    pairs = mm_phash_dupes(spark, sf_dir).select("doc_a", "doc_b")
+    return _components_over(spark, pairs).select("doc_id", "component_id")
+
+
+ORACLE["mm_phash_components"] = f"""
+    WITH RECURSIVE p AS (
+      SELECT doc_id,
+             substr(text || repeat(' ', {_PHASH_NPX}), 1, {_PHASH_NPX}) AS px
+      FROM documents),
+    h AS (SELECT doc_id, {_phash_bits_sql()} AS phash_bits FROM p),
+    bands AS (
+      SELECT doc_id, phash_bits, b AS band,
+             substr(phash_bits, b * {_PHASH_BAND_W} + 1, {_PHASH_BAND_W}) AS key
+      FROM h, LATERAL unnest(generate_series(0, {PHASH_BANDS - 1})) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash_bits AS pa, b.phash_bits AS pb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE len(list_filter(generate_series(1, 64),
+            i -> substr(pa, i, 1) <> substr(pb, i, 1))) <= {PHASH_MAX_HAMMING}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    cc AS (
+      SELECT src AS doc_id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS doc_id, c.label
+      FROM cc c JOIN edges e ON c.doc_id = e.src
+      WHERE c.label < e.dst
+    )
+    SELECT doc_id, min(label) AS component_id FROM cc GROUP BY doc_id
+"""
+
+QUERIES["mm_phash_components"] = mm_phash_components

@@ -158,3 +158,29 @@ def test_materialize_ann_artifacts_roundtrip(spark, tmp_path):
         sorted(tuple(r) for r in ann_ivf_topk(spark, SF_SMOKE).collect())
         == fresh_ivf
     )
+
+
+def test_phash_components_consistent_with_pairs(spark):
+    """Every pHash dup pair lands in one component; component_id is the
+    cluster minimum (same contract as dedup_components)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.multimodal import (
+        mm_phash_components,
+        mm_phash_dupes,
+    )
+
+    comp = {
+        r.doc_id: r.component_id
+        for r in mm_phash_components(spark, SF_SMOKE).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b) for r in mm_phash_dupes(spark, SF_SMOKE).collect()
+    ]
+    assert pairs and comp
+    for a, b in pairs:
+        assert comp[a] == comp[b], (a, b)
+    # component_id is the min member id
+    members = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
