@@ -453,11 +453,12 @@ _UNION_FIND_MAX_PAIRS = 2_000_000
 
 _ARTIFACT_CACHE: dict[tuple, DataFrame] = {}
 # (app, sf_dir, kind) entries before LRU eviction: must hold every live kind
-# for ONE dataset at once (round 4: 3 dedup + 7 ANN kinds) or the bench's
-# alphabetical interleaving thrashes the cache; all kinds are bounded
-# (pair/top-k/code/probe tables — the one corpus-scale entry, ivf_index,
-# is the ingested index layout the family exists to share)
-_ARTIFACT_CACHE_MAX = 16
+# for ONE dataset at once (round 4: 3 dedup + 7 ANN + 2 BPE + 2 pHash +
+# ntile/vocab ranking frames = 16 live kinds) or the bench's alphabetical
+# interleaving thrashes the cache; all kinds are bounded (pair/top-k/code/
+# probe/vocab tables — the one corpus-scale entry, ivf_index, is the
+# ingested index layout the family exists to share)
+_ARTIFACT_CACHE_MAX = 24
 
 
 def _artifact_key(spark: SparkSession, sf_dir: str, kind: str) -> tuple:

@@ -473,28 +473,35 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    b = _with_blob(spark, sf_dir)
+    from .dedup import memoized_artifact
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, bits_out, ones = [], [], []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                raw = (bytes(blob) + b" " * _PHASH_NPX)[:_PHASH_NPX]
-                img = decode_image(_PHASH_HEADER + raw)
-                gray = img.astype(np.int64).sum(axis=2).reshape(-1)  # 64 ints
-                bits = (gray * gray.size > gray.sum()).astype(np.uint8)
-                ids.append(doc_id)
-                bits_out.append("".join("1" if x else "0" for x in bits))
-                ones.append(int(bits.sum()))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "phash_bits": pd.Series(bits_out, dtype="object"),
-                    "n_ones": pd.Series(ones, dtype="int32"),
-                }
-            )
+    def build():
+        b = _with_blob(spark, sf_dir)
 
-    return b.mapInPandas(run, "doc_id long, phash_bits string, n_ones int")
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, bits_out, ones = [], [], []
+                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                    raw = (bytes(blob) + b" " * _PHASH_NPX)[:_PHASH_NPX]
+                    img = decode_image(_PHASH_HEADER + raw)
+                    gray = img.astype(np.int64).sum(axis=2).reshape(-1)  # 64 ints
+                    bits = (gray * gray.size > gray.sum()).astype(np.uint8)
+                    ids.append(doc_id)
+                    bits_out.append("".join("1" if x else "0" for x in bits))
+                    ones.append(int(bits.sum()))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "phash_bits": pd.Series(bits_out, dtype="object"),
+                        "n_ones": pd.Series(ones, dtype="int32"),
+                    }
+                )
+
+        return b.mapInPandas(run, "doc_id long, phash_bits string, n_ones int")
+
+    # session-memoized ("image_phash"): the 8-byte-per-image index artifact
+    # every pHash consumer (dupes, components) searches — one memo site
+    return memoized_artifact(spark, sf_dir, "image_phash", build)
 
 
 def mm_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,8 +516,19 @@ def mm_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the band join shuffles (band_idx, 16-char key, doc_id) —
     never pixels; candidate volume is bounded by band-bucket collisions
     exactly like ``dedup_simhash``.  The Hamming check compares two 64-char
-    strings position-wise — integer-exact on both engines.
+    strings position-wise — integer-exact on both engines.  The verified
+    pair set is session-memoized ("phash_pairs", the shared_dup_pairs
+    pattern) for its downstream consumer (``mm_phash_components``).
     """
+    from .dedup import memoized_artifact
+
+    def build():
+        return _phash_dupes_build(spark, sf_dir)
+
+    return memoized_artifact(spark, sf_dir, "phash_pairs", build)
+
+
+def _phash_dupes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = mm_image_phash(spark, sf_dir).select("doc_id", "phash_bits")
     band_w = 64 // PHASH_BANDS
     bands = ph.select(

@@ -1101,6 +1101,8 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite); coverage per checkpoint is one more partial-agg'd groupBy
     over an exploded 5-element checkpoint array.  All-integer.
     """
+    from .dedup import memoized_artifact
+
     d = load_spread(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(words(F.col("text"))).alias("word"))
@@ -1108,8 +1110,15 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    ranked_src = wc.repartitionByRange(
-        32, F.col("cnt").desc(), F.col("word")
+    # memoized like ntile_quartiles' sorted frame: the offsets and ranked
+    # branches below MUST read the same range partitioning (recomputing it
+    # re-samples the boundaries), and a bare persist would strand a copy
+    # per bench run
+    ranked_src = memoized_artifact(
+        spark,
+        sf_dir,
+        "vocab_ranked",
+        lambda: wc.repartitionByRange(32, F.col("cnt").desc(), F.col("word")),
     )
     pid = F.spark_partition_id()
     counts = ranked_src.groupBy(pid.alias("pid")).agg(
