@@ -1606,3 +1606,84 @@ def materialize_ann_artifacts(
         _artifact_put(spark, sf_dir, kind, spark.read.parquet(path))
         out[kind] = path
     return out
+
+
+def eval_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cell — the
+    clustering acceptance gate next to inertia: for each point, a2 = squared
+    distance to its own centroid, b2 = min squared distance to any OTHER
+    centroid, s = (b2 - a2) / max(a2, b2) in 1e6-scaled truncating-division
+    integer form (squared-distance variant, documented: avoids irrational
+    sqrt so the whole metric stays bit-exact cross-engine).  Emits per-cell
+    point count and mean silhouette; cells near 0 are boundary-blurred,
+    negative means mis-assigned mass.
+
+    Scale shape: one Arrow-batched map over the (already memoized) final
+    assignment computing b2 against the k x dim broadcast centroid matrix
+    (the same deliberate slow-path escape hatch as the Lloyd assignment,
+    same 3x-over-HOF-interpreter justification), then ONE partial-agg'd
+    groupBy(cell).  Exactly oracled by extending the unrolled Lloyd CTE.
+    """
+    from .dedup import memoized_artifact
+
+    def build() -> DataFrame:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        cents, assigned = kmeans_fit(spark, sf_dir)
+        C = np.asarray(cents, dtype=np.int64)
+
+        def _b2(vs, cells):
+            if len(vs) == 0:
+                return pd.Series(dtype="int64")
+            V = np.vstack(vs.to_numpy()).astype(np.int64)
+            diff = V[:, None, :] - C[None, :, :]
+            d2 = (diff * diff).sum(axis=-1)  # n x k, exact int64
+            cl = cells.to_numpy().astype(int)
+            d2[np.arange(len(cl)), cl] = np.iinfo(np.int64).max
+            return pd.Series(d2.min(axis=1).astype("int64"))
+
+        b2_udf = pandas_udf(_b2, "long")
+        per = assigned.select(
+            "cell",
+            F.col("d2").alias("a2"),
+            b2_udf(F.col("vq"), F.col("cell")).alias("b2"),
+        )
+        return per.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "sum(((b2 - a2) * 1000000) div greatest(a2, b2, 1)) div count(1)"
+            )
+            .cast("long")
+            .alias("mean_silhouette_q"),
+        )
+
+    return memoized_artifact(spark, sf_dir, "kmeans_silhouette", build)
+
+
+def _kmeans_silhouette_oracle(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> str:
+    """The unrolled Lloyd CTE chain with a silhouette tail: b2 = min d2 to
+    a non-assigned cell from the SAME final distance table the assignment
+    used."""
+    base = _kmeans_oracle(k, iters)
+    # strip the assignment SELECT tail; keep the WITH chain
+    chain = base[: base.rindex("\nSELECT vec_id,")]
+    return f"""{chain},
+bb AS (
+  SELECT d.vec_id, min(d.d2) AS b2
+  FROM d{iters} d JOIN a{iters} a
+    ON d.vec_id = a.vec_id AND d.cell <> a.cell
+  GROUP BY d.vec_id)
+SELECT CAST(a.cell AS INTEGER) AS cell, count(*)::BIGINT AS n,
+       CAST(sum(((bb.b2 - a.d2) * 1000000) // greatest(a.d2, bb.b2, 1))
+            // count(*) AS BIGINT) AS mean_silhouette_q
+FROM a{iters} a JOIN bb ON a.vec_id = bb.vec_id
+GROUP BY a.cell
+"""
+
+
+QUERIES["eval_kmeans_silhouette"] = eval_kmeans_silhouette
+ORACLE["eval_kmeans_silhouette"] = _kmeans_silhouette_oracle()

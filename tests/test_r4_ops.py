@@ -184,3 +184,23 @@ def test_phash_components_consistent_with_pairs(spark):
         members.setdefault(c, []).append(d)
     for c, ds in members.items():
         assert c == min(ds)
+
+
+def test_kmeans_silhouette_consistent_with_assignment(spark):
+    """Cell counts must match the assignment; silhouette stays in
+    [-1e6, 1e6]; and because b2 >= a2 by argmin construction, every mean
+    is non-negative."""
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
+        ann_kmeans_assign,
+        eval_kmeans_silhouette,
+    )
+
+    sil = {r.cell: (r.n, r.mean_silhouette_q)
+           for r in eval_kmeans_silhouette(spark, SF_SMOKE).collect()}
+    counts = {}
+    for r in ann_kmeans_assign(spark, SF_SMOKE).collect():
+        counts[r.cell] = counts.get(r.cell, 0) + 1
+    assert set(sil) == set(counts)
+    for c, (n, s) in sil.items():
+        assert n == counts[c]
+        assert 0 <= s <= 1_000_000, (c, s)
