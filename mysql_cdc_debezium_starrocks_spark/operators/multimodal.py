@@ -471,37 +471,42 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     image-dedup funnel materializes once.  Exactly oracled: PPM decode is
     byte-exact, so DuckDB reproduces every bit from the text chars alone.
     """
-    import numpy as np
-
     from .dedup import memoized_artifact
-
-    def build():
-        b = _with_blob(spark, sf_dir)
-
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                ids, bits_out, ones = [], [], []
-                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                    raw = (bytes(blob) + b" " * _PHASH_NPX)[:_PHASH_NPX]
-                    img = decode_image(_PHASH_HEADER + raw)
-                    gray = img.astype(np.int64).sum(axis=2).reshape(-1)  # 64 ints
-                    bits = (gray * gray.size > gray.sum()).astype(np.uint8)
-                    ids.append(doc_id)
-                    bits_out.append("".join("1" if x else "0" for x in bits))
-                    ones.append(int(bits.sum()))
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pd.Series(ids, dtype="int64"),
-                        "phash_bits": pd.Series(bits_out, dtype="object"),
-                        "n_ones": pd.Series(ones, dtype="int32"),
-                    }
-                )
-
-        return b.mapInPandas(run, "doc_id long, phash_bits string, n_ones int")
 
     # session-memoized ("image_phash"): the 8-byte-per-image index artifact
     # every pHash consumer (dupes, components) searches — one memo site
-    return memoized_artifact(spark, sf_dir, "image_phash", build)
+    return memoized_artifact(
+        spark, sf_dir, "image_phash",
+        lambda: phash_of(_with_blob(spark, sf_dir)),
+    )
+
+
+def phash_of(blobs: DataFrame) -> DataFrame:
+    """Block-mean pHash of a (doc_id, blob) frame — the reusable kernel
+    behind :func:`mm_image_phash` (batch, memoized per dataset) and
+    ``streaming.phash_ingest`` (per micro-batch over new images only)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bits_out, ones = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = (bytes(blob) + b" " * _PHASH_NPX)[:_PHASH_NPX]
+                img = decode_image(_PHASH_HEADER + raw)
+                gray = img.astype(np.int64).sum(axis=2).reshape(-1)  # 64 ints
+                bits = (gray * gray.size > gray.sum()).astype(np.uint8)
+                ids.append(doc_id)
+                bits_out.append("".join("1" if x else "0" for x in bits))
+                ones.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash_bits": pd.Series(bits_out, dtype="object"),
+                    "n_ones": pd.Series(ones, dtype="int32"),
+                }
+            )
+
+    return blobs.mapInPandas(run, "doc_id long, phash_bits string, n_ones int")
 
 
 def mm_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,10 +533,12 @@ def mm_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memoized_artifact(spark, sf_dir, "phash_pairs", build)
 
 
-def _phash_dupes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ph = mm_image_phash(spark, sf_dir).select("doc_id", "phash_bits")
+def phash_bands(ph: DataFrame) -> DataFrame:
+    """Explode (doc_id, phash_bits) into PHASH_BANDS (band, key) rows —
+    the blocking key both the batch dupes join and the streaming ingest
+    store share."""
     band_w = 64 // PHASH_BANDS
-    bands = ph.select(
+    return ph.select(
         "doc_id",
         "phash_bits",
         F.explode(
@@ -547,7 +554,15 @@ def _phash_dupes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "phash_bits", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    ).select(
+        "doc_id", "phash_bits",
+        F.col("b.band").alias("band"), F.col("b.key").alias("key"),
+    )
+
+
+def _phash_dupes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ph = mm_image_phash(spark, sf_dir).select("doc_id", "phash_bits")
+    bands = phash_bands(ph)
     a = bands.select(
         "band", "key",
         F.col("doc_id").alias("doc_a"), F.col("phash_bits").alias("pa"),

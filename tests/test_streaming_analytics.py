@@ -652,3 +652,51 @@ def test_dedup_at_ingest_nonmonotonic_doc_ids(spark, tmp_path):
 
     got = {(r.doc_a, r.doc_b) for r in dup_pairs(spark, state).collect()}
     assert got == {(5, 100)}, f"new id 5 must pair with stored id 100: {got}"
+
+
+def test_phash_ingest_matches_batch_dupes_and_is_idempotent(spark, tmp_path):
+    """Image dedup-at-ingest: streaming the corpus in batches must find
+    EXACTLY the batch operator's pair set (same blocking, same verify),
+    cross-batch and within-batch pairs once each, non-monotonic ids
+    included; replaying a batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.operators.multimodal import (
+        mm_phash_dupes,
+    )
+    from mysql_cdc_debezium_starrocks_spark.streaming.phash_ingest import (
+        dup_image_pairs,
+        ingest_phash_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    )
+    want = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm_phash_dupes(spark, sf).collect()
+    }
+    assert want
+
+    state = str(tmp_path / "ph")
+    # split into 3 batches by doc_id mod — NOT contiguous ranges, so later
+    # batches carry ids below stored ones (non-monotonic regression built in)
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, part in enumerate(parts):
+        ingest_phash_batch(spark, state, part, batch_id=i)
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dup_image_pairs(spark, state).collect()
+    }
+    assert got == want
+
+    # crash-replay of the last batch regenerates byte-identical output
+    ingest_phash_batch(spark, state, parts[2], batch_id=2)
+    again = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dup_image_pairs(spark, state).collect()
+    }
+    assert again == want
