@@ -695,3 +695,171 @@ ORACLE["mm_phash_components"] = f"""
 """
 
 QUERIES["mm_phash_components"] = mm_phash_components
+
+
+# 7-band pigeonhole split of the 64-bit pHash: any pair with Hamming <=
+# PHASH_MAX_HAMMING (= 6 = 7 - 1 errors) shares at least one EXACT band, so
+# candidates from this split + exact verify are COMPLETE ground truth.
+_TRUTH_BANDS = PHASH_MAX_HAMMING + 1
+_TRUTH_WIDTHS = [
+    64 // _TRUTH_BANDS + (1 if i < 64 % _TRUTH_BANDS else 0)
+    for i in range(_TRUTH_BANDS)
+]
+_TRUTH_OFFSETS = [sum(_TRUTH_WIDTHS[:i]) for i in range(_TRUTH_BANDS)]
+
+
+def eval_phash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the production 4-band pHash candidate generator
+    against EXACT Hamming<=6 ground truth — the acceptance gate before
+    trusting the banding to dedup an image corpus (the image twin of
+    ``dedup.eval_minhash_pr``).
+
+    Ground truth is exact AND scale-safe via the multi-index pigeonhole: 7
+    bands for a 6-error radius guarantee every true pair shares one exact
+    band, so truth = 7-band bucket join + Hamming verify — band-bucket
+    bounded, never O(n^2).  Prediction = raw 4-band collisions BEFORE the
+    Hamming verify (the stage whose error rate the 4-band choice
+    determines; 4 bands only GUARANTEE radius 3, so recall over radius 4-6
+    is exactly what this measures).  One row of integer counts + 1e6-scaled
+    truncating-division precision/recall.
+    """
+    ph = mm_image_phash(spark, sf_dir).select("doc_id", "phash_bits")
+
+    def banded(df: DataFrame, widths, offsets) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "phash_bits",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.substring(
+                                "phash_bits", offsets[i] + 1, widths[i]
+                            ).alias("key"),
+                        )
+                        for i in range(len(widths))
+                    ]
+                )
+            ).alias("b"),
+        ).select(
+            "doc_id", "phash_bits",
+            F.col("b.band").alias("band"), F.col("b.key").alias("key"),
+        )
+
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("pa"), ""),
+                F.split(F.col("pb"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+
+    def cand_pairs(bands: DataFrame) -> DataFrame:
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.phash_bits").alias("pa"),
+                F.col("b.phash_bits").alias("pb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+
+    truth = (
+        cand_pairs(banded(ph, _TRUTH_WIDTHS, _TRUTH_OFFSETS))
+        .filter(hamming <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    )
+    pred = cand_pairs(phash_bands(ph)).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_pred")
+    )
+    joined = truth.join(pred, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        F.coalesce("is_pred", F.lit(False)).alias("is_pred"),
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("n_truth"),
+        F.sum(F.when(F.col("is_pred"), 1).otherwise(0)).cast("long").alias("n_pred"),
+        F.sum(F.when(F.col("is_true") & F.col("is_pred"), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(F.col("is_pred") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(F.col("is_true") & ~F.col("is_pred"), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.expr(
+            "(sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END) * 1000000)"
+            " div nullif(sum(CASE WHEN is_pred THEN 1 ELSE 0 END), 0)"
+        ).cast("long").alias("precision_ppm"),
+        F.expr(
+            "(sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END) * 1000000)"
+            " div nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0)"
+        ).cast("long").alias("recall_ppm"),
+    )
+
+
+def _truth_bands_sql() -> str:
+    rows = ", ".join(
+        f"({i}, {_TRUTH_OFFSETS[i] + 1}, {_TRUTH_WIDTHS[i]})"
+        for i in range(_TRUTH_BANDS)
+    )
+    return rows
+
+
+ORACLE["eval_phash_pr"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+             substr(text || repeat(' ', {_PHASH_NPX}), 1, {_PHASH_NPX}) AS px
+      FROM documents),
+    h AS (SELECT doc_id, {_phash_bits_sql()} AS phash_bits FROM p),
+    tb AS (
+      SELECT doc_id, phash_bits, s.band, substr(phash_bits, s.off, s.w) AS key
+      FROM h, LATERAL (VALUES {_truth_bands_sql()}) AS s(band, off, w)),
+    tcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash_bits AS pa, b.phash_bits AS pb
+      FROM tb a JOIN tb b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    truth AS (
+      SELECT doc_a, doc_b FROM tcand
+      WHERE len(list_filter(generate_series(1, 64),
+            i -> substr(pa, i, 1) <> substr(pb, i, 1))) <= {PHASH_MAX_HAMMING}),
+    pb4 AS (
+      SELECT doc_id, b AS band,
+             substr(phash_bits, b * {_PHASH_BAND_W} + 1, {_PHASH_BAND_W}) AS key
+      FROM h, LATERAL unnest(generate_series(0, {PHASH_BANDS - 1})) AS t(b)),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pb4 a JOIN pb4 b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT coalesce(t.is_true, FALSE) AS is_true,
+             coalesce(pr.is_pred, FALSE) AS is_pred
+      FROM (SELECT doc_a, doc_b, TRUE AS is_true FROM truth) t
+      FULL JOIN (SELECT doc_a, doc_b, TRUE AS is_pred FROM pred) pr
+        USING (doc_a, doc_b))
+    SELECT sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+           sum(CASE WHEN is_pred THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+           sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN is_pred AND NOT is_true THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN is_true AND NOT is_pred THEN 1 ELSE 0 END)::BIGINT AS fn,
+           ((sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END) * 1000000)
+             // nullif(sum(CASE WHEN is_pred THEN 1 ELSE 0 END), 0))::BIGINT
+             AS precision_ppm,
+           ((sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END) * 1000000)
+             // nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0))::BIGINT
+             AS recall_ppm
+    FROM j
+"""
+
+QUERIES["eval_phash_pr"] = eval_phash_pr

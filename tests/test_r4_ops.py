@@ -204,3 +204,21 @@ def test_kmeans_silhouette_consistent_with_assignment(spark):
     for c, (n, s) in sil.items():
         assert n == counts[c]
         assert 0 <= s <= 1_000_000, (c, s)
+
+
+def test_phash_pr_gate_invariants(spark):
+    """The 7-band pigeonhole truth is complete by construction, so tp+fn =
+    n_truth and every mm_phash_dupes pair is in truth; 4 bands guarantee
+    radius 3, so recall is high but precision < 1 (band collisions beyond
+    the radius are exactly what the gate counts)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.multimodal import (
+        eval_phash_pr,
+        mm_phash_dupes,
+    )
+
+    [r] = eval_phash_pr(spark, SF_SMOKE).collect()
+    assert r.tp + r.fn == r.n_truth
+    assert r.tp + r.fp == r.n_pred
+    assert r.n_truth == mm_phash_dupes(spark, SF_SMOKE).count()
+    assert r.recall_ppm >= 900_000  # 4 bands: radius-3 guaranteed, 4-6 high
+    assert 0 < r.precision_ppm < 1_000_000
