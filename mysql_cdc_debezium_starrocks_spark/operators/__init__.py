@@ -29,52 +29,66 @@ def _fixture_dir() -> str:
 # order), so any prefix must maximize information — the CDC flagship first,
 # then every operator family represented (relational/TPC-H, dedup, ANN,
 # text, ML, events, sketches, multimodal, linalg, sampling).
-# Round 4 policy (VERDICT.md round-3 #2): implementations are stable and 92
-# of 163 queries have held a green driver row at least once, so this
-# round's 50-row budget goes to the NEVER-driver-checked tail — 41
-# first-time names (q12–q22, the events_* family, emb_*, sketch_theta_*,
-# joins/asof/range, anomaly/timeseries, reservoir/prefix sampling,
-# text_perplexity, corpus_curate, dedup_pagerank, merge_upsert_orders,
-# cdc_diff_window, mm_frame_sample) — plus everything round 4 CHANGED: the
-# ANN family now reads session-shared index artifacts (similarity.py
-# shared_ivf_index/probes, memoized pq_codes/truth/lsh_topk) and
-# eval_ann_recall gained ivfpq rows, so all eight re-verify.  cdc_apply
-# (flagship) stays; window_range_rolling_revenue and ml_logreg_weights
-# stay solely as their families' required in-window members
-# (test_driver_priority_window).  Every displaced entry holds a green
-# driver row from r02/r03 and keeps byte-strict local-parity evidence.
-# Entries beyond this list follow in module order.
+# Round 4 policy (VERDICT.md round-3 #2, amended late in the round): the
+# 50-row budget splits three ways, in descending verification value —
+# (a) code that CHANGED this round: the ANN family now reads
+#     session-shared index artifacts (similarity.py shared_ivf_index/
+#     probes, memoized pq_codes/truth/lsh_topk) and eval_ann_recall gained
+#     ivfpq rows; seven of the eight re-verify in-window
+#     (ann_bruteforce_topk overflows to slot 51 — its only change is the
+#     shared truth memo, and eval_ann_recall's in-window truth leg embeds
+#     the identical brute-force computation);
+# (b) code that is NEW this round and has never seen a driver row: the
+#     pHash image-dedup family + its PR gate, the silhouette/MRR/IVF-
+#     balance acceptance gates, ivfpq refine, Zipf vocab coverage, source
+#     Gini, the interval-overlap join, the column profiler, the CDC
+#     monitor rollup, and the dedup-funnel yield report (14 names);
+# (c) the NEVER-driver-checked stable tail (26 names: the q12–q22 block
+#     plus one-to-three representatives per family), all green under the
+#     byte-strict local gate at sf0.01 AND sf0.001.
+# Net: 40 first-time names in-window (the verdict's >=40 bar), and every
+# query whose implementation changed or appeared this round is driver-
+# checked.  cdc_apply (flagship) stays; window_range_rolling_revenue and
+# ml_logreg_weights stay solely as their families' required in-window
+# members (test_driver_priority_window).  Every displaced entry holds a
+# green driver row from r02/r03 and keeps byte-strict local-parity
+# evidence.  Entries beyond this list follow in module order.
 DRIVER_PRIORITY = (
     "cdc_apply",
-    # --- changed this round: shared-artifact ANN family + widened gate ---
+    # --- (a) changed this round: shared-artifact ANN family + wider gate ---
     "eval_ann_recall", "ann_ivfpq_search", "ann_pq_search",
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_kmeans_assign", "emb_pq_codes",
-    # --- never-driver-checked tail: TPC-H q12–q22 block ---
+    "ann_lsh_topk", "ann_ivf_topk", "ann_kmeans_assign", "emb_pq_codes",
+    # --- (b) new this round, never driver-checked ---
+    "ann_ivfpq_refine", "eval_retrieval_mrr", "eval_kmeans_silhouette",
+    "eval_phash_pr", "mm_image_phash", "mm_phash_dupes",
+    "mm_phash_components", "text_vocab_coverage", "stats_source_gini",
+    "join_interval_overlap", "stats_column_profile", "eval_ivf_balance",
+    "cdc_monitor_profile", "corpus_dedup_funnel",
+    # --- family anchors required in-window (test_driver_priority_window) ---
+    "window_range_rolling_revenue", "ml_logreg_weights",
+    # --- (c) never-driver-checked tail: TPC-H q12–q22 block ---
     "q12_late_shipments", "q13_order_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_part_count",
     "q17_small_quantity_revenue", "q18_large_volume_customer",
     "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
-    # --- never-checked: events family ---
-    "events_json_props", "events_rollup_cascade", "events_funnel",
-    "events_transitions", "events_top_paths",
-    "events_conversion_within_hour", "events_weekday_profile",
-    "events_retention",
-    # --- never-checked: embeddings / sketches ---
-    "emb_quantize_int8", "emb_top_eigenvector", "emb_norm_stats",
-    "emb_centroid_by_label", "sketch_bloom_semijoin",
-    "sketch_theta_intersect", "sketch_theta_containment",
-    # --- never-checked: text / curation / temporal / joins / sampling ---
+    # --- (c) never-checked family representatives ---
+    "events_json_props", "events_funnel", "events_retention",
+    "emb_quantize_int8", "emb_top_eigenvector",
+    "sketch_bloom_semijoin", "sketch_theta_intersect",
+    "sketch_theta_containment",
     "text_perplexity", "corpus_curate", "dedup_pagerank",
-    "ts_anomaly_zscore", "ts_anomaly_mad", "timeseries_gapfill",
-    "cdc_diff_window", "join_asof", "join_range",
-    "sample_reservoir_per_source", "sample_shuffle_prefix",
-    "mm_frame_sample", "merge_upsert_orders",
-    # --- unchanged greens kept only for family coverage of the window ---
-    "window_range_rolling_revenue", "ml_logreg_weights",
-    # --- beyond the observed 50-row window: rest of the never-checked
-    # tail, so a wider driver prefix still lands on fresh names first ---
+    "ts_anomaly_mad", "cdc_diff_window", "join_asof",
+    "sample_reservoir_per_source",
+    # --- beyond the observed 50-row window: the changed-but-covered ANN
+    # entry first, then the rest of the never-checked tail, so a wider
+    # driver prefix still lands on the highest-value names first ---
+    "ann_bruteforce_topk",
+    "events_rollup_cascade", "events_transitions", "events_top_paths",
+    "events_conversion_within_hour", "events_weekday_profile",
+    "emb_norm_stats", "emb_centroid_by_label",
+    "ts_anomaly_zscore", "timeseries_gapfill", "join_range",
+    "sample_shuffle_prefix", "mm_frame_sample", "merge_upsert_orders",
     "mm_audio_energy", "mm_resize", "text_vocab_growth",
     "text_fingerprint", "text_inverted_index", "text_bigram_topk",
     "text_decontaminate", "dedup_keep_canonical",

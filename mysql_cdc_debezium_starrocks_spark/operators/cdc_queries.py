@@ -272,3 +272,77 @@ ORACLE = {
     "cdc_counts": f"SELECT status, count(*) AS n FROM ({_ORACLE_LIVE}) t GROUP BY status",
     "cdc_scd2": _ORACLE_SCD2,
 }
+
+
+def cdc_monitor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routine-load monitoring rollup — the reference's monitor.sh loop
+    (per-op event counts eyeballed from SHOW ROUTINE LOAD / table diffs,
+    monitor.sh:10-25) as one queryable operator over the wire log: classify
+    every parsed event as insert / update / delete from the log alone
+    (tombstone-flagged -> delete; first non-delete per key -> insert; later
+    non-deletes -> update) and emit per-op event count, distinct keys
+    touched, seq range, and the integer-ppm share of wire traffic.
+
+    Scale shape: one JSON-parse scan, one window over the SAME (key, seq)
+    partitioning the LWW apply itself shuffles on (a co-planned sort, no
+    extra exchange), then a partial-agg'd groupBy to |op| rows; the traffic
+    total is a broadcast scalar.  This is the per-batch health report a
+    100 TB CDC ingest publishes continuously (op mix flips and key-churn
+    spikes are the first symptom of an upstream schema/connector incident).
+    """
+    from pyspark.sql.window import Window
+
+    from ..cdc.apply import parse_envelope
+
+    parsed = parse_envelope(synth_order_events_json(spark, sf_dir))
+    w = Window.partitionBy("order_key").orderBy("_seq")
+    nd_rank = F.sum(
+        F.when(F.col("__deleted") != "true", 1).otherwise(0)
+    ).over(w)
+    op = (
+        F.when(F.col("__deleted") == "true", F.lit("delete"))
+        .when(nd_rank == 1, F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    ops = parsed.select("order_key", "_seq", op.alias("op"))
+    total = ops.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        ops.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("order_key").cast("long").alias("n_keys"),
+            F.min("_seq").cast("long").alias("min_seq"),
+            F.max("_seq").cast("long").alias("max_seq"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "op",
+            "n_events",
+            "n_keys",
+            "min_seq",
+            "max_seq",
+            F.expr("(n_events * 1000000) div _t").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+QUERIES["cdc_monitor_profile"] = cdc_monitor_profile
+
+ORACLE["cdc_monitor_profile"] = _ORACLE_EV + """,
+lev AS (
+  SELECT order_key, _seq, __deleted,
+         sum(CASE WHEN __deleted <> 'true' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY order_key ORDER BY _seq) AS nd
+  FROM ev),
+ops AS (
+  SELECT order_key, _seq,
+         CASE WHEN __deleted = 'true' THEN 'delete'
+              WHEN nd = 1 THEN 'insert' ELSE 'update' END AS op
+  FROM lev),
+tot AS (SELECT count(*) AS t FROM ops)
+SELECT op, count(*)::BIGINT AS n_events,
+       count(DISTINCT order_key)::BIGINT AS n_keys,
+       min(_seq)::BIGINT AS min_seq, max(_seq)::BIGINT AS max_seq,
+       CAST((count(*) * 1000000) // (SELECT t FROM tot) AS BIGINT) AS share_ppm
+FROM ops GROUP BY op
+"""

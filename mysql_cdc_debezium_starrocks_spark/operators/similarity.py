@@ -1687,3 +1687,64 @@ GROUP BY a.cell
 
 QUERIES["eval_kmeans_silhouette"] = eval_kmeans_silhouette
 ORACLE["eval_kmeans_silhouette"] = _kmeans_silhouette_oracle()
+
+
+def eval_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health gate: cell-population balance of the shared IVF
+    assignment.  Tail latency and recall of an IVF index are governed by
+    cell skew — a cell holding 10x its fair share makes every probe that
+    hits it 10x the work, and starved cells waste probe budget — so the
+    balance profile is the acceptance number an index build publishes next
+    to recall (:func:`eval_ann_recall`) before queries trust it.
+
+    Emits one row: cell count, vector total, min/max cell population, and
+    ``imbalance_ppm`` = max-cell / fair-share in integer ppm (1,000,000 =
+    perfectly balanced).  Scale shape: reads the session-shared
+    :func:`shared_ivf_index` artifact (at scale: the ingested index layout,
+    built once), one partial-agg'd groupBy(cell) to |cells| rows, then a
+    second aggregate over those — nothing larger than |cells| ever leaves
+    the executors.
+    """
+    sizes = (
+        shared_ivf_index(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        F.expr("(max(n) * count(1) * 1000000) div sum(n)")
+        .cast("long")
+        .alias("imbalance_ppm"),
+    )
+
+
+QUERIES["eval_ivf_balance"] = eval_ivf_balance
+
+# Oracle: the same double-cosine argmax assignment CTE the (r03-green)
+# ann_ivf_topk oracle uses, reduced to cell populations.
+ORACLE["eval_ivf_balance"] = f"""
+    WITH {_NORM_CTE},
+    cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
+              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+    scored AS (
+      SELECT e.vec_id, c.cent_id,
+             {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
+      FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ccos DESC, cent_id) AS rnk FROM scored) t
+      WHERE rnk = 1
+    ),
+    sizes AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell)
+    SELECT count(*)::BIGINT AS n_cells,
+           sum(n)::BIGINT AS n_vectors,
+           min(n)::BIGINT AS min_cell,
+           max(n)::BIGINT AS max_cell,
+           ((max(n) * count(*) * 1000000) // sum(n))::BIGINT AS imbalance_ppm
+    FROM sizes
+"""

@@ -1241,3 +1241,84 @@ ORACLE["stats_source_gini"] = f"""
 """
 
 QUERIES["stats_source_gini"] = stats_source_gini
+
+
+# --- column profiling (ingest QA) --------------------------------------------
+
+# (name, native column for min/max ordering, canonical string renderer)
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}"),
+    ("o_totalprice", "CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "CAST(CAST({c} AS DATE) AS VARCHAR)"),
+    ("o_orderpriority", "{c}"),
+)
+
+
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``orders`` — row count, null count, exact
+    distinct count, min/max (rendered canonically) — the ingest-QA /
+    catalog-statistics sweep every warehouse load runs after a CDC backfill
+    (the reference's post-load sanity is a handful of ad-hoc COUNTs,
+    test-pipeline.sh:35-40; this is that check generalized per column).
+
+    Scale shape: ONE scan; the multi-column exact ``countDistinct`` plans
+    as a single Expand + partial-agg pass (rows x |columns|, map-side
+    combined, each distinct key hashed — the same strategy as grouping
+    sets), then the 1-row aggregate pivots to |columns| rows via a literal
+    ``inline`` — no second scan, no driver loop.  min/max order on the
+    NATIVE type (never the rendered string, so numerics don't sort
+    lexically); only the final rendering casts to string.
+    """
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for name, _sql in _PROFILE_COLS:
+        n = F.col(name)
+        aggs += [
+            F.count(n).alias(f"{name}__nn"),
+            F.countDistinct(n).alias(f"{name}__nd"),
+            F.min(n).alias(f"{name}__min"),
+            F.max(n).alias(f"{name}__max"),
+        ]
+    row = o.agg(*aggs)
+    structs = []
+    for name, _sql in _PROFILE_COLS:
+        structs.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("_total").cast("long").alias("n_rows"),
+                (F.col("_total") - F.col(f"{name}__nn")).cast("long").alias("n_nulls"),
+                F.col(f"{name}__nd").cast("long").alias("n_distinct"),
+                _render_value(name, f"{name}__min").alias("min_value"),
+                _render_value(name, f"{name}__max").alias("max_value"),
+            )
+        )
+    return row.select(F.inline(F.array(*structs)))
+
+
+def _render_value(name: str, src: str) -> F.Column:
+    c = F.col(src)
+    if name == "o_totalprice":
+        return c.cast("decimal(18,2)").cast("string")
+    if name == "o_orderdate":
+        return F.to_date(c).cast("string")
+    return c.cast("string")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, render in _PROFILE_COLS:
+        parts.append(f"""
+    SELECT '{name}' AS col_name,
+           count(*)::BIGINT AS n_rows,
+           (count(*) - count({name}))::BIGINT AS n_nulls,
+           count(DISTINCT {name})::BIGINT AS n_distinct,
+           {render.format(c=f"min({name})")} AS min_value,
+           {render.format(c=f"max({name})")} AS max_value
+    FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE["stats_column_profile"] = _profile_oracle()
+QUERIES["stats_column_profile"] = stats_column_profile

@@ -378,3 +378,103 @@ ORACLE["ts_anomaly_mad"] = f"""
     FROM d2 JOIN mad ON mad.user_id = d2.user_id
     GROUP BY d2.user_id
 """
+
+
+# Interval-overlap join: both sides are intervals (no built-in in Spark; the
+# naive inequality join is a cross product).  Grid-blocking: each interval
+# explodes to the ~GRID_DAYS-wide calendar cells it touches, candidates join
+# on (key, cell) equality — a plain hash join — then the true overlap
+# predicate verifies and a pair-level dedup removes multi-cell repeats.
+GRID_DAYS = 7  # block width; intervals here span <= 8 days -> <= 3 cells
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-shipment pairs: lineitems of the SAME part whose shipping
+    windows ``[shipdate, shipdate + (quantity % 7 + 1) days]`` overlap —
+    the interval-overlap self-join (room-scheduling / overlapping-sessions
+    shape) Spark has no operator for.
+
+    Scale shape: a raw self-join on ``l_partkey`` with the overlap
+    predicate is hash-joinable but fans out C(per-key rows, 2) candidates
+    per key BEFORE the date filter.  Grid-blocking bounds it: explode each
+    interval to its ``GRID_DAYS`` calendar cells (<= 3 here, map-only), join
+    on ``(l_partkey, cell)`` equality so only time-adjacent rows ever meet,
+    verify the exact overlap, and dedup pairs that share several cells.
+    Shuffle carries (key, cell)-bucketed rows; candidate volume scales with
+    TEMPORAL density, not per-part history length — the standard
+    interval-join blocking trick (cf. Spark's range-join hints / DuckDB's
+    IEJoin, reproduced here with plain DataFrame ops).  Per-part overlap
+    stats via one partial-agg'd groupBy.  (Reference analog: none — its SQL
+    never joins on time; this serves the CDC-materialized ``lineitem``
+    consumers SURVEY.md §2.8 anticipates.)
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = F.to_date("l_shipdate")
+    e = F.date_add(s, (F.col("l_quantity").cast("int") % 7) + 1)
+    iv = li.select(
+        "l_partkey",
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        s.alias("s"),
+        e.alias("e"),
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_date(s) / GRID_DAYS).cast("long"),
+                F.floor(F.unix_date(e) / GRID_DAYS).cast("long"),
+            )
+        ).alias("cell"),
+    )
+    a = iv.select(
+        "l_partkey", "cell",
+        F.col("ok").alias("ok_a"), F.col("ln").alias("ln_a"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        "l_partkey", "cell",
+        F.col("ok").alias("ok_b"), F.col("ln").alias("ln_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    pairs = (
+        a.join(b, ["l_partkey", "cell"])
+        .filter(
+            (F.col("ok_a") < F.col("ok_b"))
+            | ((F.col("ok_a") == F.col("ok_b")) & (F.col("ln_a") < F.col("ln_b")))
+        )
+        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+        # a pair overlapping across several grid cells matches once per
+        # shared cell; pair identity dedups it (hash-agg on the pair key)
+        .dropDuplicates(["l_partkey", "ok_a", "ln_a", "ok_b", "ln_b"])
+    )
+    overlap_days = (
+        F.datediff(F.least("e_a", "e_b"), F.greatest("s_a", "s_b")) + 1
+    )
+    return pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(overlap_days).cast("long").alias("sum_overlap_days"),
+        F.max(overlap_days).cast("int").alias("max_overlap_days"),
+    )
+
+
+QUERIES["join_interval_overlap"] = join_interval_overlap
+
+# Oracle: the blocking grid is an implementation detail — a plain inequality
+# self-join defines the same pair set.
+ORACLE["join_interval_overlap"] = """
+    WITH iv AS (
+      SELECT l_partkey, l_orderkey AS ok, l_linenumber AS ln,
+             CAST(l_shipdate AS DATE) AS s,
+             CAST(l_shipdate AS DATE)
+               + ((CAST(l_quantity AS INTEGER) % 7) + 1) AS e
+      FROM lineitem)
+    SELECT a.l_partkey,
+           count(*)::BIGINT AS n_pairs,
+           CAST(sum(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1)
+                AS BIGINT) AS sum_overlap_days,
+           CAST(max(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1)
+                AS INTEGER) AS max_overlap_days
+    FROM iv a JOIN iv b
+      ON a.l_partkey = b.l_partkey
+     AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.l_partkey
+"""

@@ -1263,3 +1263,146 @@ ORACLE["text_hash_embed"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+# --- corpus dedup funnel (yield report) ---------------------------------------
+
+FUNNEL_STAGES = ("raw", "quality", "exact", "neardup", "decontam")
+
+
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation yield report: documents and tokens surviving each
+    stage of the standard funnel — raw -> quality filter -> exact dedup
+    (md5 digest, keep min doc_id) -> near-dup canonicalization (SimHash
+    components, keep canonical) -> decontamination (drop eval docs + docs
+    sharing eval 4-grams).  One row per stage with doc/token counts and
+    integer-ppm retention vs raw — the dashboard number a training-data
+    pipeline publishes per snapshot ("how much corpus survives, and which
+    stage eats it"), next to the corpus itself (:func:`corpus_curate`,
+    whose keep-set equals this funnel's final stage by construction —
+    asserted in tests).
+
+    Scale shape: each removal list (exact non-canonicals, near-dup
+    non-canonicals, contaminated docs) is tiny relative to the corpus, so
+    every membership join broadcasts under AQE; the per-doc drop level is
+    ONE pass over the quality frame; the funnel itself aggregates to
+    |levels| <= 5 rows, then a <= 5x5 literal-stage join produces the
+    cumulative counts — nothing wider than the corpus is ever shuffled,
+    and the near-dup pairs come from the session-shared artifact
+    (``dedup.shared_dup_pairs``).
+    """
+    from .dedup import dedup_components
+
+    q = text_quality(spark, sf_dir).select("doc_id", "n_words", "quality")
+    d = load_spread(spark, sf_dir, "documents")
+    digests = d.select("doc_id", F.md5("text").alias("digest"))
+    keep = digests.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    exact_removals = (
+        digests.join(keep, "digest")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit(1).alias("_ex"))
+    )
+    dup_removals = (
+        dedup_components(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id", F.lit(1).alias("_nd"))
+    )
+    contaminated = text_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("_ct")
+    )
+    is_eval = phash32(F.col("doc_id"), "evalsplit") % EVAL_SPLIT_MOD == 0
+    # quality NULL (empty doc) fails the filter, like corpus_curate's >=
+    qok = F.coalesce(F.col("quality") >= F.lit(QUALITY_MIN), F.lit(False))
+    lev = (
+        F.when(~qok, 0)
+        .when(F.col("_ex") == 1, 1)
+        .when(F.col("_nd") == 1, 2)
+        .when(is_eval | (F.col("_ct") == 1), 3)
+        .otherwise(4)
+    )
+    flags = (
+        q.join(exact_removals, "doc_id", "left")
+        .join(dup_removals, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select("n_words", lev.alias("lev"))
+    )
+    byl = flags.groupBy("lev").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_words").alias("nt")
+    )
+    stages = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_idx"),
+                        F.lit(nm).alias("stage"),
+                    )
+                    for i, nm in enumerate(FUNNEL_STAGES)
+                ]
+            )
+        )
+    )
+    cum = (
+        stages.join(F.broadcast(byl), F.col("lev") >= F.col("stage_idx"))
+        .groupBy("stage_idx", "stage")
+        .agg(
+            F.sum("nd").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    raw = byl.agg(
+        F.sum("nd").alias("_rd"), F.sum("nt").alias("_rt")
+    )
+    return cum.crossJoin(F.broadcast(raw)).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_docs * 1000000) div _rd").cast("long").alias("docs_ppm"),
+        F.expr("(n_tokens * 1000000) div _rt").cast("long").alias("tokens_ppm"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from .dedup import ORACLE as DEDUP_ORACLE
+
+    return f"""
+    WITH q AS ({ORACLE["text_quality"]}),
+    contam AS ({ORACLE["text_decontaminate"]}),
+    exact_removals AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents) t
+      WHERE doc_id <> keep_id),
+    dup_removals AS (
+      SELECT doc_id FROM ({DEDUP_ORACLE["dedup_components"]}) cc
+      WHERE doc_id <> component_id),
+    lev AS (
+      SELECT q.n_words,
+             CASE
+               WHEN NOT coalesce(q.quality >= {QUALITY_MIN}, false) THEN 0
+               WHEN q.doc_id IN (SELECT doc_id FROM exact_removals) THEN 1
+               WHEN q.doc_id IN (SELECT doc_id FROM dup_removals) THEN 2
+               WHEN ({phash32_sql("q.doc_id::VARCHAR", "evalsplit")}
+                     % {EVAL_SPLIT_MOD}) = 0
+                 OR q.doc_id IN (SELECT doc_id FROM contam) THEN 3
+               ELSE 4 END AS lev
+      FROM q),
+    stages AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, '{nm}')" for i, nm in enumerate(FUNNEL_STAGES))})
+             AS t(stage_idx, stage)),
+    raw AS (SELECT count(*) AS rd, sum(n_words) AS rt FROM lev)
+    SELECT CAST(s.stage_idx AS INTEGER) AS stage_idx, s.stage,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(l.n_words) AS BIGINT) AS n_tokens,
+           CAST((count(*) * 1000000) // (SELECT rd FROM raw) AS BIGINT)
+             AS docs_ppm,
+           CAST((sum(l.n_words) * 1000000) // (SELECT rt FROM raw) AS BIGINT)
+             AS tokens_ppm
+    FROM stages s JOIN lev l ON l.lev >= s.stage_idx
+    GROUP BY s.stage_idx, s.stage
+    """
+
+
+QUERIES["corpus_dedup_funnel"] = corpus_dedup_funnel
+ORACLE["corpus_dedup_funnel"] = _funnel_oracle()

@@ -73,6 +73,26 @@ CASES = {
     "eval_ann_recall": ("operators.similarity", ["embeddings"]),
     "sketch_theta_containment": ("operators.sketches", ["orders", "customer"]),
     "basket_part_pairs": ("operators.stats", ["lineitem"]),
+    # late-round-4 additions: every new heavy operator gets a row BEFORE it
+    # ships (the discipline that caught the SimHash band-saturation cliff).
+    # The phash family reads documents.text as synthetic image bytes; the
+    # replica word-prefixing perturbs pixels, so cross-replica images stay
+    # out of each other's Hamming-band buckets (same disjointness argument
+    # as the near-dup text rows above).
+    "ann_ivfpq_refine": ("operators.similarity", ["embeddings"]),
+    "eval_retrieval_mrr": ("operators.similarity", ["embeddings"]),
+    "eval_kmeans_silhouette": ("operators.similarity", ["embeddings"]),
+    "text_vocab_coverage": ("operators.stats", ["documents"]),
+    "stats_source_gini": ("operators.stats", ["documents"]),
+    "mm_image_phash": ("operators.multimodal", ["documents"]),
+    "mm_phash_dupes": ("operators.multimodal", ["documents"]),
+    "mm_phash_components": ("operators.multimodal", ["documents"]),
+    "eval_phash_pr": ("operators.multimodal", ["documents"]),
+    "corpus_dedup_funnel": ("operators.text", ["documents"]),
+    "join_interval_overlap": ("operators.temporal", ["lineitem"]),
+    "stats_column_profile": ("operators.stats", ["orders"]),
+    "cdc_monitor_profile": ("operators.cdc_queries", ["orders"]),
+    "eval_ivf_balance": ("operators.similarity", ["embeddings"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
