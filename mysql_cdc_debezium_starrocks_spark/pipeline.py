@@ -60,6 +60,35 @@ class CorpusPipeline:
         self.steps.append("dedup")
         return self
 
+    def exact_dedup(self) -> "CorpusPipeline":
+        """Exact dedup on the RUNNING frame: keep the min doc_id per
+        identical text digest.  Composes with upstream filters — a doc is
+        canonical among the copies that survived the steps before this one
+        (unlike :meth:`funnel_report`, which reports the fixed whole-corpus
+        funnel).  One digest-keyed partial-agg groupBy + a same-key join
+        back, so AQE co-plans the two shuffles."""
+        digests = self._df.select("doc_id", F.md5("text").alias("digest"))
+        keep = digests.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+        keep_ids = (
+            digests.join(keep, "digest")
+            .filter(F.col("doc_id") == F.col("keep_id"))
+            .select("doc_id")
+        )
+        self._df = self._df.join(keep_ids, "doc_id", "left_semi")
+        self.steps.append("exact_dedup")
+        return self
+
+    def funnel_report(self) -> DataFrame:
+        """Terminal: the per-stage doc/token yield report of the FIXED
+        reference funnel (quality -> exact -> near-dup -> decontam) over the
+        raw corpus — ``operators.text.corpus_dedup_funnel``, oracle-backed.
+        Independent of the steps composed on this instance by design: it is
+        the dashboard number for the standard funnel, not a trace of a
+        custom one."""
+        from .operators.text import corpus_dedup_funnel
+
+        return corpus_dedup_funnel(self.spark, self.sf_dir)
+
     def perplexity(self, max_ppl: float) -> "CorpusPipeline":
         """CCNet-style LM filter: drop documents whose unigram-LM perplexity
         exceeds ``max_ppl`` (the word-soup outliers).  The LM is estimated

@@ -108,3 +108,30 @@ def test_chunk_step_matches_standalone_op(spark):
     chunked = CorpusPipeline(spark, SF).quality().chunk()
     assert {r["doc_id"] for r in chunked.df.collect()} == kept
     assert chunked.steps == ["quality>=0.65", "chunk"]
+
+
+def test_exact_dedup_step_and_funnel_report(spark):
+    """exact_dedup keeps exactly one doc per distinct text (min doc_id);
+    funnel_report equals the standalone oracle-backed operator."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        corpus_dedup_funnel,
+    )
+
+    p = CorpusPipeline(spark, SF).exact_dedup()
+    kept = [r.doc_id for r in p.df.select("doc_id").collect()]
+    base = CorpusPipeline(spark, SF).df
+    n_distinct = base.select("text").distinct().count()
+    assert len(kept) == len(set(kept)) == n_distinct
+    # every kept doc is the min doc_id of its digest group
+    from pyspark.sql import functions as F
+
+    mins = {
+        r.m
+        for r in base.groupBy(F.md5("text")).agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert set(kept) == mins
+    assert p.steps == ["exact_dedup"]
+
+    got = sorted(tuple(r) for r in p.funnel_report().collect())
+    want = sorted(tuple(r) for r in corpus_dedup_funnel(spark, SF).collect())
+    assert got == want and got
