@@ -46,9 +46,13 @@ def _fixture_dir() -> str:
 # (c) the NEVER-driver-checked stable tail (26 names: the q12–q22 block
 #     plus one-to-three representatives per family), all green under the
 #     byte-strict local gate at sf0.01 AND sf0.001.
-# Net: 40 first-time names in-window (the verdict's >=40 bar), and every
+# Net: >=40 first-time names in-window (the verdict's >=40 bar), and every
 # query whose implementation changed or appeared this round is driver-
-# checked.  cdc_apply (flagship) stays; window_range_rolling_revenue and
+# checked.  Second wave (this session) swapped four new operators
+# (dq_fk_orphans, ml_naive_bayes, emb_prune_diversity,
+# stats_bootstrap_means) into (b) and moved four never-checked-but-stable
+# names (ts_anomaly_mad, cdc_diff_window, join_asof, events_retention)
+# just below the fold — both sets are first-time, new code wins priority.  cdc_apply (flagship) stays; window_range_rolling_revenue and
 # ml_logreg_weights stay solely as their families' required in-window
 # members (test_driver_priority_window).  Every displaced entry holds a
 # green driver row from r02/r03 and keeps byte-strict local-parity
@@ -64,6 +68,10 @@ DRIVER_PRIORITY = (
     "mm_phash_components", "text_vocab_coverage", "stats_source_gini",
     "join_interval_overlap", "stats_column_profile", "eval_ivf_balance",
     "cdc_monitor_profile", "corpus_dedup_funnel",
+    # --- (b continued) second/third-wave round-4 ops (this session) ---
+    "dq_fk_orphans", "ml_naive_bayes", "emb_prune_diversity",
+    "stats_bootstrap_means", "events_attribution", "join_fuzzy_parts",
+    "text_boilerplate_prefix", "mix_temperature_sampling",
     # --- family anchors required in-window (test_driver_priority_window) ---
     "window_range_rolling_revenue", "ml_logreg_weights",
     # --- (c) never-driver-checked tail: TPC-H q12–q22 block ---
@@ -73,16 +81,16 @@ DRIVER_PRIORITY = (
     "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     # --- (c) never-checked family representatives ---
-    "events_json_props", "events_funnel", "events_retention",
-    "emb_quantize_int8", "emb_top_eigenvector",
-    "sketch_bloom_semijoin", "sketch_theta_intersect",
-    "sketch_theta_containment",
+    "emb_top_eigenvector",
+    "sketch_bloom_semijoin", "sketch_theta_containment",
     "text_perplexity", "corpus_curate", "dedup_pagerank",
-    "ts_anomaly_mad", "cdc_diff_window", "join_asof",
     "sample_reservoir_per_source",
     # --- beyond the observed 50-row window: the changed-but-covered ANN
     # entry first, then the rest of the never-checked tail, so a wider
     # driver prefix still lands on the highest-value names first ---
+    "ts_anomaly_mad", "cdc_diff_window", "join_asof",
+    "events_retention", "events_json_props", "events_funnel",
+    "emb_quantize_int8", "sketch_theta_intersect",
     "ann_bruteforce_topk",
     "events_rollup_cascade", "events_transitions", "events_top_paths",
     "events_conversion_within_hour", "events_weekday_profile",
@@ -137,6 +145,7 @@ def _modules():
     from . import (
         cdc_queries,
         dedup,
+        dq,
         events,
         linalg,
         merge_ops,
@@ -155,6 +164,7 @@ def _modules():
 
     return (
         cdc_queries,
+        dq,
         relational,
         relational_ext,
         tpch,

@@ -487,3 +487,61 @@ ORACLE["events_weekday_profile"] = """
            CAST(round(avg(CAST(value AS DECIMAL(18,2))), 4) AS DECIMAL(18,4)) AS avg_value
     FROM events GROUP BY 1
 """
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the user's
+    most recent PRIOR touch event (click or view; 'none' when the purchase
+    is the user's first touchable action) — the marketing-attribution
+    rollup every event warehouse ships, and a lag-to-arbitrary-predicate
+    window the reference's SQL surface can't express.
+
+    Scale shape: one user_id-partitioned ordered window (the same shuffle
+    profile as sessionize — partition by key, never global), then a
+    |touch-types|-bounded aggregate.  Revenue sums in DECIMAL so the
+    result is order-independent and byte-exact cross-engine.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+    )
+    return (
+        purchases.select(
+            F.coalesce("touch", F.lit("none")).alias("attributed_touch"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .groupBy("attributed_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v").cast("decimal(18,2)").alias("attributed_revenue"),
+        )
+    )
+
+
+QUERIES["events_attribution"] = events_attribution
+ORACLE["events_attribution"] = """
+    WITH t AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events)
+    SELECT coalesce(touch, 'none') AS attributed_touch,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS attributed_revenue
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'none')
+"""

@@ -267,7 +267,138 @@ def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NB_QS = 10**6  # log-prob quantization scale (the perplexity/logreg idiom)
+
+
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained on the corpus's
+    own labels, reported as its confusion matrix — the fastText-style
+    classifier role in a CCNet-shaped curation pipeline (the cheap model a
+    pipeline trains on weak labels, then applies at full scale as a filter;
+    the logistic quality filter above is its binary sibling).
+
+    Bit-reproducibility: per-(lang, term) Laplace-smoothed log-counts are
+    integer-quantized (round(ln(c+1) * 1e6) — the text_perplexity idiom) so
+    every per-doc score is an exact int64 sum; argmax ties break to the
+    lexicographically smaller lang on both engines.
+
+    Scale shape: training is two partial-aggregatable groupBys over the
+    exploded token stream ((lang, term) counts + per-lang totals); scoring
+    joins the doc term-frequency table to the model on ``term`` — the model
+    side is vocab-bounded, AQE broadcasts it when small.  The per-doc
+    argmax is a doc_id-partitioned window (WindowGroupLimit prunes to one
+    row per doc per shuffle partition); the output aggregates to a
+    |langs|^2-bounded confusion matrix.
+    """
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    terms = d.select(
+        "doc_id", "lang", F.explode(words(F.col("text"))).alias("term")
+    )
+    qlog = lambda c: F.round(F.log(c.cast("double")) * NB_QS).cast("long")
+
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    lt = terms.groupBy("lang", "term").agg(
+        qlog(F.count(F.lit(1)) + 1).alias("qc")
+    )
+    # per-lang constants: token total T_l, corpus vocab size V (1-row,
+    # broadcast), doc-count prior
+    from pyspark.sql.window import Window
+
+    tl = (
+        terms.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("t_l"))
+        .crossJoin(
+            F.broadcast(
+                terms.agg(
+                    F.count_distinct("term").alias("vsz")
+                )
+            )
+        )
+    )
+    pri = d.groupBy("lang").agg(qlog(F.count(F.lit(1))).alias("qprior"))
+    lc = tl.join(pri, "lang").select(
+        "lang", "qprior", qlog(F.col("t_l") + F.col("vsz")).alias("qdenom")
+    )
+
+    hit = (
+        tf.join(lt.withColumnRenamed("lang", "cand"), "term")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum(F.col("tf") * F.col("qc")).alias("s_hit"))
+    )
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tok"))
+    sc = (
+        ds.crossJoin(F.broadcast(lc.withColumnRenamed("lang", "cand")))
+        .join(hit, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "cand",
+            (
+                F.coalesce(F.col("s_hit"), F.lit(0))
+                + F.col("qprior")
+                - F.col("n_tok") * F.col("qdenom")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 ORACLE = {
+    "ml_naive_bayes": f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_W} AS w FROM documents),
+    terms AS (
+      SELECT doc_id, lang, t.term
+      FROM d, LATERAL unnest(w) AS t(term)),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    lt AS (
+      SELECT lang, term,
+             CAST(round(ln((count(*) + 1)::DOUBLE) * {NB_QS}) AS BIGINT) AS qc
+      FROM terms GROUP BY lang, term),
+    tl AS (
+      SELECT lang, count(*) AS t_l FROM terms GROUP BY lang),
+    v AS (SELECT count(DISTINCT term) AS vsz FROM terms),
+    pri AS (
+      SELECT lang,
+             CAST(round(ln(count(*)::DOUBLE) * {NB_QS}) AS BIGINT) AS qprior
+      FROM documents GROUP BY lang),
+    lc AS (
+      SELECT tl.lang AS cand, pri.qprior,
+             CAST(round(ln((tl.t_l + v.vsz)::DOUBLE) * {NB_QS}) AS BIGINT)
+               AS qdenom
+      FROM tl, v JOIN pri ON pri.lang = tl.lang),
+    hit AS (
+      SELECT tf.doc_id, lt.lang AS cand, sum(tf.tf * lt.qc) AS s_hit
+      FROM tf JOIN lt USING (term) GROUP BY tf.doc_id, lt.lang),
+    ds AS (SELECT doc_id, sum(tf) AS n_tok FROM tf GROUP BY doc_id),
+    sc AS (
+      SELECT ds.doc_id, lc.cand,
+             coalesce(hit.s_hit, 0) + lc.qprior - ds.n_tok * lc.qdenom
+               AS score
+      FROM ds CROSS JOIN lc
+      LEFT JOIN hit ON hit.doc_id = ds.doc_id AND hit.cand = lc.cand),
+    pred AS (
+      SELECT doc_id, cand AS pred_lang FROM (
+        SELECT doc_id, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rn
+        FROM sc) r WHERE rn = 1)
+    SELECT d0.lang, pred.pred_lang, count(*) AS n_docs
+    FROM documents d0 JOIN pred USING (doc_id)
+    GROUP BY d0.lang, pred.pred_lang
+    """,
     "ml_logreg_weights": f"""
     WITH {_train_ctes()}
     SELECT CAST(round(b, {WDEC}) AS DECIMAL(12,6)) AS b,
@@ -292,4 +423,5 @@ ORACLE = {
 QUERIES = {
     "ml_logreg_weights": ml_logreg_weights,
     "ml_logreg_eval": ml_logreg_eval,
+    "ml_naive_bayes": ml_naive_bayes,
 }

@@ -560,34 +560,125 @@ def phash_bands(ph: DataFrame) -> DataFrame:
     )
 
 
-def _phash_dupes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ph = mm_image_phash(spark, sf_dir).select("doc_id", "phash_bits")
-    bands = phash_bands(ph)
-    a = bands.select(
-        "band", "key",
-        F.col("doc_id").alias("doc_a"), F.col("phash_bits").alias("pa"),
+def _phash_ints(ph: DataFrame) -> DataFrame:
+    """(doc_id, hi, lo): the 64-char bit string as two 32-bit integer
+    halves (MSB-first), so Hamming distance is ``bit_count(hi_a ^ hi_b) +
+    bit_count(lo_a ^ lo_b)`` — one codegen'd instruction pair instead of a
+    64-element interpreted ``zip_with`` over split strings, and the shuffle
+    carries 16 bytes instead of 64 chars per side."""
+    return ph.select(
+        "doc_id",
+        F.conv(F.substring("phash_bits", 1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.substring("phash_bits", 33, 32), 2, 10).cast("long").alias("lo"),
     )
-    bb = bands.select(
-        "band", "key",
-        F.col("doc_id").alias("doc_b"), F.col("phash_bits").alias("pb"),
-    )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("pa"), ""),
-                F.split(F.col("pb"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda d: d,
+
+
+def _band_masks(off: int, w: int) -> tuple[int, int]:
+    """(hi_mask, lo_mask) selecting string-bit positions [off, off+w) —
+    position p lives at hi bit (31-p) when p < 32, else lo bit (63-p)."""
+    hi = lo = 0
+    for p in range(off, off + w):
+        if p < 32:
+            hi |= 1 << (31 - p)
+        else:
+            lo |= 1 << (63 - p)
+    return hi, lo
+
+
+def _band_key_col(off: int, w: int):
+    """The integer value of string-bits [off, off+w) from (hi, lo) columns
+    — the banded blocking key without materializing substrings."""
+    if off + w <= 32:
+        return F.shiftrightunsigned(F.col("hi"), 32 - off - w).bitwiseAND(
+            F.lit((1 << w) - 1)
         )
+    if off >= 32:
+        return F.shiftrightunsigned(F.col("lo"), 64 - off - w).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+    w2 = off + w - 32  # band straddles the hi/lo split
+    hi_part = F.col("hi").bitwiseAND(F.lit((1 << (32 - off)) - 1))
+    lo_part = F.shiftrightunsigned(F.col("lo"), 32 - w2)
+    return F.shiftleft(hi_part, w2).bitwiseOR(lo_part)
+
+
+def _first_band_pairs(
+    ph_ints: DataFrame, widths: list[int], offsets: list[int]
+) -> DataFrame:
+    """Distinct candidate pairs from a banded bucket join, each pair emitted
+    EXACTLY once — at its first shared band (the multi-index-hashing dedup
+    trick): a pair colliding in k bands would otherwise fan out k times and
+    need a full-candidate-set ``dropDuplicates`` shuffle; instead each
+    joined row checks, from the XOR halves alone, that no EARLIER band also
+    matched, and keeps only the first.  Returns (doc_a, doc_b, xh, xl) with
+    xh/xl the Hamming XOR halves, so callers verify distance by
+    ``bit_count`` without re-reading the hashes."""
+    banded = ph_ints.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _band_key_col(offsets[j], widths[j]).alias("key"),
+                    )
+                    for j in range(len(widths))
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "hi", "lo",
+        F.col("b.band").alias("band"), F.col("b.key").alias("key"),
     )
-    return (
-        a.join(bb, ["band", "key"])
+    a = banded.select(
+        "band", "key",
+        F.col("doc_id").alias("doc_a"),
+        F.col("hi").alias("ha"), F.col("lo").alias("la"),
+    )
+    b = banded.select(
+        "band", "key",
+        F.col("doc_id").alias("doc_b"),
+        F.col("hi").alias("hb"), F.col("lo").alias("lb"),
+    )
+    xh = F.col("ha").bitwiseXOR(F.col("hb"))
+    xl = F.col("la").bitwiseXOR(F.col("lb"))
+    joined = (
+        a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb")
-        .distinct()  # a pair matching several bands counts once
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "band", xh.alias("xh"), xl.alias("xl"))
+    )
+    # band j matched iff the XOR is zero under band j's mask; keep the row
+    # only when its own band is the FIRST match
+    first_eq = F.least(
+        *[
+            F.when(
+                (
+                    F.col("xh").bitwiseAND(F.lit(_band_masks(offsets[j], widths[j])[0]))
+                    + F.col("xl").bitwiseAND(F.lit(_band_masks(offsets[j], widths[j])[1]))
+                )
+                == 0,
+                F.lit(j),
+            ).otherwise(F.lit(len(widths)))
+            for j in range(len(widths))
+        ]
+    )
+    return joined.filter(first_eq == F.col("band")).select(
+        "doc_a", "doc_b", "xh", "xl"
+    )
+
+
+_PROD_WIDTHS = [64 // PHASH_BANDS] * PHASH_BANDS
+_PROD_OFFSETS = [i * (64 // PHASH_BANDS) for i in range(PHASH_BANDS)]
+
+
+def _phash_dupes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ph = _phash_ints(mm_image_phash(spark, sf_dir))
+    pairs = _first_band_pairs(ph, _PROD_WIDTHS, _PROD_OFFSETS)
+    hamming = (F.bit_count("xh") + F.bit_count("xl")).cast("int")
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= PHASH_MAX_HAMMING
     )
 
 
@@ -723,65 +814,15 @@ def eval_phash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly what this measures).  One row of integer counts + 1e6-scaled
     truncating-division precision/recall.
     """
-    ph = mm_image_phash(spark, sf_dir).select("doc_id", "phash_bits")
-
-    def banded(df: DataFrame, widths, offsets) -> DataFrame:
-        return df.select(
-            "doc_id",
-            "phash_bits",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.substring(
-                                "phash_bits", offsets[i] + 1, widths[i]
-                            ).alias("key"),
-                        )
-                        for i in range(len(widths))
-                    ]
-                )
-            ).alias("b"),
-        ).select(
-            "doc_id", "phash_bits",
-            F.col("b.band").alias("band"), F.col("b.key").alias("key"),
-        )
-
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("pa"), ""),
-                F.split(F.col("pb"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda d: d,
-        )
-    )
-
-    def cand_pairs(bands: DataFrame) -> DataFrame:
-        a, b = bands.alias("a"), bands.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.phash_bits").alias("pa"),
-                F.col("b.phash_bits").alias("pb"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
+    ph = _phash_ints(mm_image_phash(spark, sf_dir))
+    hamming = F.bit_count("xh") + F.bit_count("xl")
 
     truth = (
-        cand_pairs(banded(ph, _TRUTH_WIDTHS, _TRUTH_OFFSETS))
+        _first_band_pairs(ph, _TRUTH_WIDTHS, _TRUTH_OFFSETS)
         .filter(hamming <= PHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
     )
-    pred = cand_pairs(phash_bands(ph)).select(
+    pred = _first_band_pairs(ph, _PROD_WIDTHS, _PROD_OFFSETS).select(
         "doc_a", "doc_b", F.lit(True).alias("is_pred")
     )
     joined = truth.join(pred, ["doc_a", "doc_b"], "full").select(

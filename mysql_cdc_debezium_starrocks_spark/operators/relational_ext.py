@@ -418,3 +418,59 @@ ORACLE["join_skew_salted"] = """
            count(*)::BIGINT AS n_rows
     FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
+
+
+FUZZY_MAX_DIST = 2  # edit-distance threshold for the fuzzy name match
+
+
+def join_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution over part names: distinct-name pairs within
+    Levenshtein distance FUZZY_MAX_DIST, blocked by the name's last word
+    (the category noun) — the dimension-cleanup join a CDC consumer runs
+    when upstream systems spell the same entity differently.
+
+    Scale shape: the classic blocked similarity join — candidate pairs are
+    generated ONLY within a blocking key (never the n^2 cross product), and
+    the edit distance runs on the candidates.  Levenshtein is Spark's
+    built-in JVM expression (codegen'd, no Python); the name table is the
+    DISTINCT dimension projection, so the join input is |distinct names|,
+    not |rows|, and carries per-name row counts forward for impact triage.
+    """
+    p = load(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "blk",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+QUERIES["join_fuzzy_parts"] = join_fuzzy_parts
+ORACLE["join_fuzzy_parts"] = f"""
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts,
+             str_split(p_name, ' ')[-1] AS blk
+      FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""

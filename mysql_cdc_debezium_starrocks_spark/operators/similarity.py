@@ -1748,3 +1748,48 @@ ORACLE["eval_ivf_balance"] = f"""
            ((max(n) * count(*) * 1000000) // sum(n))::BIGINT AS imbalance_ppm
     FROM sizes
 """
+
+
+PRUNE_KEEP_PCT = 25  # diversity pruning: keep the farthest quartile per cell
+
+
+def emb_prune_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-based data pruning: within each k-means cell, keep the
+    PRUNE_KEEP_PCT% of vectors FARTHEST from their centroid (ceil per
+    cell, ties to the lower vec_id) — the SSL-prototype pruning recipe
+    (Sorscher et al. 2022, "Beyond neural scaling laws"): examples closest
+    to their cluster prototype are the most redundant, so a
+    diversity-keeping prune drops them first.  The complement of SemDeDup:
+    that removes near-identical PAIRS, this thins dense regions wholesale.
+
+    Scale shape: rides the session-memoized Lloyd assignment (ONE iterative
+    build per session, the same artifact ann_kmeans_assign/eval gates
+    read); the prune itself is a cell-partitioned window rank — no global
+    sort, WindowGroupLimit-free but cell-bounded — and an integer-exact
+    keep rule ((rk-1)*100 < n_cell*pct), so the kept set is bit-identical
+    cross-engine.
+    """
+    a = ann_kmeans_assign(spark, sf_dir)
+    w = Window.partitionBy("cell").orderBy(
+        F.col("sq_dist_q").desc(), F.col("vec_id").asc()
+    )
+    return (
+        a.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_cell", F.count(F.lit(1)).over(Window.partitionBy("cell")))
+        .filter((F.col("rk") - 1) * 100 < F.col("n_cell") * PRUNE_KEEP_PCT)
+        .select("vec_id", "cell", "sq_dist_q", "rk")
+    )
+
+
+QUERIES["emb_prune_diversity"] = emb_prune_diversity
+
+ORACLE["emb_prune_diversity"] = f"""
+    WITH r AS (
+      SELECT vec_id, cell, sq_dist_q,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY sq_dist_q DESC, vec_id) AS rk,
+             count(*) OVER (PARTITION BY cell) AS n_cell
+      FROM ({_kmeans_oracle()}) base)
+    SELECT vec_id, cell, sq_dist_q, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE (rk - 1) * 100 < n_cell * {PRUNE_KEEP_PCT}
+"""

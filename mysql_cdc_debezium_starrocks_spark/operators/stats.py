@@ -1322,3 +1322,212 @@ def _profile_oracle() -> str:
 
 ORACLE["stats_column_profile"] = _profile_oracle()
 QUERIES["stats_column_profile"] = stats_column_profile
+
+
+BOOT_B = 32  # bootstrap replicas
+
+# Poisson(1) CDF thresholds on the 2^32 portable-hash space: replica weight
+# w = k iff hash < floor(CDF(k) * 2^32) first at k.  Precomputed integer
+# literals so Spark and the oracle share the exact same bucket boundaries
+# (the CDF itself is evaluated once here in Python, never per-row).
+import math as _math
+
+_POIS_MAX_W = 7
+_POIS_CUM = []
+_acc = 0.0
+for _k in range(_POIS_MAX_W):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CUM.append(int(_acc * 2**32))
+
+
+def stats_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the corpus mean document length — the
+    distributed bootstrap (Chamandy et al., Google 2012): resampling n rows
+    WITH replacement per replica is a shuffle per replica, but for large n
+    each row's multiplicity in a replica is ~Poisson(1), so every row
+    independently draws B deterministic Poisson weights from the portable
+    hash family and ONE partial-aggregatable pass produces all B replica
+    sums.  The spread of the B replica means is the sampling-uncertainty
+    estimate a curation report attaches to its quality metrics.
+
+    Exactness: weights are integer CDF-bucket lookups on the seeded hash
+    (bit-identical cross-engine); replica means are integer ppm via
+    truncating division.  Output is B rows — bounded, never data-scale.
+    """
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def weight(b: int):
+        u = phash32(F.col("doc_id"), f"boot{b}")
+        c = F.when(u < _POIS_CUM[0], 0)
+        for k in range(1, _POIS_MAX_W):
+            c = c.when(u < _POIS_CUM[k], k)
+        return c.otherwise(_POIS_MAX_W).cast("long")
+
+    reps = d.select(
+        "n_chars",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("replica"), weight(b).alias("w")
+                    )
+                    for b in range(BOOT_B)
+                ]
+            )
+        ).alias("r"),
+    ).select(F.col("r.replica").alias("replica"), F.col("r.w").alias("w"), "n_chars")
+    return (
+        reps.groupBy("replica")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_chars")).alias("sum_chars"),
+            F.expr("(sum(w * n_chars) * 1000000) div sum(w)")
+            .cast("long")
+            .alias("mean_chars_ppm"),
+        )
+    )
+
+
+def _boot_weight_sql() -> str:
+    u = "(('0x' || substr(md5('boot' || b::VARCHAR || ':' || doc_id::VARCHAR), 1, 8))::BIGINT)"
+    cases = " ".join(
+        f"WHEN {u} < {_POIS_CUM[k]} THEN {k}" for k in range(_POIS_MAX_W)
+    )
+    return f"CASE {cases} ELSE {_POIS_MAX_W} END"
+
+
+ORACLE["stats_bootstrap_means"] = f"""
+    WITH reps AS (
+      SELECT d.n_chars, t.b, CAST({_boot_weight_sql()} AS BIGINT) AS w
+      FROM documents d, LATERAL unnest(generate_series(0, {BOOT_B - 1})) AS t(b))
+    SELECT CAST(b AS INTEGER) AS replica,
+           sum(w)::BIGINT AS n_eff,
+           sum(w * n_chars)::BIGINT AS sum_chars,
+           ((sum(w * n_chars) * 1000000) // sum(w))::BIGINT AS mean_chars_ppm
+    FROM reps GROUP BY b
+"""
+QUERIES["stats_bootstrap_means"] = stats_bootstrap_means
+
+
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (alpha = 1/2): the
+    multilingual-corpus sampling recipe (mC4 / XLM-R's p^alpha
+    renormalization) — low-resource sources are up-weighted by raising
+    each source's token share to alpha < 1 and renormalizing, then the
+    per-source KEEP RATE is scaled so the most up-weighted source samples
+    at 100%.  The companion to ``mix_weights_by_source`` (explicit target
+    shares) when no hand-set mixture exists.
+
+    Exactness: shares are integer ppm; alpha=1/2 is computed as
+    floor(sqrt(share_scaled)) — IEEE sqrt is correctly rounded, so the
+    floored integer is deterministic on any engine; normalizations are
+    truncating integer division.  Scale shape: one token-count groupBy,
+    then arithmetic on the |sources|-row aggregate (two 1-row broadcasts
+    for the normalizing sums).
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(words(F.col("text")))).alias("tokens")
+    )
+    total = toks.agg(F.sum("tokens").alias("total"))
+    t = toks.crossJoin(F.broadcast(total)).select(
+        "source",
+        "tokens",
+        F.expr("(tokens * 1000000) div total").cast("long").alias("share_ppm"),
+        # sqrt(share) in ppm: share = tokens/total, scaled by 1e12 before
+        # the sqrt so the root lands in ppm units
+        F.floor(F.sqrt((F.col("tokens") * F.lit(10**12) / F.col("total")).cast("double")))
+        .cast("long")
+        .alias("root_q"),
+    )
+    norm = t.agg(F.sum("root_q").alias("root_sum"))
+    # up-weighting ratio root/share (~ 1/sqrt(share)); keep-rates scale so
+    # the MOST up-weighted source (the smallest share) samples at 100%
+    ratio = t.crossJoin(F.broadcast(norm)).withColumn(
+        "ratio_q", F.expr("(root_q * 1000000) div share_ppm").cast("long")
+    )
+    rmax = ratio.agg(F.max("ratio_q").alias("ratio_max"))
+    return ratio.crossJoin(F.broadcast(rmax)).select(
+        "source",
+        "tokens",
+        "share_ppm",
+        F.expr("(root_q * 1000000) div root_sum").cast("long")
+        .alias("temp_weight_ppm"),
+        F.expr("(ratio_q * 1000000) div ratio_max").cast("long")
+        .alias("sample_rate_ppm"),
+    )
+
+
+QUERIES["mix_temperature_sampling"] = mix_temperature_sampling
+ORACLE["mix_temperature_sampling"] = f"""
+    WITH d AS (SELECT source, {_W} AS w FROM documents),
+    toks AS (SELECT source, sum(len(w)) AS tokens FROM d GROUP BY source),
+    total AS (SELECT sum(tokens) AS total FROM toks),
+    t AS (
+      SELECT source, tokens,
+             ((tokens * 1000000) // total)::BIGINT AS share_ppm,
+             CAST(floor(sqrt((tokens * 1000000000000 / total)::DOUBLE))
+                  AS BIGINT) AS root_q
+      FROM toks, total)
+    , r AS (
+      SELECT *, (root_q * 1000000) // share_ppm AS ratio_q FROM t)
+    SELECT source, tokens, share_ppm,
+           ((root_q * 1000000) // (SELECT sum(root_q) FROM r))::BIGINT
+             AS temp_weight_ppm,
+           ((ratio_q * 1000000) // (SELECT max(ratio_q) FROM r))::BIGINT
+             AS sample_rate_ppm
+    FROM r
+"""
+
+
+def stats_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution (micro-nats) —
+    the lexical-diversity number a curation dashboard tracks next to the
+    Gini/share mix: template-y or boilerplate-heavy sources collapse to low
+    entropy long before a human reads them.
+
+    Exact integers end-to-end: H = sum_t c_t (ln T - ln c_t) / T with each
+    ln pre-quantized to 1e-6 (the perplexity idiom), so the per-source sum
+    is int64 and the final division truncating.  Scale shape: one
+    (source, term) partial-agg count, one source-level reduce — the same
+    two-shuffle profile as text_tfidf; nothing data-scale crosses the
+    driver.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    terms = d.select("source", F.explode(words(F.col("text"))).alias("term"))
+    qlog = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
+    st = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = st.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_terms")
+    )
+    return (
+        st.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("t").alias("n_tokens"),
+            F.max("n_terms").alias("n_terms"),
+            F.expr(
+                "sum(c * (CAST(round(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT)"
+                " - CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)))"
+                " div max(t)"
+            ).cast("long").alias("entropy_micro_nats"),
+        )
+    )
+
+
+QUERIES["stats_entropy_by_source"] = stats_entropy_by_source
+ORACLE["stats_entropy_by_source"] = f"""
+    WITH d AS (SELECT source, {_W} AS w FROM documents),
+    terms AS (SELECT source, t.term FROM d, LATERAL unnest(w) AS t(term)),
+    st AS (SELECT source, term, count(*) AS c FROM terms GROUP BY source, term),
+    tot AS (SELECT source, sum(c) AS t, count(*) AS n_terms
+            FROM st GROUP BY source)
+    SELECT st.source,
+           max(tot.t)::BIGINT AS n_tokens,
+           max(tot.n_terms)::BIGINT AS n_terms,
+           (sum(st.c * (CAST(round(ln(tot.t::DOUBLE) * 1e6) AS BIGINT)
+                        - CAST(round(ln(st.c::DOUBLE) * 1e6) AS BIGINT)))
+            // max(tot.t))::BIGINT AS entropy_micro_nats
+    FROM st JOIN tot ON st.source = tot.source
+    GROUP BY st.source
+"""

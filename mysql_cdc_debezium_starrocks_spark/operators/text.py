@@ -1406,3 +1406,68 @@ def _funnel_oracle() -> str:
 
 QUERIES["corpus_dedup_funnel"] = corpus_dedup_funnel
 ORACLE["corpus_dedup_funnel"] = _funnel_oracle()
+
+
+BOILER_K = 3  # prefix length (words) profiled for boilerplate
+
+
+def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detector: the most frequent BOILER_K-word
+    document prefix in each source and the share of that source's docs
+    carrying it (integer ppm) — the profiling pass before a
+    strip-the-template cleanup (site headers, license banners, scraper
+    artifacts all surface as high-share shared prefixes).
+
+    Scale shape: map-only prefix extraction (slice of the token array),
+    one partial-agg (source, prefix) count, then a source-partitioned
+    top-1 window over the AGGREGATED counts (|sources x prefixes|, not
+    docs).  Ties break lexicographically so the winner is deterministic.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    pref = (
+        d.select("source", F.concat_ws(" ", F.slice(w, 1, BOILER_K)).alias("prefix"),
+                 F.size(w).alias("nw"))
+        .filter(F.col("nw") >= BOILER_K)
+    )
+    counts = pref.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = pref.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    win = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("prefix").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .join(totals, "source")
+        .select(
+            "source",
+            "prefix",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div n_total").cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+QUERIES["text_boilerplate_prefix"] = text_boilerplate_prefix
+ORACLE["text_boilerplate_prefix"] = f"""
+    WITH d AS (
+      SELECT source, {_W} AS w FROM documents),
+    pref AS (
+      SELECT source, array_to_string(w[1:{BOILER_K}], ' ') AS prefix
+      FROM d WHERE len(w) >= {BOILER_K}),
+    counts AS (
+      SELECT source, prefix, count(*) AS n_docs
+      FROM pref GROUP BY source, prefix),
+    totals AS (SELECT source, count(*) AS n_total FROM pref GROUP BY source),
+    top1 AS (
+      SELECT source, prefix, n_docs FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY n_docs DESC, prefix) AS rk
+        FROM counts) r WHERE rk = 1)
+    SELECT t.source, t.prefix, t.n_docs,
+           ((t.n_docs * 1000000) // tt.n_total)::BIGINT AS share_ppm
+    FROM top1 t JOIN totals tt ON t.source = tt.source
+"""

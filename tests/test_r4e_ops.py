@@ -1,0 +1,191 @@
+"""Round-4 third-wave operators: last-touch attribution, blocked fuzzy
+join, boilerplate-prefix profiling, temperature mixture sampling.
+Cross-engine value parity is tools/parity.py; these assert operator-level
+invariants.
+"""
+
+from .conftest import SF_SMOKE
+
+
+def test_attribution_matches_python_replay(spark):
+    """Every purchase is credited exactly once, to the user's most recent
+    prior click/view — verified against a per-user python replay."""
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.operators.events import (
+        events_attribution,
+    )
+
+    rows = load(spark, SF_SMOKE, "events").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        touch = None
+        for r in evs:
+            if r.event_type == "purchase":
+                expect[touch or "none"] = expect.get(touch or "none", 0) + 1
+            if r.event_type in ("click", "view"):
+                touch = r.event_type
+    got = {
+        r.attributed_touch: r.n_purchases
+        for r in events_attribution(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == sum(
+        1 for r in rows if r.event_type == "purchase"
+    )
+
+
+def test_fuzzy_join_equals_unblocked_within_threshold(spark):
+    """The blocked join finds exactly the same-block near pairs the naive
+    n^2 scan finds, and every emitted pair respects the threshold."""
+    import itertools
+
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.operators.relational_ext import (
+        FUZZY_MAX_DIST,
+        join_fuzzy_parts,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    names = sorted(
+        r.p_name
+        for r in load(spark, SF_SMOKE, "part").select("p_name").distinct().collect()
+    )
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(names, 2)
+        if a.split()[-1] == b.split()[-1] and lev(a, b) <= FUZZY_MAX_DIST
+    }
+    got = {
+        (r.name_a, r.name_b) for r in join_fuzzy_parts(spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+    for r in join_fuzzy_parts(spark, SF_SMOKE).collect():
+        assert r.name_a < r.name_b and r.dist <= FUZZY_MAX_DIST
+        assert r.name_a.split()[-1] == r.name_b.split()[-1]
+
+
+def test_boilerplate_prefix_one_winner_per_source(spark):
+    """One row per source; the winner is that source's modal 3-word prefix
+    (ties lexicographic) with an exact integer share."""
+    from collections import Counter
+
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        BOILER_K,
+        text_boilerplate_prefix,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    per_src = {}
+    for r in docs:
+        toks = r.text.lower().split()
+        if len(toks) >= BOILER_K:
+            per_src.setdefault(r.source, Counter())[
+                " ".join(toks[:BOILER_K])
+            ] += 1
+    got = {r.source: r for r in text_boilerplate_prefix(spark, SF_SMOKE).collect()}
+    assert set(got) == set(per_src)
+    for src, ctr in per_src.items():
+        best = min(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[src]
+        assert (r.prefix, r.n_docs) == best
+        assert r.share_ppm == (r.n_docs * 1_000_000) // sum(ctr.values())
+
+
+def test_temperature_sampling_invariants(spark):
+    """alpha=1/2 reweighting: weights sum to ~1e6, the most up-weighted
+    source samples at exactly 100%, and up-weighting favors small shares."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        mix_temperature_sampling,
+    )
+
+    rows = mix_temperature_sampling(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    wsum = sum(r.temp_weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= wsum <= 1_000_000
+    assert max(r.sample_rate_ppm for r in rows) == 1_000_000
+    assert all(0 < r.sample_rate_ppm <= 1_000_000 for r in rows)
+    # smallest share must hold the max keep-rate; weights flatter than raw
+    smallest = min(rows, key=lambda r: (r.share_ppm, r.source))
+    assert smallest.sample_rate_ppm == 1_000_000
+    for r in rows:
+        if r.share_ppm > smallest.share_ppm:
+            assert r.temp_weight_ppm < 2 * r.share_ppm  # flattened upward shares
+
+
+def test_mix_ingest_matches_python_replay_and_is_idempotent(spark, tmp_path):
+    """Streaming mixture sampler: the kept set must equal an independent
+    python replay of the policy (cumulative ledger -> integer rates ->
+    md5-hash membership), batches replay idempotently, and the ledger
+    equals a direct recount."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.mix_ingest import (
+        RATE_SCALE,
+        TARGET_PPM,
+        ingest_mix_batch,
+        kept_docs,
+        ledger,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    state = str(tmp_path / "mix")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, part in enumerate(parts):
+        ingest_mix_batch(spark, state, part, batch_id=i)
+
+    # python replay of the exact policy
+    def toks(t):
+        return len([w for w in t.lower().split() if w])
+
+    def h32(doc_id):
+        return int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:8], 16)
+
+    rows = docs.collect()
+    by_batch = {i: [r for r in rows if r.doc_id % 3 == i] for i in range(3)}
+    cum = {}
+    expect = set()
+    for i in range(3):
+        for r in by_batch[i]:
+            cum[r.source] = cum.get(r.source, 0) + toks(r.text)
+        total = sum(cum.values())
+        rates = {}
+        for src, tk in cum.items():
+            share = tk * RATE_SCALE // total
+            tgt = TARGET_PPM.get(src, 0)
+            rates[src] = min(RATE_SCALE, tgt * RATE_SCALE // share)
+        for r in by_batch[i]:
+            if h32(r.doc_id) % RATE_SCALE < rates[r.source]:
+                expect.add(r.doc_id)
+
+    got = {r.doc_id for r in kept_docs(spark, state).collect()}
+    assert got == expect and got  # non-empty and exact
+    # kept sources are exactly the targeted ones
+    assert {r.source for r in kept_docs(spark, state).collect()} <= set(
+        TARGET_PPM
+    )
+
+    # ledger equals a direct recount
+    led = {r.source: r.tokens for r in ledger(spark, state).collect()}
+    assert led == cum
+
+    # crash-replay of the middle batch is byte-identical (same kept set)
+    ingest_mix_batch(spark, state, parts[1], batch_id=1)
+    assert {r.doc_id for r in kept_docs(spark, state).collect()} == expect

@@ -30,6 +30,13 @@ REPL = {
     "embeddings": ["vec_id"],
     # customer replicates alongside orders so FK containment keeps resolving
     "customer": ["c_custkey"],
+    # pass-through parents for the FK audit: copied unscaled per replica
+    # set (children scale by factor, the dimension stays fixed — the
+    # realistic shape: fact tables grow, dims don't)
+    "part": [],
+    "supplier": [],
+    "nation": [],
+    "region": [],
 }
 
 # query name -> (callable path, tables it needs replicated)
@@ -93,6 +100,16 @@ CASES = {
     "stats_column_profile": ("operators.stats", ["orders"]),
     "cdc_monitor_profile": ("operators.cdc_queries", ["orders"]),
     "eval_ivf_balance": ("operators.similarity", ["embeddings"]),
+    # round-4 second/third-wave additions (this session)
+    "dq_fk_orphans": ("operators.dq",
+                      ["orders", "customer", "lineitem", "part",
+                       "supplier", "nation", "region"]),
+    "ml_naive_bayes": ("operators.ml", ["documents"]),
+    "emb_prune_diversity": ("operators.similarity", ["embeddings"]),
+    "stats_bootstrap_means": ("operators.stats", ["documents"]),
+    "events_attribution": ("operators.events", ["events"]),
+    "text_boilerplate_prefix": ("operators.text", ["documents"]),
+    "mix_temperature_sampling": ("operators.stats", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
@@ -113,7 +130,7 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
 
     from mysql_cdc_debezium_starrocks_spark.catalog import load
 
-    if os.path.exists(os.path.join(out, "_READY")):
+    if os.path.exists(os.path.join(out, "_READY_v2")):
         return
     shutil.rmtree(out, ignore_errors=True)
     needed = sorted(
@@ -124,7 +141,7 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
         parts = []
         for i in range(factor):
             df = base
-            for c in REPL[t]:
+            for c in REPL.get(t, []):
                 df = df.withColumn(c, F.col(c) + F.lit(i * OFFSET))
             # Content must be disjoint across replicas like the keys are:
             # verbatim text would give every doc (factor - 1) exact copies,
@@ -150,7 +167,7 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
         for p in parts[1:]:
             u = u.unionByName(p)
         u.repartition(32).write.parquet(os.path.join(out, f"{t}.parquet"))
-    open(os.path.join(out, "_READY"), "w").close()
+    open(os.path.join(out, "_READY_v2"), "w").close()
 
 
 def _time(fn, spark, d: str) -> float:
