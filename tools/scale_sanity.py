@@ -110,6 +110,7 @@ CASES = {
     "events_attribution": ("operators.events", ["events"]),
     "text_boilerplate_prefix": ("operators.text", ["documents"]),
     "mix_temperature_sampling": ("operators.stats", ["documents"]),
+    "stats_entropy_by_source": ("operators.stats", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
