@@ -48,11 +48,18 @@ def _fixture_dir() -> str:
 #     byte-strict local gate at sf0.01 AND sf0.001.
 # Net: >=40 first-time names in-window (the verdict's >=40 bar), and every
 # query whose implementation changed or appeared this round is driver-
-# checked.  Second wave (this session) swapped four new operators
-# (dq_fk_orphans, ml_naive_bayes, emb_prune_diversity,
-# stats_bootstrap_means) into (b) and moved four never-checked-but-stable
-# names (ts_anomaly_mad, cdc_diff_window, join_asof, events_retention)
-# just below the fold — both sets are first-time, new code wins priority.  cdc_apply (flagship) stays; window_range_rolling_revenue and
+# checked.  Second/third waves (the continuation session) swapped the
+# eleven newest operators into (b) — dq_fk_orphans, ml_naive_bayes,
+# emb_prune_diversity, stats_bootstrap_means, events_attribution,
+# join_fuzzy_parts, text_boilerplate_prefix, mix_temperature_sampling,
+# stats_entropy_by_source, pack_concat_chunks, events_dau_wau — and moved
+# the same number of never-checked-but-stable names just below the fold;
+# both sets are first-time, new code wins priority.  The session's
+# memoization changes (text_quality/text_decontaminate artifacts, the
+# integer-XOR pHash family) re-verify in-window through corpus_curate /
+# corpus_dedup_funnel / eval_phash_pr / mm_phash_*, whose outputs are
+# exact functions of the changed paths.
+# cdc_apply (flagship) stays; window_range_rolling_revenue and
 # ml_logreg_weights stay solely as their families' required in-window
 # members (test_driver_priority_window).  Every displaced entry holds a
 # green driver row from r02/r03 and keeps byte-strict local-parity
@@ -72,6 +79,7 @@ DRIVER_PRIORITY = (
     "dq_fk_orphans", "ml_naive_bayes", "emb_prune_diversity",
     "stats_bootstrap_means", "events_attribution", "join_fuzzy_parts",
     "text_boilerplate_prefix", "mix_temperature_sampling",
+    "stats_entropy_by_source", "pack_concat_chunks", "events_dau_wau",
     # --- family anchors required in-window (test_driver_priority_window) ---
     "window_range_rolling_revenue", "ml_logreg_weights",
     # --- (c) never-driver-checked tail: TPC-H q12–q22 block ---
@@ -80,18 +88,20 @@ DRIVER_PRIORITY = (
     "q17_small_quantity_revenue", "q18_large_volume_customer",
     "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_supplier",
     "q22_global_sales_opportunity",
-    # --- (c) never-checked family representatives ---
-    "emb_top_eigenvector",
-    "sketch_bloom_semijoin", "sketch_theta_containment",
-    "text_perplexity", "corpus_curate", "dedup_pagerank",
+    # --- (c) never-checked family representatives (corpus_curate also
+    # re-verifies this session's memoized text_quality/decontam paths —
+    # its keep-set is an exact function of both artifacts) ---
+    "sketch_bloom_semijoin",
+    "corpus_curate", "dedup_pagerank",
     "sample_reservoir_per_source",
     # --- beyond the observed 50-row window: the changed-but-covered ANN
     # entry first, then the rest of the never-checked tail, so a wider
     # driver prefix still lands on the highest-value names first ---
     "ts_anomaly_mad", "cdc_diff_window", "join_asof",
     "events_retention", "events_json_props", "events_funnel",
-    "emb_quantize_int8", "sketch_theta_intersect",
-    "ann_bruteforce_topk",
+    "emb_quantize_int8", "emb_top_eigenvector",
+    "sketch_theta_intersect", "sketch_theta_containment",
+    "text_perplexity", "ann_bruteforce_topk",
     "events_rollup_cascade", "events_transitions", "events_top_paths",
     "events_conversion_within_hour", "events_weekday_profile",
     "emb_norm_stats", "emb_centroid_by_label",

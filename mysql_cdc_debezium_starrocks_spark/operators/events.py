@@ -545,3 +545,58 @@ ORACLE["events_attribution"] = """
     FROM t WHERE event_type = 'purchase'
     GROUP BY coalesce(touch, 'none')
 """
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day active users, and the DAU/WAU
+    stickiness ratio (integer ppm) per day — the engagement dashboard
+    rollup.  COUNT(DISTINCT) over a sliding window has no partial-agg
+    form, so the plan reduces to the (day, user) DISTINCT pair table
+    first (one partial-agg'd shuffle, the data-scale stage), then
+    fans each pair out to the <=7 trailing days it supports — a
+    |pairs| x 7 map-side explode aggregated per day, never a per-day
+    re-scan of the corpus.
+    """
+    e = load(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    fan = du.select(
+        F.explode(
+            F.array(*[F.date_add(F.col("day"), i) for i in range(7)])
+        ).alias("day"),
+        "user_id",
+    )
+    # only days that actually occur report a row (calendar join below)
+    wau = (
+        fan.distinct()
+        .join(dau.select("day"), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").cast("long").alias("stickiness_ppm"),
+        )
+    )
+
+
+QUERIES["events_dau_wau"] = events_dau_wau
+ORACLE["events_dau_wau"] = """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    fan AS (
+      SELECT DISTINCT day + to_days(i::INTEGER) AS day, user_id
+      FROM du, LATERAL unnest(generate_series(0, 6)) AS t(i)),
+    wau AS (
+      SELECT f.day, count(*) AS wau
+      FROM fan f JOIN (SELECT day FROM dau) d ON f.day = d.day
+      GROUP BY f.day)
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+           (dau.dau * 1000000 // wau.wau)::BIGINT AS stickiness_ppm
+    FROM dau JOIN wau ON dau.day = wau.day
+"""

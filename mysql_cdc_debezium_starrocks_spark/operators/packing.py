@@ -23,6 +23,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_spread
 from ..functions import phash32, words
@@ -87,3 +88,81 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"pack_sequences": pack_sequences}
 ORACLE: dict[str, str] = {}  # stateful greedy loop — rows-only check
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing — the packing most LLM pipelines
+    actually run (GPT/T5 style): within each source stream, documents
+    concatenate in doc_id order and the token stream splits into
+    PACK_BUDGET-token bins; each doc lands at a deterministic (bin, offset).
+    Unlike first-fit-decreasing (``pack_sequences``, which needs a stateful
+    greedy loop), this plan is a pure running-sum window — fully
+    SQL-expressible, so it is exactly oracle-checked end-to-end.
+
+    Scale shape: one source-partitioned ordered window (running token sum),
+    map-side arithmetic for bin/offset — no driver state, no iterative
+    loop; the window shuffle is the only wide stage.  Output is per-bin
+    fill stats (docs, tokens, spill flag for docs straddling a boundary)
+    — |bins| rows, corpus-bounded but compact.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    placed = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr(f"off div {PACK_BUDGET}").cast("long").alias("bin"),
+        (F.col("off") % PACK_BUDGET).alias("offset_in_bin"),
+        # doc crosses a bin boundary -> it is split across sequences
+        (
+            F.expr(f"off div {PACK_BUDGET}")
+            != F.expr(f"(off + n_tokens - 1) div {PACK_BUDGET}")
+        ).alias("straddles"),
+    )
+    return (
+        placed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_started"),
+            F.sum(F.when(F.col("straddles"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddling"),
+        )
+    )
+
+
+QUERIES["pack_concat_chunks"] = pack_concat_chunks
+ORACLE["pack_concat_chunks"] = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(list_filter(str_split_regex(lower(text), '\\s+'),
+                             x -> len(x) > 0)) AS n_tokens
+      FROM documents),
+    t AS (SELECT * FROM d WHERE n_tokens > 0),
+    placed AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM t)
+    SELECT source,
+           (off // {PACK_BUDGET})::BIGINT AS bin,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens_started,
+           sum(CASE WHEN off // {PACK_BUDGET}
+                    <> (off + n_tokens - 1) // {PACK_BUDGET}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_straddling
+    FROM placed
+    GROUP BY source, off // {PACK_BUDGET}
+"""

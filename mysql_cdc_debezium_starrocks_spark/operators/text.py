@@ -51,7 +51,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The score mirrors common pretraining-corpus filters (Gopher-style rules):
     penalize too-short docs, low uniqueness, and stopword-free word soup.
+
+    Session-memoized ("text_quality" — the shared_dup_pairs pattern): the
+    per-doc quality frame is the fan-in of the curation family
+    (corpus_curate, corpus_dedup_funnel, CorpusPipeline) and each consumer
+    re-deriving it re-scans the corpus; the artifact is one narrow row per
+    doc, exactly what a production funnel materializes after scoring.
     """
+    from .dedup import memoized_artifact
+
+    return memoized_artifact(
+        spark, sf_dir, "text_quality", lambda: _text_quality_build(spark, sf_dir)
+    )
+
+
+def _text_quality_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     w = words(F.col("text"))
     n_words = F.size(w)
@@ -336,7 +350,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-agg'd per-doc count.  This is the standard benchmark-
     contamination sweep (n-gram overlap against eval suites) at corpus
     scale: eval grams ship to every executor, training corpus streams by.
+
+    Session-memoized ("decontam_hits"): the hit list is tiny (contaminated
+    docs only) and read by corpus_curate, corpus_dedup_funnel, and the
+    CorpusPipeline facade — one gram sweep per session serves all three.
     """
+    from .dedup import memoized_artifact
+
+    return memoized_artifact(
+        spark, sf_dir, "decontam_hits",
+        lambda: _text_decontaminate_build(spark, sf_dir),
+    )
+
+
+def _text_decontaminate_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_spread(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",

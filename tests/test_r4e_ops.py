@@ -189,3 +189,68 @@ def test_mix_ingest_matches_python_replay_and_is_idempotent(spark, tmp_path):
     # crash-replay of the middle batch is byte-identical (same kept set)
     ingest_mix_batch(spark, state, parts[1], batch_id=1)
     assert {r.doc_id for r in kept_docs(spark, state).collect()} == expect
+
+
+def test_pack_concat_chunks_conserves_tokens_and_bins(spark):
+    """Concat-then-chunk packing: token totals are conserved per source,
+    bins number contiguously from 0, and straddle counts are sane."""
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.operators.packing import (
+        PACK_BUDGET,
+        pack_concat_chunks,
+    )
+
+    rows = pack_concat_chunks(spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    want = {}
+    for r in docs:
+        n = len([w for w in r.text.lower().split() if w])
+        if n:
+            want[r.source] = want.get(r.source, 0) + n
+    got_tokens = {}
+    bins = {}
+    for r in rows:
+        got_tokens[r.source] = got_tokens.get(r.source, 0) + r.n_tokens_started
+        bins.setdefault(r.source, set()).add(r.bin)
+        assert 0 <= r.n_straddling <= r.n_docs
+    assert got_tokens == want
+    for src, bs in bins.items():
+        # every bin that STARTS a doc numbers within the token span;
+        # bin 0 always starts docs
+        assert 0 in bs
+        assert max(bs) <= want[src] // PACK_BUDGET
+
+
+def test_dau_wau_python_replay(spark):
+    """DAU/WAU equals a python replay over (day, user) pairs; stickiness
+    is bounded by 1."""
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.operators.events import (
+        events_dau_wau,
+    )
+
+    pairs = {
+        (r.ts.date(), r.user_id)
+        for r in load(spark, SF_SMOKE, "events").collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    import datetime
+
+    expect = {}
+    for d in days:
+        dau = len({u for dd, u in pairs if dd == d})
+        wau = len(
+            {
+                u
+                for dd, u in pairs
+                if d - datetime.timedelta(days=6) <= dd <= d
+            }
+        )
+        expect[str(d)] = (dau, wau)
+    got = {
+        r.day: (r.dau, r.wau) for r in events_dau_wau(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    for r in events_dau_wau(spark, SF_SMOKE).collect():
+        assert r.dau <= r.wau and r.stickiness_ppm <= 1_000_000
+        assert r.stickiness_ppm == r.dau * 1_000_000 // r.wau

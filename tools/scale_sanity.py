@@ -111,6 +111,8 @@ CASES = {
     "text_boilerplate_prefix": ("operators.text", ["documents"]),
     "mix_temperature_sampling": ("operators.stats", ["documents"]),
     "stats_entropy_by_source": ("operators.stats", ["documents"]),
+    "pack_concat_chunks": ("operators.packing", ["documents"]),
+    "events_dau_wau": ("operators.events", ["events"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
