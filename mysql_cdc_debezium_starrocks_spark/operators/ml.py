@@ -297,21 +297,23 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlog = lambda c: F.round(F.log(c.cast("double")) * NB_QS).cast("long")
 
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    lt = terms.groupBy("lang", "term").agg(
-        qlog(F.count(F.lit(1)) + 1).alias("qc")
-    )
-    # per-lang constants: token total T_l, corpus vocab size V (1-row,
-    # broadcast), doc-count prior
+    # ONE (lang, term) count pass feeds everything model-side: the smoothed
+    # log-counts, the per-lang token totals (sum of c — no second corpus
+    # explode), and the vocab size (distinct terms of the count table, a
+    # vocab-scale aggregate).  The corpus token stream is scanned twice
+    # total (tf + ltc); Catalyst cannot share diverging explode subplans.
     from pyspark.sql.window import Window
 
+    ltc = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    lt = ltc.select("lang", "term", qlog(F.col("c") + 1).alias("qc"))
     tl = (
-        terms.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("t_l"))
+        ltc.groupBy("lang")
+        .agg(F.sum("c").alias("t_l"))
         .crossJoin(
             F.broadcast(
-                terms.agg(
-                    F.count_distinct("term").alias("vsz")
-                )
+                ltc.select("term")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("vsz"))
             )
         )
     )
