@@ -190,6 +190,35 @@ HEADLINE = [
         "(doc, bucket) groupBy — at most dim rows per doc through the "
         "shuffle — then a map-side dense fill to the fixed-width vector.",
     ),
+    (
+        "mm_phash_dupes",
+        "Image near-dup pairs: the 64-bit pHash lives as two int32 halves; "
+        "banded blocking keys are integer shifts, candidate pairs emit "
+        "EXACTLY once at their first shared band (an XOR-mask filter — no "
+        "dropDuplicates shuffle), and the Hamming verify is "
+        "bit_count(xor), one codegen'd instruction pair.",
+    ),
+    (
+        "stats_bootstrap_means",
+        "Poisson bootstrap: replica-index explode then ONE md5 per "
+        "(row, replica) bucket-looked-up against literal CDF thresholds — "
+        "all B=32 resamples reduce in a single map-side-combinable agg; "
+        "the corpus is never shuffled.",
+    ),
+    (
+        "dq_fk_orphans",
+        "FK referential audit: relationships sharing a child table chain "
+        "their parent left-joins onto ONE scan (parents broadcast); the "
+        "multi-count-distinct plans as a single Expand; the result is a "
+        "union of 1-row aggregates inline-exploded per relationship.",
+    ),
+    (
+        "pack_concat_chunks",
+        "Concat-then-chunk packing: one source-partitioned running-sum "
+        "window places every doc at a deterministic (bin, offset); bin "
+        "arithmetic is map-side and the fill report is a partial-agg "
+        "groupBy — no stateful loop, no driver state.",
+    ),
 ]
 
 
