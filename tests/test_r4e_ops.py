@@ -254,3 +254,58 @@ def test_dau_wau_python_replay(spark):
     for r in events_dau_wau(spark, SF_SMOKE).collect():
         assert r.dau <= r.wau and r.stickiness_ppm <= 1_000_000
         assert r.stickiness_ppm == r.dau * 1_000_000 // r.wau
+
+
+def test_mix_ingest_streaming_path(spark, tmp_path):
+    """The foreachBatch wiring: a 2-file json document stream drained with
+    maxFilesPerTrigger=1 must leave the same state as direct batch calls
+    with the same split."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.mix_ingest import (
+        ingest_mix_batch,
+        kept_docs,
+        start_mix_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(200)
+        .collect()
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    halves = [docs[:100], docs[100:]]
+    for i, half in enumerate(halves):
+        with open(f"{src}/part{i}.json", "w") as f:
+            for r in half:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "source": r.source, "text": r.text}
+                    )
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    state = str(tmp_path / "mix_stream")
+    q = start_mix_ingest(
+        spark, stream, state, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    ref_state = str(tmp_path / "mix_ref")
+    for i, half in enumerate(halves):
+        df = spark.createDataFrame(half, "doc_id long, source string, text string")
+        ingest_mix_batch(spark, ref_state, df, batch_id=i)
+
+    got = {r.doc_id for r in kept_docs(spark, state).collect()}
+    want = {r.doc_id for r in kept_docs(spark, ref_state).collect()}
+    assert got == want and got
