@@ -80,9 +80,15 @@ def ingest_mix_batch(
             )
             .withColumn(
                 "rate_ppm",
-                F.least(
-                    F.lit(RATE_SCALE).cast("long"),
-                    F.expr(f"(tgt * {RATE_SCALE}) div share_ppm").cast("long"),
+                # a source whose cumulative token count is still zero (only
+                # empty docs seen) has no observed share to sample against:
+                # pass it whole rather than NULL-dropping its rows
+                F.when(F.col("share_ppm") == 0, F.lit(RATE_SCALE).cast("long"))
+                .otherwise(
+                    F.least(
+                        F.lit(RATE_SCALE).cast("long"),
+                        F.expr(f"(tgt * {RATE_SCALE}) div share_ppm").cast("long"),
+                    )
                 ),
             )
             .select("source", "share_ppm", "rate_ppm")

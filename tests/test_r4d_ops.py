@@ -113,3 +113,47 @@ def test_bootstrap_replicas_center_on_corpus_mean(spark):
     assert means[0] <= true_mean <= means[-1]
     # spread sanity: bootstrap sd ~ sd/sqrt(n), so the band is tight
     assert means[-1] - means[0] < true_mean  # loose upper bound
+
+
+def test_phash_band_int_machinery_equals_string_semantics(spark):
+    """Property lock: the integer band keys / band masks / bit_count
+    Hamming must agree with the plain string-substring formulation over
+    random 64-bit patterns — including the straddling truth bands."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.operators.multimodal import (
+        _TRUTH_OFFSETS,
+        _TRUTH_WIDTHS,
+        _band_key_col,
+        _band_masks,
+        _phash_ints,
+    )
+
+    rng = random.Random(42)
+    bits = ["".join(rng.choice("01") for _ in range(64)) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bits)], "doc_id long, phash_bits string"
+    )
+    ints = _phash_ints(df)
+    keys = ints.select(
+        "doc_id",
+        *[
+            _band_key_col(_TRUTH_OFFSETS[j], _TRUTH_WIDTHS[j]).alias(f"k{j}")
+            for j in range(len(_TRUTH_WIDTHS))
+        ],
+        (F.bit_count("hi") + F.bit_count("lo")).alias("pop"),
+    ).collect()
+    for r in keys:
+        s = bits[r.doc_id]
+        for j in range(len(_TRUTH_WIDTHS)):
+            off, w = _TRUTH_OFFSETS[j], _TRUTH_WIDTHS[j]
+            assert getattr(r, f"k{j}") == int(s[off : off + w], 2), (j, s)
+        assert r.pop == s.count("1")
+    # masks select exactly their band's bits
+    for j in range(len(_TRUTH_WIDTHS)):
+        hi, lo = _band_masks(_TRUTH_OFFSETS[j], _TRUTH_WIDTHS[j])
+        m = format(hi, "032b") + format(lo, "032b")
+        off, w = _TRUTH_OFFSETS[j], _TRUTH_WIDTHS[j]
+        assert m == "0" * off + "1" * w + "0" * (64 - off - w)
