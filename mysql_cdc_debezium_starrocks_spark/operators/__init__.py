@@ -80,10 +80,13 @@ DRIVER_PRIORITY = (
     "stats_bootstrap_means", "events_attribution", "join_fuzzy_parts",
     "text_boilerplate_prefix", "mix_temperature_sampling",
     "stats_entropy_by_source", "pack_concat_chunks", "events_dau_wau",
+    "eval_mix_convergence", "eval_pack_efficiency",
     # --- family anchors required in-window (test_driver_priority_window) ---
     "window_range_rolling_revenue", "ml_logreg_weights",
-    # --- (c) never-driver-checked tail: TPC-H q12–q22 block ---
-    "q12_late_shipments", "q13_order_distribution", "q14_promo_revenue",
+    # --- (c) never-driver-checked tail: TPC-H q14–q22 block (q12/q13 sit
+    # just below the fold — plain SQL translations, lowest-risk code in
+    # the repo, displaced by the two new acceptance gates) ---
+    "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_part_count",
     "q17_small_quantity_revenue", "q18_large_volume_customer",
     "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_supplier",
@@ -97,6 +100,7 @@ DRIVER_PRIORITY = (
     # --- beyond the observed 50-row window: the changed-but-covered ANN
     # entry first, then the rest of the never-checked tail, so a wider
     # driver prefix still lands on the highest-value names first ---
+    "q12_late_shipments", "q13_order_distribution",
     "ts_anomaly_mad", "cdc_diff_window", "join_asof",
     "events_retention", "events_json_props", "events_funnel",
     "emb_quantize_int8", "emb_top_eigenvector",

@@ -166,3 +166,100 @@ ORACLE["pack_concat_chunks"] = f"""
     FROM placed
     GROUP BY source, off // {PACK_BUDGET}
 """
+
+
+def eval_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for the packing policy: per source, how many docs
+    straddle a PACK_BUDGET boundary under concat-then-chunk, and how many
+    tokens the alternative TRUNCATE-at-boundary policy would have thrown
+    away — the decision metric between "split documents across sequences"
+    (keeps every token, costs attention-mask plumbing) and "truncate at
+    the boundary" (simpler, loses the overhang).  Concat packing itself
+    wastes nothing by construction (bins fill edge to edge), so overhang
+    loss IS the policy delta.
+
+    Scale shape: the same single running-sum window as
+    ``pack_concat_chunks``; loss arithmetic is map-side; the report is
+    |sources| rows.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    placed = toks.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
+    ).select(
+        "source",
+        "n_tokens",
+        (
+            F.expr(f"off div {PACK_BUDGET}")
+            != F.expr(f"(off + n_tokens - 1) div {PACK_BUDGET}")
+        ).alias("straddles"),
+        # truncate policy keeps only the tokens up to the first boundary
+        (F.col("n_tokens") - (F.lit(PACK_BUDGET) - F.col("off") % PACK_BUDGET))
+        .alias("overhang"),
+    )
+    return (
+        placed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("straddles"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddling"),
+            F.sum(F.when(F.col("straddles"), F.col("overhang")).otherwise(0))
+            .cast("long")
+            .alias("tokens_lost_if_truncate"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_straddling",
+            F.expr("n_straddling * 1000000 div n_docs").cast("long")
+            .alias("straddle_ppm"),
+            "tokens_lost_if_truncate",
+            F.expr("tokens_lost_if_truncate * 1000000 div n_tokens")
+            .cast("long")
+            .alias("loss_ppm"),
+        )
+    )
+
+
+QUERIES["eval_pack_efficiency"] = eval_pack_efficiency
+ORACLE["eval_pack_efficiency"] = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(list_filter(str_split_regex(lower(text), '\\s+'),
+                             x -> len(x) > 0)) AS n_tokens
+      FROM documents),
+    t AS (SELECT * FROM d WHERE n_tokens > 0),
+    placed AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM t),
+    marked AS (
+      SELECT source, n_tokens,
+             (off // {PACK_BUDGET})
+               <> ((off + n_tokens - 1) // {PACK_BUDGET}) AS straddles,
+             n_tokens - ({PACK_BUDGET} - off % {PACK_BUDGET}) AS overhang
+      FROM placed),
+    agg AS (
+      SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+             sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS n_straddling,
+             sum(CASE WHEN straddles THEN overhang ELSE 0 END)
+               AS tokens_lost_if_truncate
+      FROM marked GROUP BY source)
+    SELECT source, n_docs, n_tokens::BIGINT AS n_tokens,
+           n_straddling::BIGINT AS n_straddling,
+           (n_straddling * 1000000 // n_docs)::BIGINT AS straddle_ppm,
+           tokens_lost_if_truncate::BIGINT AS tokens_lost_if_truncate,
+           (tokens_lost_if_truncate * 1000000 // n_tokens)::BIGINT AS loss_ppm
+    FROM agg
+"""

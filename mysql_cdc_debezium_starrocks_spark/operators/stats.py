@@ -1548,3 +1548,78 @@ ORACLE["stats_entropy_by_source"] = f"""
     FROM st JOIN tot ON st.source = tot.source
     GROUP BY st.source
 """
+
+
+def eval_mix_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance gate for the mixture sampler: the REALIZED token shares
+    of the materialized sample (``mix_sample_apply``) against the published
+    targets, in integer ppm — the number that says whether the rate
+    formula + hash filter actually delivered the mixture the plan promised
+    (deviation comes from doc-level sampling granularity).  The mix twin
+    of ``eval_ann_recall``/``eval_minhash_pr``: every sampling family
+    ships with the gate that grades it.
+
+    Scale shape: the kept set joins doc token counts (one partial-agg'd
+    join keyed on doc_id), reduces to |targeted sources| rows; the share
+    arithmetic is exact integer ppm on that aggregate.
+    """
+    kept = mix_sample_apply(spark, sf_dir)
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words(F.col("text"))).alias("tk")
+    )
+    kt = (
+        kept.join(d, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("tk").alias("kept_tokens"))
+    )
+    tot = kt.agg(F.sum("kept_tokens").alias("total"))
+    target = F.lit(0)
+    for src, share in MIX_TARGET_SHARE.items():
+        target = F.when(
+            F.col("source") == src, F.lit(round(share * 1_000_000))
+        ).otherwise(target)
+    out = kt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "kept_tokens",
+        target.cast("long").alias("target_ppm"),
+        F.expr("kept_tokens * 1000000 div total").cast("long")
+        .alias("realized_ppm"),
+    )
+    return out.withColumn(
+        "abs_dev_ppm",
+        F.abs(F.col("realized_ppm") - F.col("target_ppm")).cast("long"),
+    )
+
+
+_MIX_TARGET_PPM_CASE = (
+    "CASE source "
+    + "".join(
+        f"WHEN '{s}' THEN {round(sh * 1_000_000)} "
+        for s, sh in MIX_TARGET_SHARE.items()
+    )
+    + "ELSE 0 END"
+)
+
+ORACLE["eval_mix_convergence"] = f"""
+    WITH t AS (
+      SELECT source, sum(len({_W})) AS tokens FROM documents GROUP BY source),
+    tot0 AS (SELECT sum(tokens) AS total FROM t),
+    r AS (
+      SELECT source,
+             least(1.0, ({_MIX_CASE}) / (tokens::DOUBLE / total)) AS rate
+      FROM t, tot0),
+    kept AS (
+      SELECT d.doc_id, d.source, len({WORDS_SQL.format(expr="d.text")}) AS tk
+      FROM documents d JOIN r USING (source)
+      WHERE ({phash32_sql("d.doc_id::VARCHAR", "mix")} % 1000000)
+            / 1000000.0 < r.rate),
+    kt AS (SELECT source, sum(tk) AS kept_tokens FROM kept GROUP BY source),
+    tot AS (SELECT sum(kept_tokens) AS total FROM kt)
+    SELECT source, kept_tokens::BIGINT AS kept_tokens,
+           CAST({_MIX_TARGET_PPM_CASE} AS BIGINT) AS target_ppm,
+           (kept_tokens * 1000000 // total)::BIGINT AS realized_ppm,
+           abs(kept_tokens * 1000000 // total
+               - ({_MIX_TARGET_PPM_CASE}))::BIGINT AS abs_dev_ppm
+    FROM kt, tot
+"""
+QUERIES["eval_mix_convergence"] = eval_mix_convergence

@@ -309,3 +309,39 @@ def test_mix_ingest_streaming_path(spark, tmp_path):
     got = {r.doc_id for r in kept_docs(spark, state).collect()}
     want = {r.doc_id for r in kept_docs(spark, ref_state).collect()}
     assert got == want and got
+
+
+def test_eval_mix_convergence_shares_and_targets(spark):
+    """Realized shares sum to ~1e6 over the targeted sources, targets match
+    the published policy, and the deviation column is exact."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        MIX_TARGET_SHARE,
+        eval_mix_convergence,
+    )
+
+    rows = eval_mix_convergence(spark, SF_SMOKE).collect()
+    assert {r.source for r in rows} == set(MIX_TARGET_SHARE)
+    s = sum(r.realized_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
+    for r in rows:
+        assert r.target_ppm == round(MIX_TARGET_SHARE[r.source] * 1_000_000)
+        assert r.abs_dev_ppm == abs(r.realized_ppm - r.target_ppm)
+
+
+def test_eval_pack_efficiency_consistent_with_packing(spark):
+    """The gate's straddle counts equal the packer's, and truncate loss is
+    strictly less than the token total."""
+    from mysql_cdc_debezium_starrocks_spark.operators.packing import (
+        eval_pack_efficiency,
+        pack_concat_chunks,
+    )
+
+    gate = {r.source: r for r in eval_pack_efficiency(spark, SF_SMOKE).collect()}
+    packs = pack_concat_chunks(spark, SF_SMOKE).collect()
+    straddle = {}
+    for r in packs:
+        straddle[r.source] = straddle.get(r.source, 0) + r.n_straddling
+    for src, r in gate.items():
+        assert r.n_straddling == straddle.get(src, 0)
+        assert 0 <= r.tokens_lost_if_truncate < r.n_tokens
+        assert r.loss_ppm == r.tokens_lost_if_truncate * 1_000_000 // r.n_tokens
