@@ -113,6 +113,8 @@ CASES = {
     "stats_entropy_by_source": ("operators.stats", ["documents"]),
     "pack_concat_chunks": ("operators.packing", ["documents"]),
     "events_dau_wau": ("operators.events", ["events"]),
+    "eval_mix_convergence": ("operators.stats", ["documents"]),
+    "eval_pack_efficiency": ("operators.packing", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
