@@ -1459,9 +1459,14 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = t.agg(F.sum("root_q").alias("root_sum"))
     # up-weighting ratio root/share (~ 1/sqrt(share)); keep-rates scale so
-    # the MOST up-weighted source (the smallest share) samples at 100%
+    # the MOST up-weighted source (the smallest share) samples at 100%.
+    # greatest(share_ppm, 1): a source whose share truncates to 0 ppm is
+    # exactly the lowest-resource source the recipe up-weights hardest —
+    # div 0 would NULL its rate (and break the 100%-max invariant for
+    # everyone else); clamping to 1 ppm keeps it the ratio max instead
     ratio = t.crossJoin(F.broadcast(norm)).withColumn(
-        "ratio_q", F.expr("(root_q * 1000000) div share_ppm").cast("long")
+        "ratio_q",
+        F.expr("(root_q * 1000000) div greatest(share_ppm, 1)").cast("long"),
     )
     rmax = ratio.agg(F.max("ratio_q").alias("ratio_max"))
     return ratio.crossJoin(F.broadcast(rmax)).select(
@@ -1487,7 +1492,7 @@ ORACLE["mix_temperature_sampling"] = f"""
                   AS BIGINT) AS root_q
       FROM toks, total)
     , r AS (
-      SELECT *, (root_q * 1000000) // share_ppm AS ratio_q FROM t)
+      SELECT *, (root_q * 1000000) // greatest(share_ppm, 1) AS ratio_q FROM t)
     SELECT source, tokens, share_ppm,
            ((root_q * 1000000) // (SELECT sum(root_q) FROM r))::BIGINT
              AS temp_weight_ppm,

@@ -8,8 +8,10 @@ One definition instead of a per-module copy: a future layout change
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 
 
 def numbered_ids(
@@ -39,3 +41,100 @@ def numbered_ids(
             or os.path.exists(os.path.join(root, d, require_marker))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim contribution folding: the generic retention hook for batch-keyed
+# stores whose rows need no re-aggregation (or a schema-preserving one).
+# Mirrors agg_mv.compact_agg_mv's committed-baseline scheme so every
+# maintainer inherits the same crash-safety argument:
+#   <root>/batch=<id>/...            live contribution dirs
+#   <root>/baseline/v=<k>/data/...   folded rows
+#   <root>/baseline/v=<k>/_FOLDED    JSON manifest of absorbed batch ids
+#   <root>/baseline/v=<k>/_COMMITTED marker written LAST — readers only
+#                                    trust marked baselines, so a crash
+#                                    anywhere mid-fold is invisible
+# ---------------------------------------------------------------------------
+
+_FOLDED = "_FOLDED"
+_COMMITTED = "_COMMITTED"
+_BASELINE = "baseline"
+
+
+def committed_fold(root: str) -> tuple[str, set[int]] | None:
+    """Newest committed baseline under ``root``: (data path, folded ids)."""
+    broot = os.path.join(root, _BASELINE)
+    ks = numbered_ids(broot, prefix="v", require_marker=_COMMITTED)
+    if not ks:
+        return None
+    d = os.path.join(broot, f"v={ks[-1]}")
+    with open(os.path.join(d, _FOLDED)) as f:
+        return os.path.join(d, "data"), set(json.load(f))
+
+
+def read_fold_paths(root: str, before: int | None = None) -> list[str]:
+    """Parquet paths covering the store exactly once: the committed
+    baseline (if any) plus live batch dirs, optionally only ids strictly
+    below ``before`` (the crash-replay read: a replaying batch must not see
+    its own or later contributions).
+
+    A folded id >= ``before`` is impossible in a correct deployment —
+    folding keeps the newest ``keep_last >= 1`` dirs live and only the
+    newest batch can replay — so it raises instead of silently serving a
+    store that double-counts the replaying batch.
+    """
+    base = committed_fold(root)
+    folded = base[1] if base else set()
+    ids = [i for i in numbered_ids(root) if i not in folded]
+    if before is not None:
+        if folded and max(folded) >= before:
+            raise RuntimeError(
+                f"{root}: baseline folded batch ids up to {max(folded)} but "
+                f"batch {before} is replaying — compaction ran ahead of the "
+                f"checkpoint commit horizon (keep_last too small?)"
+            )
+        ids = [i for i in ids if i < before]
+    paths = [os.path.join(root, f"batch={i}") for i in ids]
+    if base:
+        paths.append(base[0])
+    return paths
+
+
+def fold_verbatim(spark, root: str, keep_last: int = 2, agg=None) -> None:
+    """Fold all but the newest ``keep_last`` contribution dirs (plus the
+    old baseline) into a new committed baseline, then GC what it absorbed.
+
+    ``agg`` (optional) is a schema-preserving DataFrame reducer applied to
+    the union before writing (e.g. re-summing a token ledger); default is a
+    verbatim row copy.  ``keep_last`` must stay >= 1: only the newest batch
+    can crash-replay, and its re-read excludes folded ids, so the dirs a
+    replay may touch must never be folded.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (replay safety)")
+    if not os.path.isdir(root):
+        return
+    base = committed_fold(root)
+    folded = base[1] if base else set()
+    live = [i for i in numbered_ids(root) if i not in folded]
+    fold = live[:-keep_last]
+    if not fold:
+        return
+    parts = [os.path.join(root, f"batch={i}") for i in fold]
+    if base:
+        parts.append(base[0])
+    merged = spark.read.parquet(*parts)
+    if agg is not None:
+        merged = agg(merged)
+    broot = os.path.join(root, _BASELINE)
+    ks = numbered_ids(broot, prefix="v")  # uncommitted leftovers count too:
+    new_dir = os.path.join(broot, f"v={(ks[-1] + 1) if ks else 0}")  # no reuse
+    merged.write.mode("overwrite").parquet(os.path.join(new_dir, "data"))
+    with open(os.path.join(new_dir, _FOLDED), "w") as f:
+        json.dump(sorted(folded | set(fold)), f)
+    with open(os.path.join(new_dir, _COMMITTED), "w") as f:
+        f.write("")  # marker LAST
+    for p in parts[: len(fold)]:
+        shutil.rmtree(p, ignore_errors=True)
+    for k in ks:
+        shutil.rmtree(os.path.join(broot, f"v={k}"), ignore_errors=True)

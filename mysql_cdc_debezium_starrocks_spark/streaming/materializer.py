@@ -63,13 +63,27 @@ class CdcLoadConfig:
     buckets: int = 4             # PK hash buckets (reference: BUCKETS 4)
     drift_dir: str | None = None  # enable schema-drift probe (schema_drift.py)
     # Retention: sweep delete tombstones every N streaming batches (None =
-    # manual gc_tombstones only).  The auto-sweep's horizon is the max
-    # sequence of a DURABLY COMMITTED batch (tracked in _gc_horizon.json),
-    # so a replay of the in-flight batch can never meet a swept tombstone.
-    # Requires a monotone sequence source (binlog position / Kafka offset —
-    # both are); the analog of StarRocks' periodic PK-table compaction
-    # discarding delete markers (docs/ARCHITECTURE.md:120-129).
+    # manual gc_tombstones only).  The auto-sweep's horizon is a CONTIGUOUS
+    # low-watermark over durably committed batches' (min_seq, max_seq)
+    # spans (tracked in _gc_horizon.json): a tombstone is swept only once
+    # EVERY sequence below it has committed, so neither a replay of the
+    # in-flight batch nor out-of-order micro-batch delivery (Spark's file
+    # source breaks mtime ties arbitrarily) can meet a swept tombstone.
+    # The analog of StarRocks' PK-table compaction discarding delete
+    # markers only past the load-job offset horizon
+    # (docs/ARCHITECTURE.md:120-129, 258-272).
     gc_every_batches: int | None = None
+    # Sequence-numbering gaps (binlog positions, Kafka offsets under
+    # transactions/compaction) pin the contiguous watermark forever under
+    # the default (None = never cross a gap: strictly safe, right for
+    # dense sequences).  For gappy sources, set this to N to treat a gap as
+    # a numbering hole — and sweep past it — once it has stayed unfilled
+    # across N committed batches.  N bounds the delivery-reorder window you
+    # are willing to bet on (file sources reorder only same-mtime ties, so
+    # a few batches of grace covers them); an event arriving later than the
+    # grace window can meet a swept tombstone, exactly like any LSM engine
+    # whose compaction horizon an out-of-SLA producer overruns.
+    gc_reorder_grace_batches: int | None = None
 
 
 _BUCKET_COL = "_bucket"
@@ -168,9 +182,10 @@ def merge_batch(
 ) -> dict | None:
     """Keyed last-write-wins merge of one micro-batch into the state table.
 
-    Returns ``{"rows": n, "max_seq": s}`` for the merged (non-dead-letter)
-    events, or ``None`` when the batch carried none — the streaming caller
-    feeds ``max_seq`` into the tombstone-retention horizon.
+    Returns ``{"rows": n, "min_seq": a, "max_seq": b}`` for the merged
+    (non-dead-letter) events, or ``None`` when the batch carried none — the
+    streaming caller folds the (min_seq, max_seq) span into the
+    tombstone-retention watermark ledger.
 
     Idempotent: replaying a batch re-reduces to the same state because the
     reduction key is (pk, max seq) — the reference's PK-table apply
@@ -219,6 +234,7 @@ def merge_batch(
             parsed.groupBy(probe_bucket.alias(_BUCKET_COL))
             .agg(
                 F.count(F.lit(1)).alias("n"),
+                F.min(F.col(cfg.seq_col)).alias("mn"),
                 F.max(F.col(cfg.seq_col)).alias("mx"),
             )
             .collect()
@@ -246,6 +262,7 @@ def merge_batch(
             return None
         stats = {
             "rows": sum(r["n"] for r in good_stats),
+            "min_seq": min(r["mn"] for r in good_stats),
             "max_seq": max(r["mx"] for r in good_stats),
         }
 
@@ -333,35 +350,145 @@ _GC_HORIZON = "_gc_horizon.json"
 
 
 def _read_gc_horizon(cfg: CdcLoadConfig) -> dict | None:
+    """Committed-sequence ledger: ``{"batch_id": b, "intervals": [[mn,mx],…]}``.
+
+    ``intervals`` is the sorted, disjoint, adjacency-merged union of every
+    committed batch's (min_seq, max_seq) span.  The SAFE sweep horizon is the
+    top of the FIRST interval — the contiguous-from-stream-start prefix of
+    committed sequences — because a sequence is only provably final once
+    every sequence below it has been committed too.  A single ``max_seq``
+    scalar (the previous design) is NOT safe: Spark's FileStreamSource
+    breaks mtime ties arbitrarily, so a later micro-batch can carry LOWER
+    sequences than an earlier one, and sweeping at the earlier batch's
+    max_seq drops tombstones that still outrank in-flight lower-seq events
+    (deleted keys resurrect).  Holding the horizon at the contiguous prefix
+    makes any delivery order safe: out-of-order spans sit in ``intervals``
+    as pending gaps and fold in the moment the gap closes.
+    """
     import json
 
     try:
         with open(os.path.join(cfg.state_dir, _GC_HORIZON)) as f:
-            return json.load(f)
+            h = json.load(f)
     except (FileNotFoundError, ValueError):
         return None
+    if "intervals" not in h:  # pre-watermark scalar format: discard — its
+        return None           # max_seq horizon is exactly the unsafe value
+    return h
 
 
-def _write_gc_horizon(cfg: CdcLoadConfig, batch_id: int, max_seq: int) -> None:
+def _fold_interval(intervals: list, mn: int, mx: int) -> list:
+    """Insert [mn, mx] into a sorted disjoint interval list, merging
+    overlapping-or-adjacent spans (``a.max + 1 >= b.min``).  Idempotent —
+    re-folding a replayed batch's span is a no-op — and O(k) in the number
+    of pending gaps, which is bounded by the source's reorder window (1 on
+    an in-order stream)."""
+    out: list[list[int]] = []
+    mn, mx = int(mn), int(mx)
+    placed = False
+    for a, b in intervals:
+        if b + 1 < mn:          # strictly left of the new span
+            out.append([a, b])
+        elif mx + 1 < a:        # strictly right: emit new span first
+            if not placed:
+                out.append([mn, mx])
+                placed = True
+            out.append([a, b])
+        else:                   # overlap or adjacency: absorb
+            mn, mx = min(mn, a), max(mx, b)
+    if not placed:
+        out.append([mn, mx])
+    return out
+
+
+def _write_gc_horizon(
+    cfg: CdcLoadConfig, batch_id: int, min_seq: int, max_seq: int
+) -> None:
+    """Fold the committed batch's span into the ledger (atomic replace).
+
+    Besides the merged intervals, the ledger remembers WHEN (at which
+    batch_id) each inter-interval gap was first observed — the age input to
+    the optional ``gc_reorder_grace_batches`` gap-crossing rule.  A gap
+    whose start seq shifts (partially filled) counts as a new, younger gap:
+    conservative, since the refreshed gap evidently still had traffic.
+    """
     import json
 
+    prior = _read_gc_horizon(cfg)
+    intervals = _fold_interval(
+        prior["intervals"] if prior else [], min_seq, max_seq
+    )
+    seen = (prior or {}).get("gap_seen", {})
+    gap_seen = {
+        str(intervals[i][1] + 1): int(seen.get(str(intervals[i][1] + 1), batch_id))
+        for i in range(len(intervals) - 1)
+    }
     path = os.path.join(cfg.state_dir, _GC_HORIZON)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"batch_id": int(batch_id), "max_seq": int(max_seq)}, f)
+        json.dump(
+            {
+                "batch_id": int(batch_id),
+                "intervals": intervals,
+                "gap_seen": gap_seen,
+            },
+            f,
+        )
     os.replace(tmp, path)
+
+
+def _safe_sweep_horizon(
+    ledger: dict, current_batch_id: int, grace: int | None
+) -> int | None:
+    """Highest seq S such that sweeping tombstones with seq <= S is safe.
+
+    Walks the committed intervals from the stream start, crossing a gap
+    only when ``grace`` is set AND the gap has stayed unfilled across at
+    least ``grace`` committed batches — i.e. it is (betting-odds) a
+    numbering hole, not an undelivered reordered file.  ``None`` = nothing
+    sweepable yet.
+    """
+    intervals = ledger["intervals"]
+    gap_seen = ledger.get("gap_seen", {})
+    horizon = None
+    for i, (_, b) in enumerate(intervals):
+        horizon = b
+        if i + 1 == len(intervals):
+            break
+        first_seen = gap_seen.get(str(b + 1))
+        aged = (
+            grace is not None
+            and first_seen is not None
+            and current_batch_id - int(first_seen) >= grace
+        )
+        if not aged:
+            break
+    return horizon
 
 
 def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
     """CREATE ROUTINE LOAD analog: build and start the named StreamingQuery.
 
     With ``cfg.gc_every_batches`` set, every Nth batch also sweeps delete
-    tombstones (``gc_tombstones``) at the horizon recorded by a PRIOR,
-    durably committed batch: Structured Streaming replays at most the
-    in-flight batch, so a sequence recorded under ``batch_id < current``
-    can never be re-delivered, and with a monotone sequence source (binlog
-    position / Kafka offset) no future event sorts below it either.  The
-    sweep runs inside foreachBatch, so it is serialized with merges by
+    tombstones (``gc_tombstones``) at the contiguous committed-sequence
+    watermark recorded by PRIOR, durably committed batches (the top of the
+    first interval in ``_gc_horizon.json`` — every sequence at or below it
+    has been merged).  That horizon is safe under BOTH replay and
+    out-of-order delivery:
+
+    - replay: Structured Streaming replays at most the in-flight batch, and
+      the ledger consulted for the sweep excludes it (``batch_id`` guard),
+      so a replayed event can at worst re-meet a tombstone that is still
+      retained;
+    - reorder: Spark's FileStreamSource delivers same-mtime files in
+      arbitrary order, so a later batch can carry LOWER sequences than an
+      earlier one — those lower sequences sit as a gap in the interval
+      ledger and hold the watermark down until they commit, which is
+      precisely the property a max_seq scalar horizon lacked (deleted keys
+      resurrected when a sweep raced a late low-seq file; see
+      tests/test_soak.py's adversarial case).
+
+    The sweep runs inside foreachBatch, so it is serialized with merges by
     construction (gc must never race a merge).
     """
     from ..sources import file_event_source
@@ -374,6 +501,9 @@ def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # snapshot the ledger BEFORE merging this batch: the sweep horizon
+        # must come only from batches already durably committed (a replay of
+        # THIS batch would re-deliver sequences the ledger now covers)
         horizon = _read_gc_horizon(cfg)
         stats = merge_batch(spark, cfg, batch_df, batch_id=batch_id)
         every = cfg.gc_every_batches
@@ -381,13 +511,18 @@ def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
             every
             and batch_id % every == every - 1
             and horizon is not None
-            and horizon["batch_id"] < batch_id  # durably committed batch
+            and horizon["batch_id"] < batch_id  # durably committed batches
         ):
-            gc_tombstones(spark, cfg, before_seq=horizon["max_seq"] + 1)
+            # contiguous low-watermark: every sequence <= it is merged
+            # (gaps crossed only under the opt-in aged-gap grace rule)
+            wm = _safe_sweep_horizon(
+                horizon, batch_id, cfg.gc_reorder_grace_batches
+            )
+            if wm is not None:
+                gc_tombstones(spark, cfg, before_seq=wm + 1)
         if stats is not None:
-            prev = horizon["max_seq"] if horizon else stats["max_seq"]
             _write_gc_horizon(
-                cfg, batch_id, max(prev, stats["max_seq"])
+                cfg, batch_id, stats["min_seq"], stats["max_seq"]
             )
 
     writer = (

@@ -22,8 +22,10 @@ micro-batch:
 5. appends kept docs under ``kept/batch=<id>`` and the batch's counts
    under ``counts/batch=<id>`` (batch-keyed overwrites).
 
-Scale: ledger state is |sources| rows per batch (compact-able like the
-other maintainers); the per-batch work is one groupBy + one broadcast join
+Scale: ledger state is |sources| rows per batch, folded into a committed
+baseline by the retention hook (``compact_mix_ingest`` — the same scheme as
+``compact_agg_mv``), so dir counts and file listings stay O(keep_last) on a
+long-lived stream; the per-batch work is one groupBy + one broadcast join
 — O(batch), never O(corpus).
 """
 
@@ -36,16 +38,12 @@ from pyspark.sql import functions as F
 
 from ..functions import phash32, words
 from ..operators.stats import MIX_TARGET_SHARE
-from ._state import numbered_ids
+from ._state import fold_verbatim, read_fold_paths
 
 RATE_SCALE = 1_000_000
 
 # integer-ppm targets derived once from the published batch policy
 TARGET_PPM = {s: round(sh * RATE_SCALE) for s, sh in MIX_TARGET_SHARE.items()}
-
-
-def _batch_ids(state_dir: str, sub: str) -> list[int]:
-    return numbered_ids(os.path.join(state_dir, sub))
 
 
 def ingest_mix_batch(
@@ -56,12 +54,12 @@ def ingest_mix_batch(
     ).persist()
     try:
         counts = new.groupBy("source").agg(F.sum("tk").alias("tokens"))
-        prev = [i for i in _batch_ids(state_dir, "counts") if i < batch_id]
+        prev = read_fold_paths(
+            os.path.join(state_dir, "counts"), before=batch_id
+        )
         running = counts
         if prev:
-            store = spark.read.parquet(
-                *[os.path.join(state_dir, "counts", f"batch={i}") for i in prev]
-            )
+            store = spark.read.parquet(*prev)
             running = (
                 store.unionByName(counts)
                 .groupBy("source")
@@ -80,11 +78,20 @@ def ingest_mix_batch(
             )
             .withColumn(
                 "rate_ppm",
-                # a source whose cumulative token count is still zero (only
-                # empty docs seen) has no observed share to sample against:
-                # pass it whole rather than NULL-dropping its rows
-                F.when(F.col("share_ppm") == 0, F.lit(RATE_SCALE).cast("long"))
-                .otherwise(
+                # a TARGETED source whose cumulative share rounds to zero
+                # ppm (only empty docs seen, or sub-ppm of a mature ledger)
+                # has no observed share to sample against: pass it whole
+                # rather than NULL-dropping its rows.  An UNTARGETED source
+                # drops entirely regardless of share — the module's
+                # documented convention; without the tgt > 0 gate a new
+                # source first appearing in a mature stream would slip
+                # through at 100% and permanently pollute the kept output.
+                F.when(
+                    F.col("share_ppm") == 0,
+                    F.when(F.col("tgt") > 0, F.lit(RATE_SCALE))
+                    .otherwise(F.lit(0))
+                    .cast("long"),
+                ).otherwise(
                     F.least(
                         F.lit(RATE_SCALE).cast("long"),
                         F.expr(f"(tgt * {RATE_SCALE}) div share_ppm").cast("long"),
@@ -110,26 +117,40 @@ def ingest_mix_batch(
 
 def kept_docs(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Every doc the sampler has kept so far (with the rate that kept it)."""
-    ids = _batch_ids(state_dir, "kept")
-    if not ids:
+    paths = read_fold_paths(os.path.join(state_dir, "kept"))
+    if not paths:
         return None
-    return spark.read.parquet(
-        *[os.path.join(state_dir, "kept", f"batch={i}") for i in ids]
-    )
+    return spark.read.parquet(*paths)
 
 
 def ledger(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Cumulative per-source token counts observed so far."""
-    ids = _batch_ids(state_dir, "counts")
-    if not ids:
+    paths = read_fold_paths(os.path.join(state_dir, "counts"))
+    if not paths:
         return None
     return (
-        spark.read.parquet(
-            *[os.path.join(state_dir, "counts", f"batch={i}") for i in ids]
-        )
+        spark.read.parquet(*paths)
         .groupBy("source")
         .agg(F.sum("tokens").alias("tokens"))
     )
+
+
+def compact_mix_ingest(
+    spark: SparkSession, state_dir: str, keep_last: int = 2
+) -> None:
+    """Retention hook (the ``compact_agg_mv`` analog): fold old per-batch
+    contribution dirs into committed baselines so a long-running stream
+    keeps O(keep_last) dirs instead of one per batch forever.  The token
+    ledger re-sums on fold (schema-preserving — folded counts stay exactly
+    the counts a full re-read would produce); kept docs copy verbatim.
+    Crash-mid-compaction is invisible (committed-marker-last scheme)."""
+    fold_verbatim(
+        spark,
+        os.path.join(state_dir, "counts"),
+        keep_last,
+        agg=lambda df: df.groupBy("source").agg(F.sum("tokens").alias("tokens")),
+    )
+    fold_verbatim(spark, os.path.join(state_dir, "kept"), keep_last)
 
 
 def start_mix_ingest(
@@ -139,11 +160,22 @@ def start_mix_ingest(
     checkpoint_dir: str,
     available_now: bool = False,
     trigger_seconds: int = 1,
+    compact_every: int | None = None,
+    keep_last: int = 2,
 ):
-    """Wire a document stream (doc_id, source, text) into the sampler."""
-    writer = source.writeStream.foreachBatch(
-        lambda df, bid: ingest_mix_batch(df.sparkSession, state_dir, df, bid)
-    ).option("checkpointLocation", checkpoint_dir)
+    """Wire a document stream (doc_id, source, text) into the sampler.
+
+    ``compact_every``: fold contribution dirs every Nth batch
+    (:func:`compact_mix_ingest`) — bounded state on a long-lived stream."""
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        ingest_mix_batch(df.sparkSession, state_dir, df, bid)
+        if compact_every and bid % compact_every == compact_every - 1:
+            compact_mix_ingest(df.sparkSession, state_dir, keep_last)
+
+    writer = source.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

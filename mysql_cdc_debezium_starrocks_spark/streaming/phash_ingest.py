@@ -19,7 +19,9 @@ key) and, per micro-batch:
 
 Scale: the store carries PHASH_BANDS 16-char rows per image (~100 B) —
 never pixels; candidate volume is band-bucket bounded exactly like the
-batch join.
+batch join; per-batch dirs fold into a committed baseline via the retention
+hook (``compact_phash_ingest``), keeping dir counts and file listings
+O(keep_last) on a long-lived stream.
 """
 
 from __future__ import annotations
@@ -30,11 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import PHASH_MAX_HAMMING, phash_bands, phash_of
-from ._state import numbered_ids
-
-
-def _batch_ids(state_dir: str, sub: str) -> list[int]:
-    return numbered_ids(os.path.join(state_dir, sub))
+from ._state import fold_verbatim, read_fold_paths
 
 
 def ingest_phash_batch(
@@ -48,12 +46,10 @@ def ingest_phash_batch(
     try:
         if new.isEmpty():
             return
-        prev = [i for i in _batch_ids(state_dir, "sigs") if i < batch_id]
+        prev = read_fold_paths(os.path.join(state_dir, "sigs"), before=batch_id)
         probe = new
         if prev:
-            store = spark.read.parquet(
-                *[os.path.join(state_dir, "sigs", f"batch={i}") for i in prev]
-            )
+            store = spark.read.parquet(*prev)
             probe = store.unionByName(new)
         a, b = probe.alias("a"), new.alias("b")
         cand = (
@@ -96,12 +92,23 @@ def ingest_phash_batch(
 
 def dup_image_pairs(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """All near-dup image pairs found so far (each pair exactly once)."""
-    ids = _batch_ids(state_dir, "pairs")
-    if not ids:
+    paths = read_fold_paths(os.path.join(state_dir, "pairs"))
+    if not paths:
         return None
-    return spark.read.parquet(
-        *[os.path.join(state_dir, "pairs", f"batch={i}") for i in ids]
-    )
+    return spark.read.parquet(*paths)
+
+
+def compact_phash_ingest(
+    spark: SparkSession, state_dir: str, keep_last: int = 2
+) -> None:
+    """Retention hook (the ``compact_agg_mv`` analog): fold old per-batch
+    band-store and pair dirs into committed baselines — bounded dir counts
+    and O(1) file listings on a long-lived stream.  Rows copy verbatim
+    (band rows and verified pairs need no re-aggregation); the ingest read
+    path sees baseline + live dirs, so folded state stays byte-equivalent.
+    Crash-mid-compaction is invisible (committed-marker-last scheme)."""
+    fold_verbatim(spark, os.path.join(state_dir, "sigs"), keep_last)
+    fold_verbatim(spark, os.path.join(state_dir, "pairs"), keep_last)
 
 
 def start_phash_ingest(
@@ -111,11 +118,22 @@ def start_phash_ingest(
     checkpoint_dir: str,
     available_now: bool = False,
     trigger_seconds: int = 1,
+    compact_every: int | None = None,
+    keep_last: int = 2,
 ):
-    """Wire a binary-document stream (doc_id, blob) into the maintainer."""
-    writer = source.writeStream.foreachBatch(
-        lambda df, bid: ingest_phash_batch(df.sparkSession, state_dir, df, bid)
-    ).option("checkpointLocation", checkpoint_dir)
+    """Wire a binary-document stream (doc_id, blob) into the maintainer.
+
+    ``compact_every``: fold contribution dirs every Nth batch
+    (:func:`compact_phash_ingest`) — bounded state on a long-lived stream."""
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        ingest_phash_batch(df.sparkSession, state_dir, df, bid)
+        if compact_every and bid % compact_every == compact_every - 1:
+            compact_phash_ingest(df.sparkSession, state_dir, keep_last)
+
+    writer = source.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

@@ -1,0 +1,196 @@
+"""Retention hooks for the round-4 ingest maintainers (VERDICT r04 #3):
+``mix_ingest`` and ``phash_ingest`` re-read their contribution stores per
+micro-batch, so without compaction a long-lived stream accretes one dir per
+batch forever (O(#batches) file listings).  These soaks drive each
+maintainer for 50+ batches with the fold hook on and prove:
+
+1. BOUNDED state: live batch-dir counts stay O(keep_last), independent of
+   how many batches ran (plus exactly one committed baseline);
+2. EQUAL output: the compacted state is row-identical to an uncompacted
+   control fed the same batches (folding is a pure representation change);
+3. REPLAY safety: re-running the newest batch against the compacted state
+   is a byte-identical no-op (the fold never absorbs dirs a crash-replay
+   could touch);
+4. crash-mid-compaction is INVISIBLE (committed-marker-last, like
+   test_retention's theta case) and a fold that ran ahead of the replay
+   horizon is REFUSED loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_debezium_starrocks_spark.streaming._state import (
+    fold_verbatim,
+    numbered_ids,
+    read_fold_paths,
+)
+
+N_BATCHES = 52
+COMPACT_EVERY = 5
+KEEP_LAST = 2
+
+
+def _live_dirs(root: str) -> int:
+    return len(numbered_ids(root))
+
+
+def _baselines(root: str) -> list[str]:
+    b = os.path.join(root, "baseline")
+    return [d for d in os.listdir(b) if d.startswith("v=")] if os.path.isdir(b) else []
+
+
+def _mix_batch(spark, i: int):
+    """Deterministic 3-doc batch cycling the targeted sources plus one
+    untargeted source (which must keep dropping after folds)."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.mix_ingest import TARGET_PPM
+
+    srcs = sorted(TARGET_PPM)
+    rows = [
+        (i * 3 + 0, srcs[i % len(srcs)], f"alpha b{i} " + "tok " * (5 + i % 7)),
+        (i * 3 + 1, srcs[(i + 1) % len(srcs)], f"beta b{i} " + "w " * (3 + i % 5)),
+        (i * 3 + 2, "untargeted_src", f"gamma b{i} filler text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mix_ingest_compaction_soak_bounded_equal_replayable(spark, tmp_path):
+    from mysql_cdc_debezium_starrocks_spark.streaming.mix_ingest import (
+        compact_mix_ingest,
+        ingest_mix_batch,
+        kept_docs,
+        ledger,
+    )
+
+    compacted = str(tmp_path / "c")
+    control = str(tmp_path / "u")
+    for i in range(N_BATCHES):
+        b = _mix_batch(spark, i)
+        ingest_mix_batch(spark, compacted, b, batch_id=i)
+        if i % COMPACT_EVERY == COMPACT_EVERY - 1:
+            compact_mix_ingest(spark, compacted, keep_last=KEEP_LAST)
+        ingest_mix_batch(spark, control, b, batch_id=i)
+
+    # 1. bounded: live dirs never exceed keep_last + compact cadence
+    for sub in ("counts", "kept"):
+        assert _live_dirs(os.path.join(compacted, sub)) <= KEEP_LAST + COMPACT_EVERY
+        assert _live_dirs(os.path.join(control, sub)) == N_BATCHES
+        assert len(_baselines(os.path.join(compacted, sub))) == 1
+
+    # 2. equal output: folding changed the representation, not the rows
+    led_c = {r.source: r.tokens for r in ledger(spark, compacted).collect()}
+    led_u = {r.source: r.tokens for r in ledger(spark, control).collect()}
+    assert led_c == led_u
+    kept_c = {(r.doc_id, r.rate_ppm) for r in kept_docs(spark, compacted).collect()}
+    kept_u = {(r.doc_id, r.rate_ppm) for r in kept_docs(spark, control).collect()}
+    assert kept_c == kept_u and kept_c
+
+    # 3. replay of the newest batch is a no-op against the compacted state
+    ingest_mix_batch(spark, compacted, _mix_batch(spark, N_BATCHES - 1),
+                     batch_id=N_BATCHES - 1)
+    assert {(r.doc_id, r.rate_ppm)
+            for r in kept_docs(spark, compacted).collect()} == kept_c
+    assert {r.source: r.tokens
+            for r in ledger(spark, compacted).collect()} == led_c
+
+
+def _blob_batch(spark, i: int):
+    """2 images per batch; content repeats every 7 docs so cross-batch
+    near-dup pairs keep forming against FOLDED band-store rows."""
+    rows = [
+        (i * 2 + j, f"image group {(i * 2 + j) % 7} pixel payload " * 8)
+        for j in range(2)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+
+
+def test_phash_ingest_compaction_soak_bounded_equal_replayable(spark, tmp_path):
+    from mysql_cdc_debezium_starrocks_spark.streaming.phash_ingest import (
+        compact_phash_ingest,
+        dup_image_pairs,
+        ingest_phash_batch,
+    )
+
+    compacted = str(tmp_path / "c")
+    control = str(tmp_path / "u")
+    for i in range(N_BATCHES):
+        b = _blob_batch(spark, i)
+        ingest_phash_batch(spark, compacted, b, batch_id=i)
+        if i % COMPACT_EVERY == COMPACT_EVERY - 1:
+            compact_phash_ingest(spark, compacted, keep_last=KEEP_LAST)
+        ingest_phash_batch(spark, control, b, batch_id=i)
+
+    for sub in ("sigs", "pairs"):
+        assert _live_dirs(os.path.join(compacted, sub)) <= KEEP_LAST + COMPACT_EVERY
+        assert _live_dirs(os.path.join(control, sub)) == N_BATCHES
+        assert len(_baselines(os.path.join(compacted, sub))) == 1
+
+    pairs_c = {(r.doc_a, r.doc_b, r.hamming)
+               for r in dup_image_pairs(spark, compacted).collect()}
+    pairs_u = {(r.doc_a, r.doc_b, r.hamming)
+               for r in dup_image_pairs(spark, control).collect()}
+    assert pairs_c == pairs_u
+    # the repeating content guarantees pairs kept forming against folded
+    # store rows — an empty set would mean the soak tested nothing
+    assert len(pairs_c) > 100
+
+    ingest_phash_batch(spark, compacted, _blob_batch(spark, N_BATCHES - 1),
+                       batch_id=N_BATCHES - 1)
+    assert {(r.doc_a, r.doc_b, r.hamming)
+            for r in dup_image_pairs(spark, compacted).collect()} == pairs_c
+
+
+def test_fold_crash_mid_compaction_is_invisible(spark, tmp_path):
+    """A baseline dir missing its _COMMITTED marker (crash between data
+    write and commit) must be ignored by readers and superseded — never
+    trusted, never resurrected."""
+    root = str(tmp_path / "store")
+    for i in range(5):
+        spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "v").write.parquet(
+            os.path.join(root, f"batch={i}")
+        )
+    before = sorted(
+        r.v for r in spark.read.parquet(*read_fold_paths(root)).collect()
+    )
+
+    # simulate the crash: complete data + manifest, NO commit marker
+    crash = os.path.join(root, "baseline", "v=0")
+    spark.range(1).select(F.lit(-999).alias("v")).write.parquet(
+        os.path.join(crash, "data")
+    )
+    with open(os.path.join(crash, "_FOLDED"), "w") as f:
+        json.dump([0, 1, 2], f)
+    assert sorted(
+        r.v for r in spark.read.parquet(*read_fold_paths(root)).collect()
+    ) == before
+
+    # recovery: the next fold writes v=1 (no id reuse) and commits
+    fold_verbatim(spark, root, keep_last=2)
+    assert sorted(
+        r.v for r in spark.read.parquet(*read_fold_paths(root)).collect()
+    ) == before
+    assert numbered_ids(root) == [3, 4]
+    assert os.path.exists(os.path.join(root, "baseline", "v=1", "_COMMITTED"))
+
+
+def test_fold_ahead_of_replay_horizon_is_refused(spark, tmp_path):
+    """read_fold_paths(before=b) must raise if the committed baseline holds
+    batch ids >= b — serving it would double-count the replaying batch."""
+    import pytest
+
+    root = str(tmp_path / "store")
+    for i in range(4):
+        spark.range(3).withColumn("v", F.lit(i)).write.parquet(
+            os.path.join(root, f"batch={i}")
+        )
+    fold_verbatim(spark, root, keep_last=1)  # folds 0, 1, 2
+    # a replay of batch 3 (the newest, unfolded) reads fine
+    assert read_fold_paths(root, before=3)
+    # a hypothetical replay of an already-folded batch is refused loudly
+    with pytest.raises(RuntimeError, match="compaction ran ahead"):
+        read_fold_paths(root, before=2)

@@ -170,7 +170,10 @@ def test_mix_ingest_matches_python_replay_and_is_idempotent(spark, tmp_path):
         for src, tk in cum.items():
             share = tk * RATE_SCALE // total
             tgt = TARGET_PPM.get(src, 0)
-            rates[src] = min(RATE_SCALE, tgt * RATE_SCALE // share)
+            if share == 0:  # sub-ppm share: whole if targeted, else drop
+                rates[src] = RATE_SCALE if tgt > 0 else 0
+            else:
+                rates[src] = min(RATE_SCALE, tgt * RATE_SCALE // share)
         for r in by_batch[i]:
             if h32(r.doc_id) % RATE_SCALE < rates[r.source]:
                 expect.add(r.doc_id)
@@ -189,6 +192,42 @@ def test_mix_ingest_matches_python_replay_and_is_idempotent(spark, tmp_path):
     # crash-replay of the middle batch is byte-identical (same kept set)
     ingest_mix_batch(spark, state, parts[1], batch_id=1)
     assert {r.doc_id for r in kept_docs(spark, state).collect()} == expect
+
+
+def test_mix_ingest_untargeted_subppm_source_drops(spark, tmp_path):
+    """An UNTARGETED source whose cumulative tokens round to < 1 ppm of a
+    mature ledger must still drop entirely (the module convention) — the
+    zero-share pass-whole guard is for TARGETED sources only."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.mix_ingest import (
+        TARGET_PPM,
+        ingest_mix_batch,
+        kept_docs,
+        ledger,
+    )
+
+    assert "rogue" not in TARGET_PPM
+    targeted = next(iter(TARGET_PPM))
+    state = str(tmp_path / "mix")
+    # batch 0: a mature ledger — >1M tokens on a targeted source
+    big_text = " ".join(["tok"] * 5000)
+    b0 = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit(targeted).alias("source"),
+        F.lit(big_text).alias("text"),
+    )
+    ingest_mix_batch(spark, state, b0, batch_id=0)
+    # batch 1: a brand-new untargeted source with ONE token -> share_ppm 0
+    b1 = spark.createDataFrame(
+        [(9_000_001, "rogue", "solo")], "doc_id long, source string, text string"
+    )
+    ingest_mix_batch(spark, state, b1, batch_id=1)
+
+    led = {r.source: r.tokens for r in ledger(spark, state).collect()}
+    assert led["rogue"] * 1_000_000 // sum(led.values()) == 0  # truly sub-ppm
+    kept = kept_docs(spark, state)
+    assert kept.filter(F.col("source") == "rogue").count() == 0
 
 
 def test_pack_concat_chunks_conserves_tokens_and_bins(spark):

@@ -62,17 +62,90 @@ def test_cdc_auto_gc_sweeps_committed_tombstones(spark, tmp_path):
     _write(cfg.source_dir, "b0.json", [_event(i, i) for i in range(1, 6)])
     run_drain()
     _write(cfg.source_dir, "b1.json",
-           [_event(10, 1, deleted="true"), _event(11, 2, deleted="true")])
+           [_event(6, 1, deleted="true"), _event(7, 2, deleted="true")])
     run_drain()
     # tombstones exist but their batch was the NEWEST — not yet swept
     # (the horizon recorded under batch_id < current is required)
     assert _tombstones(spark, cfg) == 2
-    _write(cfg.source_dir, "b2.json", [_event(12, 3, status="upd")])
+    _write(cfg.source_dir, "b2.json", [_event(8, 3, status="upd")])
     run_drain()
-    # batch 1's horizon (max_seq 11) is now committed -> sweep happened
+    # batch 1's span ([6,7], contiguous with [1,5]) is now committed ->
+    # the watermark covers the tombstone seqs -> sweep happened
     assert _tombstones(spark, cfg) == 0
     live = sorted(r.order_key for r in read_state(spark, cfg).collect())
     assert live == [3, 4, 5]
+
+
+def test_cdc_gc_numbering_gap_pins_watermark_until_grace(spark, tmp_path):
+    """A sequence-numbering gap (gappy sources: binlog positions, Kafka
+    offsets under transactions) must PIN the sweep watermark under the
+    default config — a gap is indistinguishable from an undelivered
+    reordered batch — and cross only under the opt-in aged-gap grace."""
+    def mk(grace):
+        name = f"t_gap_g{grace}"
+        cfg = CdcLoadConfig(
+            name=name,
+            source_dir=str(tmp_path / name / "ev"),
+            state_dir=str(tmp_path / name / "state"),
+            checkpoint_dir=str(tmp_path / name / "ckpt"),
+            gc_every_batches=1,
+            max_files_per_trigger=1,
+            gc_reorder_grace_batches=grace,
+        )
+        return cfg
+
+    for grace, swept_by_end in ((None, False), (1, True)):
+        cfg = mk(grace)
+        _write(cfg.source_dir, "b0.json", [_event(i, i) for i in range(1, 6)])
+        start_cdc_load(spark, cfg).awaitTermination(120)
+        # seqs jump 5 -> 20: a numbering hole at [6, 19]
+        _write(cfg.source_dir, "b1.json",
+               [_event(20, 1, deleted="true"), _event(21, 2, deleted="true")])
+        start_cdc_load(spark, cfg).awaitTermination(120)
+        assert _tombstones(spark, cfg) == 2
+        for extra in range(3):  # keep committing batches above the gap
+            _write(cfg.source_dir, f"b{2 + extra}.json",
+                   [_event(22 + extra, 3, status=f"u{extra}")])
+            start_cdc_load(spark, cfg).awaitTermination(120)
+        if swept_by_end:
+            # gap aged past grace -> treated as numbering hole -> swept
+            assert _tombstones(spark, cfg) == 0
+        else:
+            # default: the gap could be an in-flight reordered batch with
+            # lower seqs -> the tombstones above it are retained forever
+            assert _tombstones(spark, cfg) == 2
+        live = sorted(r.order_key for r in read_state(spark, cfg).collect())
+        assert live == [3, 4, 5]
+
+
+def test_gc_interval_fold_and_watermark_unit():
+    """Pure-python ledger semantics: interval folding is order-insensitive
+    and idempotent; the watermark stops at the first young gap and crosses
+    only aged gaps under grace."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.materializer import (
+        _fold_interval,
+        _safe_sweep_horizon,
+    )
+
+    # out-of-order fold closes the gap exactly when the missing span lands
+    iv = _fold_interval([], 409, 416)
+    iv = _fold_interval(iv, 1, 400)
+    assert iv == [[1, 400], [409, 416]]
+    iv2 = _fold_interval(iv, 401, 408)
+    assert iv2 == [[1, 416]]
+    # idempotent on replayed spans; overlap absorbs
+    assert _fold_interval(iv2, 401, 408) == [[1, 416]]
+    assert _fold_interval(iv2, 300, 500) == [[1, 500]]
+
+    led = {"intervals": iv, "gap_seen": {"401": 7}}
+    # default (grace None): watermark pinned below the gap
+    assert _safe_sweep_horizon(led, 50, None) == 400
+    # young gap (age 2 < grace 5): still pinned
+    assert _safe_sweep_horizon(led, 9, 5) == 400
+    # aged gap: crossed — treated as a numbering hole
+    assert _safe_sweep_horizon(led, 12, 5) == 416
+    # closed gap needs no grace at all
+    assert _safe_sweep_horizon({"intervals": iv2, "gap_seen": {}}, 8, None) == 416
 
 
 def test_agg_mv_auto_compaction_bounds_dirs(spark, tmp_path):

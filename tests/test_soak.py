@@ -61,12 +61,19 @@ def _mixed_batch(file_idx: int, seq0: int) -> tuple[list[str], int]:
     return lines, seq
 
 
-def _write(path: str, fname: str, lines: list[str]) -> None:
+def _write(path: str, fname: str, lines: list[str], mtime: float | None = None) -> None:
+    """Write one event file; ``mtime`` pins delivery order — Spark's
+    FileStreamSource processes files in mtime order and breaks TIES
+    arbitrarily, so distinct mtimes make the ordered soak deterministic and
+    inverted mtimes force the adversarial out-of-order delivery."""
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, "." + fname)
     with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
-    os.rename(tmp, os.path.join(path, fname))
+    final = os.path.join(path, fname)
+    os.rename(tmp, final)
+    if mtime is not None:
+        os.utime(final, (mtime, mtime))
 
 
 def _python_lww(files_events: list[dict]) -> dict[int, int]:
@@ -91,6 +98,7 @@ def test_cdc_soak_bounded_state_flat_latency_clean_audit(spark, tmp_path):
 
     seq = 1
     file_idx = 0
+    mtime0 = time.time() - 86400  # distinct mtimes = deterministic in-order
     drain_walls: list[float] = []
     state_files: list[int] = []
     tombstone_counts: list[int] = []
@@ -109,7 +117,8 @@ def test_cdc_soak_bounded_state_flat_latency_clean_audit(spark, tmp_path):
                         "deleted": p["__deleted"] == "true",
                     }
                 )
-            _write(cfg.source_dir, f"f{file_idx:04d}.json", lines)
+            _write(cfg.source_dir, f"f{file_idx:04d}.json", lines,
+                   mtime=mtime0 + file_idx)
             file_idx += 1
             seq = seq2
         t0 = time.perf_counter()
@@ -150,6 +159,87 @@ def test_cdc_soak_bounded_state_flat_latency_clean_audit(spark, tmp_path):
     audit = audit_state(spark, cfg)
     assert audit["consistent"], audit
     # and equals an independent python LWW fold of every event written
+    live = {
+        r["order_key"]: r[cfg.seq_col] for r in read_state(spark, cfg).collect()
+    }
+    assert live == _python_lww(raw_events)
+
+
+def test_cdc_soak_out_of_order_delivery_never_resurrects(spark, tmp_path):
+    """Adversarial delivery order: within every drain the file mtimes are
+    INVERTED, so FileStreamSource processes the highest-seq file FIRST —
+    the exact race that resurrected deleted keys under the old max_seq
+    sweep horizon (a delete at seq 415 was GC'd while the insert at seq 403
+    for the same key was still in flight).  The contiguous watermark must
+    hold the tombstones until every lower seq commits, keep the audit
+    clean, and STILL sweep once the gaps close (bounded tombstones)."""
+    cfg = CdcLoadConfig(
+        name="t_soak_ooo",
+        source_dir=str(tmp_path / "ev"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        gc_every_batches=3,
+        max_files_per_trigger=1,
+    )
+
+    n_drains = 7
+    seq = 1
+    file_idx = 0
+    mtime0 = time.time() - 86400
+    raw_events: list[dict] = []
+    tombstone_counts: list[int] = []
+
+    for _drain in range(n_drains):
+        group: list[tuple[str, list[str]]] = []
+        for _ in range(FILES_PER_DRAIN):
+            lines, seq2 = _mixed_batch(file_idx, seq)
+            for ln in lines:
+                o = json.loads(ln)
+                p = json.loads(o["value"])["payload"]
+                raw_events.append(
+                    {
+                        "key": p["order_key"],
+                        "seq": o["_seq"],
+                        "deleted": p["__deleted"] == "true",
+                    }
+                )
+            group.append((f"f{file_idx:04d}.json", lines))
+            file_idx += 1
+            seq = seq2
+        # inverted mtimes: last-written (highest-seq) file delivered first
+        for j, (fname, lines) in enumerate(group):
+            _write(cfg.source_dir, fname, lines,
+                   mtime=mtime0 + file_idx - 1 - j)
+        start_cdc_load(spark, cfg).awaitTermination(300)
+        raw = _read_state_raw(spark, cfg)
+        tombstone_counts.append(
+            raw.filter(F.col(cfg.deleted_col) == "true").count()
+        )
+
+    # the adversarial setup must actually have delivered out of order —
+    # otherwise this test silently stops guarding the race it exists for
+    batch_files = []
+    src_log = os.path.join(cfg.checkpoint_dir, "sources", "0")
+    for b in sorted((x for x in os.listdir(src_log) if x.isdigit()), key=int):
+        with open(os.path.join(src_log, b)) as f:
+            for ln in f:
+                if ln.startswith("{"):
+                    batch_files.append(os.path.basename(json.loads(ln)["path"]))
+    assert batch_files != sorted(batch_files), (
+        "delivery was in seq order; adversarial mtimes had no effect"
+    )
+
+    # deletes landed and the sweep still bounds retained tombstones: the
+    # per-drain gaps close at the drain boundary, so the next GC (cadence 3
+    # batches = less than one drain) sweeps everything below the last drain
+    deletes_issued = sum(1 for e in raw_events if e["deleted"])
+    assert deletes_issued >= 40
+    assert tombstone_counts[-1] <= 3 * FILES_PER_DRAIN * 2
+
+    # correctness under reorder: incremental state == full-log replay ==
+    # python LWW fold (no resurrected keys, no lost deletes)
+    audit = audit_state(spark, cfg)
+    assert audit["consistent"], audit
     live = {
         r["order_key"]: r[cfg.seq_col] for r in read_state(spark, cfg).collect()
     }

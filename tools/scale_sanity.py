@@ -30,9 +30,9 @@ REPL = {
     "embeddings": ["vec_id"],
     # customer replicates alongside orders so FK containment keeps resolving
     "customer": ["c_custkey"],
-    # pass-through parents for the FK audit: copied unscaled per replica
-    # set (children scale by factor, the dimension stays fixed — the
-    # realistic shape: fact tables grow, dims don't)
+    # pass-through parents for the FK audit: ONE unscaled copy in the
+    # scaled fixture (children scale by factor, the dimension stays fixed
+    # — the realistic shape: fact tables grow, dims don't)
     "part": [],
     "supplier": [],
     "nation": [],
@@ -135,7 +135,7 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
 
     from mysql_cdc_debezium_starrocks_spark.catalog import load
 
-    if os.path.exists(os.path.join(out, "_READY_v2")):
+    if os.path.exists(os.path.join(out, "_READY_v3")):
         return
     shutil.rmtree(out, ignore_errors=True)
     needed = sorted(
@@ -143,6 +143,13 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
     )
     for t in needed:
         base = load(spark, sf_dir, t)
+        # REPL[t] == [] marks a pass-through parent (part/supplier/nation/
+        # region): ONE unscaled copy, not factor verbatim replicas — a
+        # union of identical copies would hold factor x duplicated primary
+        # keys and inflate any future case that counts/joins the dimension
+        if REPL.get(t) == []:
+            base.write.parquet(os.path.join(out, f"{t}.parquet"))
+            continue
         parts = []
         for i in range(factor):
             df = base
@@ -172,7 +179,7 @@ def _build(spark, sf_dir: str, out: str, factor: int) -> None:
         for p in parts[1:]:
             u = u.unionByName(p)
         u.repartition(32).write.parquet(os.path.join(out, f"{t}.parquet"))
-    open(os.path.join(out, "_READY_v2"), "w").close()
+    open(os.path.join(out, "_READY_v3"), "w").close()
 
 
 def _time(fn, spark, d: str) -> float:
