@@ -93,6 +93,43 @@ ORACLE: dict[str, str] = {}  # stateful greedy loop — rows-only check
 PACK_BUDGET = 512  # tokens per packed training sequence
 
 
+def concat_pack_df(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-then-chunk packing over an arbitrary (doc_id, source, text)
+    frame — the reusable core behind :func:`pack_concat_chunks` (fixed
+    corpus + PACK_BUDGET, oracle-checked) and ``CorpusPipeline.pack()``
+    (the running curated frame + a caller-chosen budget).  Same plan shape:
+    one source-partitioned running-sum window, map-side bin arithmetic."""
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    placed = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr(f"off div {int(budget)}").cast("long").alias("bin"),
+        (F.col("off") % int(budget)).alias("offset_in_bin"),
+        # doc crosses a bin boundary -> it is split across sequences
+        (
+            F.expr(f"off div {int(budget)}")
+            != F.expr(f"(off + n_tokens - 1) div {int(budget)}")
+        ).alias("straddles"),
+    )
+    return placed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_started"),
+        F.sum(F.when(F.col("straddles"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling"),
+    )
+
+
 def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing — the packing most LLM pipelines
     actually run (GPT/T5 style): within each source stream, documents
@@ -108,39 +145,7 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill stats (docs, tokens, spill flag for docs straddling a boundary)
     — |bins| rows, corpus-bounded but compact.
     """
-    d = load_spread(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    placed = toks.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
-    ).select(
-        "source",
-        "n_tokens",
-        F.expr(f"off div {PACK_BUDGET}").cast("long").alias("bin"),
-        (F.col("off") % PACK_BUDGET).alias("offset_in_bin"),
-        # doc crosses a bin boundary -> it is split across sequences
-        (
-            F.expr(f"off div {PACK_BUDGET}")
-            != F.expr(f"(off + n_tokens - 1) div {PACK_BUDGET}")
-        ).alias("straddles"),
-    )
-    return (
-        placed.groupBy("source", "bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens_started"),
-            F.sum(F.when(F.col("straddles"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_straddling"),
-        )
-    )
+    return concat_pack_df(load_spread(spark, sf_dir, "documents"), PACK_BUDGET)
 
 
 QUERIES["pack_concat_chunks"] = pack_concat_chunks

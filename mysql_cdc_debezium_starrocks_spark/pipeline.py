@@ -173,6 +173,48 @@ class CorpusPipeline:
 
         return text_pmi_cooccur(self.spark, self.sf_dir)
 
+    def sample_mixture(self) -> "CorpusPipeline":
+        """Mixture-sampling step: keep each doc whose seeded hash clears
+        its source's sampling rate under the published target mixture —
+        the composition of ``mix_weights_by_source`` (rate planning) and
+        ``mix_sample_apply`` (hash-bucket realization), both oracle-backed.
+        A broadcastable |sources|-row semi-join into the running frame, so
+        it fuses with the surrounding funnel like every other step."""
+        from .operators.stats import mix_sample_apply
+
+        kept = mix_sample_apply(self.spark, self.sf_dir).select("doc_id")
+        self._df = self._df.join(kept, "doc_id", "left_semi")
+        self.steps.append("sample_mixture")
+        return self
+
+    def pack(self, budget: int | None = None) -> "CorpusPipeline":
+        """Packing terminal transform: concat-then-chunk the RUNNING frame
+        into ``budget``-token training sequences (default: the published
+        PACK_BUDGET) — granularity changes from documents to per-(source,
+        bin) fill stats, so run this AFTER all document-level filters.
+        One source-partitioned running-sum window
+        (``operators.packing.concat_pack_df``, the oracle-backed core)."""
+        from .operators.packing import PACK_BUDGET, concat_pack_df
+
+        b = PACK_BUDGET if budget is None else int(budget)
+        self._df = concat_pack_df(self._df, b)
+        self.steps.append(f"pack@{b}")
+        return self
+
+    def audit(self) -> dict[str, DataFrame]:
+        """Side-channel data-quality report (does not change the running
+        frame): the referential-integrity audit over the relational tables
+        (``dq_fk_orphans``) and the per-column ingest profile
+        (``stats_column_profile``) — the numbers a curation run reviews
+        before trusting joins against the warehouse side."""
+        from .operators.dq import dq_fk_orphans
+        from .operators.stats import stats_column_profile
+
+        return {
+            "fk_orphans": dq_fk_orphans(self.spark, self.sf_dir),
+            "column_profile": stats_column_profile(self.spark, self.sf_dir),
+        }
+
     def chunk(self) -> "CorpusPipeline":
         """Embedding-prep terminal transform: explode the (curated) corpus
         into fixed-token-window chunk rows (doc_id, chunk_idx, start_word,

@@ -135,3 +135,63 @@ def test_exact_dedup_step_and_funnel_report(spark):
     got = sorted(tuple(r) for r in p.funnel_report().collect())
     want = sorted(tuple(r) for r in corpus_dedup_funnel(spark, SF).collect())
     assert got == want and got
+
+
+def test_sample_mixture_step_matches_standalone_op(spark):
+    """Unfiltered pipeline mixture sampling keeps exactly mix_sample_apply's
+    doc set; composed after quality it keeps the intersection (the step is
+    a semi-join, so order with other filters commutes)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        mix_sample_apply,
+    )
+
+    want = {r.doc_id for r in mix_sample_apply(spark, SF).collect()}
+    p = CorpusPipeline(spark, SF).sample_mixture()
+    got = {r.doc_id for r in p.df.select("doc_id").collect()}
+    assert got == want and got
+    assert p.steps == ["sample_mixture"]
+
+    q_kept = {
+        r.doc_id
+        for r in CorpusPipeline(spark, SF).quality().df.select("doc_id").collect()
+    }
+    both = CorpusPipeline(spark, SF).quality().sample_mixture()
+    assert {r.doc_id for r in both.df.select("doc_id").collect()} == want & q_kept
+
+
+def test_pack_step_matches_standalone_op(spark):
+    """Unfiltered pipeline packing at the default budget equals
+    pack_concat_chunks; a custom budget re-bins consistently (token totals
+    conserved, bin count scales ~2x for half the budget)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.packing import (
+        PACK_BUDGET,
+        pack_concat_chunks,
+    )
+
+    p = CorpusPipeline(spark, SF).pack()
+    got = sorted(tuple(r) for r in p.df.collect())
+    want = sorted(tuple(r) for r in pack_concat_chunks(spark, SF).collect())
+    assert got == want and got
+    assert p.steps == [f"pack@{PACK_BUDGET}"]
+
+    half = CorpusPipeline(spark, SF).pack(budget=PACK_BUDGET // 2).df.collect()
+    tok = lambda rows: sum(r.n_tokens_started for r in rows)  # noqa: E731
+    assert tok(half) == tok(got := [r for r in p.df.collect()])
+    n_bins = lambda rows: len({(r.source, r.bin) for r in rows})  # noqa: E731
+    assert n_bins(half) >= n_bins(got)
+
+
+def test_audit_side_channel_matches_standalone_ops(spark):
+    """audit() returns the oracle-backed DQ reports unchanged."""
+    from mysql_cdc_debezium_starrocks_spark.operators.dq import dq_fk_orphans
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        stats_column_profile,
+    )
+
+    rep = CorpusPipeline(spark, SF).audit()
+    got_fk = sorted(tuple(r) for r in rep["fk_orphans"].collect())
+    want_fk = sorted(tuple(r) for r in dq_fk_orphans(spark, SF).collect())
+    assert got_fk == want_fk and got_fk
+    got_cp = sorted(tuple(r) for r in rep["column_profile"].collect())
+    want_cp = sorted(tuple(r) for r in stats_column_profile(spark, SF).collect())
+    assert got_cp == want_cp and got_cp
