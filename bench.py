@@ -76,6 +76,23 @@ HEADLINE = [
     "group_count",
 ]
 
+# Absolute drift anchors (VERDICT r04 #5: cross-round comparisons kept
+# needing control-query forensics).  The controls are plain aggregate/join
+# operators untouched since round 2/3; the anchor values are their timings
+# in the round-4 final committed run (BENCH_FULL.json @ ee6472d, sf0.1).
+# Every run computes drift_abs = median(now / anchor) over the controls —
+# how fast THIS host+session is relative to the anchor epoch — and emits
+# queries_normalized = raw / drift_abs, so any two rounds' normalized
+# values (and the one drift_abs scalar) compare directly without forensics.
+CONTROL_ANCHORS = {
+    "q1_pricing_summary": 0.587,
+    "q3_shipping_priority": 1.072,
+    "q5_region_revenue": 1.017,
+    "group_count": 0.301,
+    "agg_stats": 0.768,
+}
+_ANCHOR_SF = 0.1  # anchors are sf0.1 timings; other SFs skip normalization
+
 # median-of-3 by default: single-shot timings on this micro-VM swing ±30%
 # from neighbor noise; the median is robust to one bad run in EITHER
 # direction, where best-of-N reports a lucky outlier as steady state
@@ -155,6 +172,25 @@ def main() -> None:
         print(f"timed {name}: {med:.2f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+
+    # absolute drift normalization (see CONTROL_ANCHORS)
+    controls = None
+    normalized = None
+    if sf == _ANCHOR_SF:
+        raw = {n: timings[n] for n in CONTROL_ANCHORS if n in timings}
+        if raw:
+            drift_abs = _median(
+                [raw[n] / CONTROL_ANCHORS[n] for n in raw]
+            )
+            controls = {
+                "anchors": CONTROL_ANCHORS,
+                "anchor_epoch": "r04-final BENCH_FULL.json @ ee6472d",
+                "raw": raw,
+                "drift_abs": round(drift_abs, 3),
+            }
+            normalized = {
+                n: round(t / drift_abs, 3) for n, t in timings.items()
+            }
 
     # CDC pipeline metrics — the numbers BASELINE.md actually publishes
     # (throughput to visible, E2E latency, delete propagation); compact run
@@ -255,6 +291,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "controls": controls,
+        "queries_normalized": normalized,
+        "total_normalized": (
+            round(total / controls["drift_abs"], 3) if controls else None
+        ),
         "sf": sf,
         "cdc": cdc,
         "vs_prev": vs_prev,
@@ -278,6 +319,10 @@ def main() -> None:
         "queries": shown,
         "n_queries": len(timings),
         "sf": sf,
+        "drift_abs": controls and controls["drift_abs"],
+        "total_normalized": (
+            round(total / controls["drift_abs"], 3) if controls else None
+        ),
         "cdc": cdc,
         "vs_prev": vs_prev
         and {
