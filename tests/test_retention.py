@@ -148,6 +148,52 @@ def test_gc_interval_fold_and_watermark_unit():
     assert _safe_sweep_horizon({"intervals": iv2, "gap_seen": {}}, 8, None) == 416
 
 
+def test_gc_interval_fold_property_random_delivery_orders():
+    """Property lock for the watermark ledger: for ANY delivery order of
+    any batch spans (including replays = duplicates), the folded intervals
+    equal the set-union reference, and the default watermark never exceeds
+    the largest S with {min..S} fully covered — i.e. no delivery order can
+    unpin a sweep past an undelivered sequence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.materializer import (
+        _fold_interval,
+        _safe_sweep_horizon,
+    )
+
+    span = st.tuples(
+        st.integers(min_value=0, max_value=120),
+        st.integers(min_value=0, max_value=20),
+    ).map(lambda t: (t[0], t[0] + t[1]))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(span, min_size=1, max_size=12))
+    def check(spans):
+        iv = []
+        covered: set[int] = set()
+        for mn, mx in spans:
+            iv = _fold_interval(iv, mn, mx)
+            covered |= set(range(mn, mx + 1))
+        # intervals == the set-union reference, sorted and disjoint
+        from_iv = set()
+        for a, b in iv:
+            assert a <= b
+            from_iv |= set(range(a, b + 1))
+        assert from_iv == covered
+        for (a1, b1), (a2, b2) in zip(iv, iv[1:]):
+            assert b1 + 1 < a2  # disjoint AND non-adjacent (fully merged)
+        # default watermark = top of the contiguous prefix from the min
+        wm = _safe_sweep_horizon({"intervals": iv, "gap_seen": {}}, 99, None)
+        lo = min(covered)
+        expect = lo
+        while expect + 1 in covered:
+            expect += 1
+        assert wm == expect
+
+    check()
+
+
 def test_agg_mv_auto_compaction_bounds_dirs(spark, tmp_path):
     """compact_every in the agg-MV load loop: dirs stay bounded and the
     view equals the one-shot aggregate over everything ingested."""
