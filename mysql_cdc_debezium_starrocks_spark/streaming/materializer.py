@@ -258,13 +258,22 @@ def merge_batch(
         )
         good_stats = [r for r in bucket_stats if r[_BUCKET_COL] >= 0]
         affected = sorted(r[_BUCKET_COL] for r in good_stats)
-        if not affected:
+        # the sequence span covers DEAD-LETTER rows too: quarantined events
+        # are durably handled (batch-keyed dir above) and can never merge
+        # into state later, so the retention watermark may sweep past their
+        # seqs — otherwise one all-malformed batch would pin GC forever
+        seqs = [
+            (r["mn"], r["mx"]) for r in bucket_stats if r["mn"] is not None
+        ]
+        if not affected and not seqs:
             return None
         stats = {
             "rows": sum(r["n"] for r in good_stats),
-            "min_seq": min(r["mn"] for r in good_stats),
-            "max_seq": max(r["mx"] for r in good_stats),
+            "min_seq": min(mn for mn, _ in seqs) if seqs else None,
+            "max_seq": max(mx for _, mx in seqs) if seqs else None,
         }
+        if not affected:
+            return stats
 
         current = _read_state_raw(spark, cfg)
         if current is not None:
@@ -520,7 +529,7 @@ def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
             )
             if wm is not None:
                 gc_tombstones(spark, cfg, before_seq=wm + 1)
-        if stats is not None:
+        if stats is not None and stats["min_seq"] is not None:
             _write_gc_horizon(
                 cfg, batch_id, stats["min_seq"], stats["max_seq"]
             )

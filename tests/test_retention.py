@@ -118,6 +118,46 @@ def test_cdc_gc_numbering_gap_pins_watermark_until_grace(spark, tmp_path):
         assert live == [3, 4, 5]
 
 
+def test_cdc_gc_all_dead_letter_batch_does_not_pin_watermark(spark, tmp_path):
+    """A micro-batch whose every event is malformed (quarantined) still
+    folds its sequence span into the watermark ledger: quarantined events
+    can never merge into state later, so pinning GC on their gap would
+    silently disable retention after one bad producer burst."""
+    cfg = CdcLoadConfig(
+        name="t_gc_dl",
+        source_dir=str(tmp_path / "ev"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        gc_every_batches=1,
+        max_files_per_trigger=1,
+    )
+
+    def bad(seq: int) -> str:
+        # parseable JSON wire row whose payload lacks the key column
+        payload = {"status": "junk", "__deleted": "false"}
+        return json.dumps(
+            {"_seq": seq, "value": json.dumps({"payload": payload})}
+        )
+
+    _write(cfg.source_dir, "b0.json", [_event(i, i) for i in range(1, 6)])
+    start_cdc_load(spark, cfg).awaitTermination(120)
+    _write(cfg.source_dir, "b1.json",
+           [_event(6, 1, deleted="true"), _event(7, 2, deleted="true")])
+    start_cdc_load(spark, cfg).awaitTermination(120)
+    # batch 2: ALL dead-letter, carrying seqs 8-9 — must fold [8,9]
+    _write(cfg.source_dir, "b2.json", [bad(8), bad(9)])
+    start_cdc_load(spark, cfg).awaitTermination(120)
+    # batch 3: the sweep at the (prior-committed) watermark 9 covers the
+    # tombstones at 6/7 — they go; quarantine dir holds the bad rows
+    _write(cfg.source_dir, "b3.json", [_event(10, 3, status="upd")])
+    start_cdc_load(spark, cfg).awaitTermination(120)
+    assert _tombstones(spark, cfg) == 0
+    live = sorted(r.order_key for r in read_state(spark, cfg).collect())
+    assert live == [3, 4, 5]
+    dl = spark.read.parquet(os.path.join(cfg.state_dir, "_dead_letter", "batch=2"))
+    assert dl.count() == 2
+
+
 def test_gc_interval_fold_and_watermark_unit():
     """Pure-python ledger semantics: interval folding is order-insensitive
     and idempotent; the watermark stops at the first young gap and crosses
