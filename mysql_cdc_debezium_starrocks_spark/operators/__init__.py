@@ -44,14 +44,17 @@ def _fixture_dir() -> str:
 # (c) required family anchors with no never-checked member:
 #     window_range_rolling_revenue (window_) and ml_logreg_weights (ml_)
 #     — test_driver_priority_window requires one of each family in-window.
-# Net: 47 first-time names (>= the verdict's 45 bar); cumulative driver
-# coverage reaches 181/190.  The 8 remaining never-checked names sit
-# IMMEDIATELY below the fold (slots 51-58) — each is the nearest twin of
-# an in-window relative (zscore vs mad, weekday vs the events block,
-# bigram vs pmi, repetition vs the text block, exact_groups vs
-# passage/canonical, norm_stats vs quantize/centroid, approx_distinct vs
-# the theta pair, corr vs the stats block) — so one more rotation closes
-# the registry.  pack_sequences cannot enter DRIVER_PRIORITY at all (it is
+# (a continued) the round's TWO NEW operators (emb_dim_budget_recall —
+# Matryoshka-style truncated-dim recall gate; join_asof_nearest — the
+# nearest-in-time as-of join) take window slots per the standing
+# new-code-wins-priority policy, displacing the two never-checked names
+# with the closest in-window twins (ts_anomaly_zscore vs ts_anomaly_mad,
+# text_chunk vs the 7-strong text block) to just below the fold.
+# Net: 47 first-time names (>= the verdict's 45 bar; the two new queries
+# are themselves first-time); cumulative driver coverage reaches 181/192.
+# The remaining never-checked names sit IMMEDIATELY below the fold —
+# each the nearest twin of an in-window relative — so one more rotation
+# closes the registry.  pack_sequences cannot enter DRIVER_PRIORITY at all (it is
 # rows-only by design: FFD bin assignment is not SQL-expressible) and
 # trails in module order.  cdc_apply (flagship, green r04) now also sits
 # below the fold: the cdc_ anchor is cdc_diff_window and the flagship path
@@ -59,8 +62,8 @@ def _fixture_dir() -> str:
 # Every displaced entry holds a green driver row from r02-r04 and keeps
 # byte-strict local-parity evidence.
 DRIVER_PRIORITY = (
-    # --- (a) changed this round ---
-    "mix_temperature_sampling",
+    # --- (a) changed/new this round ---
+    "mix_temperature_sampling", "emb_dim_budget_recall", "join_asof_nearest",
     # --- (c) family anchors with no never-checked member ---
     "window_range_rolling_revenue", "ml_logreg_weights",
     # --- (b) the never-driver-checked tail: TPC-H stragglers ---
@@ -76,7 +79,7 @@ DRIVER_PRIORITY = (
     # design — eigenvector sign is engine-dependent — and cannot enter
     # the oracle-backed priority list; it trails in module order) ---
     "emb_quantize_int8", "emb_top_eigenvector", "emb_centroid_by_label",
-    "ann_range_search", "dedup_semantic", "ts_anomaly_zscore",
+    "ann_range_search", "dedup_semantic",
     # --- (b) sketches ---
     "sketch_theta_intersect", "sketch_theta_containment",
     # --- (b) dedup family ---
@@ -86,7 +89,7 @@ DRIVER_PRIORITY = (
     # --- (b) text family ---
     "text_perplexity", "text_vocab_growth", "text_fingerprint",
     "text_inverted_index", "text_decontaminate", "text_pii_redact",
-    "text_normalize", "text_chunk",
+    "text_normalize",
     # --- (b) multimodal ---
     "mm_frame_sample", "mm_audio_energy", "mm_resize",
     # --- (b) stats / sampling / sets ---
@@ -96,6 +99,7 @@ DRIVER_PRIORITY = (
     # --- the remaining never-checked oracle-backed names, nearest-twin
     # deferrals (sketch_approx_distinct/emb_pca_project/pack_sequences are
     # rows-only by design and excluded from the oracle-backed list) ---
+    "ts_anomaly_zscore", "text_chunk",
     "events_weekday_profile", "text_bigram_topk",
     "text_repetition", "dedup_exact_groups", "emb_norm_stats",
     "stats_corr_price_qty",

@@ -1793,3 +1793,169 @@ ORACLE["emb_prune_diversity"] = f"""
     SELECT vec_id, cell, sq_dist_q, CAST(rk AS INTEGER) AS rk
     FROM r WHERE (rk - 1) * 100 < n_cell * {PRUNE_KEEP_PCT}
 """
+
+
+# --- Dimension-budget recall (Matryoshka-style embedding truncation) ---------
+
+DIM_BUDGETS = (8, 16, 32, 64)  # prefix dims evaluated; last == full DIM
+
+
+def emb_dim_budget_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension cosine retrieval against full-dim
+    exact truth, per prefix budget — the acceptance number behind
+    Matryoshka-style embedding dim cuts (Kusupati et al., MRL): serving at
+    d=8/16/32 costs proportionally less index memory and bandwidth, and
+    this gate reports exactly how much recall each budget buys back.
+
+    One corpus x queries scoring pass computes ALL budgets: the elementwise
+    product array is built once per pair and each budget folds only its
+    prefix slice (prefix norms are precomputed map-side per vector), then
+    the (budget, query) ranking windows run over the stacked rows.  At 100
+    TB the pass is the same broadcast-queries scan every eval here uses —
+    adding budgets adds arithmetic, not scans.  The d=DIM row doubles as a
+    self-check: its prefix IS the full vector, so recall must be exactly
+    1e6 (asserted in tests).
+
+    Exactness: prefix dots/norms are the same left-fold the other ANN
+    oracles rely on (identical accumulation order on both engines), rounded
+    to DECIMAL(9,6) before ranking; truth is the memoized "ann_truth"
+    artifact, so this gate can never grade against divergent truth.
+    """
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    base = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        *[
+            F.sqrt(sq(F.slice(F.col("embedding"), 1, d))).alias(f"n{d}")
+            for d in DIM_BUDGETS
+        ],
+    )
+    q = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        *[F.col(f"n{d}").alias(f"qn{d}") for d in DIM_BUDGETS],
+    )
+    prods = F.zip_with(
+        F.col("v"), F.col("qv"), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    add = lambda a, x: a + x  # noqa: E731
+
+    def cos_at(d: int):
+        return F.round(
+            F.aggregate(F.slice(prods, 1, d), F.lit(0.0), add)
+            / (F.col(f"n{d}") * F.col(f"qn{d}")),
+            6,
+        ).cast("decimal(9,6)")
+
+    stacked = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias("dim_budget"),
+                            cos_at(d).alias("cosine"),
+                        )
+                        for d in DIM_BUDGETS
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("qid", "vec_id", "s.dim_budget", "s.cosine")
+    )
+    w = Window.partitionBy("dim_budget", "qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    top = stacked.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= IVF_TOPK
+    )
+    truth = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("vec_id"),
+            F.lit(1).alias("m"),
+        )
+    )
+    tn = truth.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        top.join(truth, ["qid", "vec_id"], "left")
+        .groupBy("dim_budget")
+        .agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_pred"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("long").alias("hits"),
+        )
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "dim_budget",
+            "n_queries",
+            "n_pred",
+            "hits",
+            F.expr("(hits * 1000000) div n_truth").alias("recall_ppm"),
+        )
+        .orderBy("dim_budget")
+    )
+
+
+QUERIES["emb_dim_budget_recall"] = emb_dim_budget_recall
+
+_PREFIX_SQ_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(list_slice({a}, 1, {d}), "
+    "x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y))"
+)
+_PREFIX_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "list_zip(list_slice({a}, 1, {d}), list_slice({b}, 1, {d})), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)"
+)
+
+ORACLE["emb_dim_budget_recall"] = f"""
+    WITH {_NORM_CTE},
+    pn AS (
+      SELECT vec_id, v,
+             {", ".join(_PREFIX_SQ_SQL.format(a='v', d=d) + f" AS n{d}" for d in DIM_BUDGETS)}
+      FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv,
+                 {", ".join(f"n{d} AS qn{d}" for d in DIM_BUDGETS)}
+          FROM pn WHERE vec_id % {QUERY_MOD} = 0),
+    stacked AS (
+      {" UNION ALL ".join(
+        f'''SELECT q.qid, p.vec_id, {d} AS dim_budget,
+               CAST(round({_PREFIX_DOT_SQL.format(a='p.v', b='q.qv', d=d)}
+                          / (p.n{d} * q.qn{d}), 6) AS DECIMAL(9,6)) AS cosine
+        FROM pn p JOIN q ON p.vec_id <> q.qid'''
+        for d in DIM_BUDGETS)}),
+    top AS (
+      SELECT qid, vec_id, dim_budget
+      FROM (SELECT *, row_number() OVER (PARTITION BY dim_budget, qid
+                  ORDER BY cosine DESC, vec_id) AS rnk FROM stacked) t
+      WHERE rnk <= {IVF_TOPK}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
+                  AS DECIMAL(9,6)) AS cosine
+      FROM e JOIN (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+                   WHERE vec_id % {QUERY_MOD} = 0) q
+        ON e.vec_id <> q.query_id),
+    truth AS (
+      SELECT query_id AS qid, vec_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS rank FROM scored) t
+      WHERE rank <= {IVF_TOPK}),
+    tn AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+    SELECT t.dim_budget,
+           count(DISTINCT t.qid)::BIGINT AS n_queries,
+           count(*)::BIGINT AS n_pred,
+           sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits,
+           (sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+             // (SELECT n_truth FROM tn) AS recall_ppm
+    FROM top t LEFT JOIN truth tr ON tr.qid = t.qid AND tr.vec_id = t.vec_id
+    GROUP BY t.dim_budget
+"""

@@ -103,6 +103,95 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join (pandas ``merge_asof(direction='nearest')``,
+    kdb ``aj`` family): each non-purchase event joined to the user's purchase
+    closest in time in EITHER direction — backward inclusive, forward
+    strict, ties to the backward (earlier) side; NULLs when the user never
+    purchases.
+
+    Plan shape: ONE shuffle on the key and ONE sort serve both directions —
+    the union-and-carry pattern of :func:`asof_join` extended with a second
+    window over the SAME (ts, side, order) sort: ``last(right…)`` over the
+    preceding frame carries the latest at-or-before purchase, ``first(
+    right…)`` over the strictly-following frame carries the earliest later
+    one (right rows at an equal ts sort before left rows, so they land in
+    the backward leg exactly once).  The direction pick is then per-row
+    arithmetic on millisecond deltas.  The naive |L|x|R| inequality join
+    this replaces explodes per key at 100 TB; this stays O(1) state per
+    row through one sort.
+    """
+    e = load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != RIGHT_TYPE)
+    right = e.filter(F.col("event_type") == RIGHT_TYPE)
+    rt = right.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("order_id"),
+        "value",
+        F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(0).alias("_side"),
+    )
+    lt = left.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("order_id"),
+        F.lit(None).cast(dict(e.dtypes)["value"]).alias("value"),
+        "event_id",
+        "event_type",
+        F.lit(1).alias("_side"),
+    )
+    u = rt.unionByName(lt)
+    order = [F.col("ts"), F.col("_side"), F.col("order_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    r_only = lambda c: F.when(F.col("_side") == 0, F.col(c))  # noqa: E731
+    carried = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "_side",
+        F.last(r_only("ts"), ignorenulls=True).over(wb).alias("b_ts"),
+        F.last(r_only("value"), ignorenulls=True).over(wb).alias("b_value"),
+        F.first(r_only("ts"), ignorenulls=True).over(wf).alias("f_ts"),
+        F.first(r_only("value"), ignorenulls=True).over(wf).alias("f_value"),
+    ).filter(F.col("_side") == 1)
+    ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))  # noqa: E731
+    db = ms("ts") - ms("b_ts")          # >= 0 when backward exists
+    df_ = ms("f_ts") - ms("ts")         # > 0 when forward exists
+    pick_b = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (db <= df_)
+    )
+    pick_f = ~pick_b & F.col("f_ts").isNotNull()
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(pick_b, F.col("b_ts"))
+        .when(pick_f, F.col("f_ts"))
+        .alias("purchase_ts"),
+        F.when(pick_b, F.col("b_value"))
+        .when(pick_f, F.col("f_value"))
+        .alias("purchase_value"),
+        F.when(pick_b, F.lit("backward"))
+        .when(pick_f, F.lit("forward"))
+        .alias("direction"),
+        # signed: purchase_ts - ts (backward <= 0, forward > 0)
+        F.when(pick_b, -db).when(pick_f, df_).cast("long").alias("delta_ms"),
+    )
+
+
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band join: events matched to irregular value bands, then per-band stats.
 
@@ -218,6 +307,51 @@ ORACLE = {
           ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
         ) p ON true
     """,
+    "join_asof_nearest": f"""
+        WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+          FROM events
+        ),
+        l AS (SELECT event_id, user_id, ts, event_type FROM ev
+              WHERE event_type <> '{RIGHT_TYPE}'),
+        legs AS (
+          SELECT l.*, b.ts AS b_ts, b.value AS b_value,
+                 f.ts AS f_ts, f.value AS f_value
+          FROM l
+          LEFT JOIN LATERAL (
+            SELECT r.ts, r.value FROM ev r
+            WHERE r.event_type = '{RIGHT_TYPE}'
+              AND r.user_id = l.user_id AND r.ts <= l.ts
+            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+          ) b ON true
+          LEFT JOIN LATERAL (
+            SELECT r.ts, r.value FROM ev r
+            WHERE r.event_type = '{RIGHT_TYPE}'
+              AND r.user_id = l.user_id AND r.ts > l.ts
+            ORDER BY r.ts ASC, r.event_id ASC LIMIT 1
+          ) f ON true
+        )
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN pick_b THEN b_ts
+                    WHEN pick_f THEN f_ts END AS purchase_ts,
+               CASE WHEN pick_b THEN b_value
+                    WHEN pick_f THEN f_value END AS purchase_value,
+               CASE WHEN pick_b THEN 'backward'
+                    WHEN pick_f THEN 'forward' END AS direction,
+               CAST(CASE WHEN pick_b THEN -(epoch_ms(ts) - epoch_ms(b_ts))
+                         WHEN pick_f THEN epoch_ms(f_ts) - epoch_ms(ts)
+                    END AS BIGINT) AS delta_ms
+        FROM (
+          SELECT *,
+                 (b_ts IS NOT NULL AND (f_ts IS NULL OR
+                    epoch_ms(ts) - epoch_ms(b_ts)
+                      <= epoch_ms(f_ts) - epoch_ms(ts))) AS pick_b,
+                 (NOT (b_ts IS NOT NULL AND (f_ts IS NULL OR
+                    epoch_ms(ts) - epoch_ms(b_ts)
+                      <= epoch_ms(f_ts) - epoch_ms(ts)))
+                  AND f_ts IS NOT NULL) AS pick_f
+          FROM legs) t
+    """,
     "join_range": f"""
         SELECT b.band_id, b.lo, b.hi, count(*) AS n,
                sum(CAST(e.value AS DECIMAL(18,2))) AS sum_value
@@ -255,6 +389,7 @@ ORACLE = {
 
 QUERIES = {
     "join_asof": join_asof,
+    "join_asof_nearest": join_asof_nearest,
     "join_range": join_range,
     "ts_ewma": ts_ewma,
 }

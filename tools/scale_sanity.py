@@ -115,6 +115,9 @@ CASES = {
     "events_dau_wau": ("operators.events", ["events"]),
     "eval_mix_convergence": ("operators.stats", ["documents"]),
     "eval_pack_efficiency": ("operators.packing", ["documents"]),
+    # round-5 additions: every new operator gets a row BEFORE it ships
+    "emb_dim_budget_recall": ("operators.similarity", ["embeddings"]),
+    "join_asof_nearest": ("operators.temporal", ["events"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
