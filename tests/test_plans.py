@@ -93,6 +93,49 @@ def test_asof_join_is_union_window_single_shuffle(spark):
     assert shuffle_count(p) == 1, p
 
 
+def test_asof_nearest_is_one_shuffle_two_windows(spark):
+    """The nearest as-of join must keep the union-and-carry shape — ONE
+    shuffle on the key serving BOTH direction windows over the same sort,
+    no inequality-join explosion."""
+    from mysql_cdc_debezium_starrocks_spark.operators.temporal import (
+        join_asof_nearest,
+    )
+
+    p = plan_of(join_asof_nearest(spark, SF_SMOKE))
+    assert not has_cartesian(p)
+    assert "BroadcastNestedLoopJoin" not in p, "no pairwise time-range join"
+    assert shuffle_count(p) == 1, p
+    assert p.count("Window") >= 1  # both carries ride window evaluation
+
+
+def test_dim_budget_recall_broadcasts_queries_one_corpus_pass(spark):
+    """The dim-budget gate must score all budgets in ONE corpus x queries
+    pass: the query side broadcasts, the corpus side is scanned a bounded
+    number of times (truth + scoring legs), never once per budget."""
+    from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
+        DIM_BUDGETS,
+        ann_bruteforce_topk,
+        emb_dim_budget_recall,
+    )
+
+    # session behavior: truth ("ann_truth") is memoized once, so the gate's
+    # own plan adds only the scoring pass — warm it like a session would
+    ann_bruteforce_topk(spark, SF_SMOKE).count()
+    p = plan_of(emb_dim_budget_recall(spark, SF_SMOKE))
+    assert broadcasts(p), "query side must broadcast"
+    assert not has_cartesian(p)
+    # DISTINCT scan nodes (the formatted tree repeats references): base +
+    # query legs; the truth legs read the memoized artifact
+    # (InMemoryTableScan).  The bound is a CONSTANT — per-budget rescans
+    # would add two scan nodes per budget.
+    import re
+
+    scans = len(set(re.findall(r"\((\d+)\) Scan parquet", p)))
+    assert scans <= 4, f"{scans} corpus scans: budgets must not each rescan"
+    assert scans < 2 * len(DIM_BUDGETS)
+    assert "InMemoryTableScan" in p, "truth must come from the session memo"
+
+
 def test_range_join_broadcasts_bands(spark):
     """Band join: tiny bands side broadcast, events stream through map-only —
     the only shuffle is the final 5-group aggregation."""
