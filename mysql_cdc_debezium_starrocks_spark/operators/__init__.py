@@ -38,9 +38,10 @@ def _fixture_dir() -> str:
 #     compaction hooks — are streaming-lifecycle code outside the query
 #     registry, pytest-verified in test_soak/test_retention/
 #     test_ingest_compaction.)
-# (b) 47 of the 56 never-checked names, i.e. every one that fits after the
-#     anchors (all green under the byte-strict local gate at sf0.01 AND
-#     sf0.001, re-verified this session).
+# (b) 45 of the 56 never-checked names, i.e. every one that fits after the
+#     anchors and the two new operators below (all green under the
+#     byte-strict local gate at sf0.01 AND sf0.001, re-verified this
+#     session).
 # (c) required family anchors with no never-checked member:
 #     window_range_rolling_revenue (window_) and ml_logreg_weights (ml_)
 #     — test_driver_priority_window requires one of each family in-window.
