@@ -93,6 +93,17 @@ CONTROL_ANCHORS = {
 }
 _ANCHOR_SF = 0.1  # anchors are sf0.1 timings; other SFs skip normalization
 
+# Host speed on this shared micro-VM swings WITHIN one bench run (observed:
+# the same control query at 0.9x the anchor in one session and 1.6x twenty
+# minutes later), so a single end-of-run drift scalar mis-normalizes the
+# queries timed during a different window.  The timed loop therefore
+# re-probes ONE cheap control every PROBE_EVERY queries and normalizes each
+# query by its NEAREST probe — a drift TIMELINE, not a scalar.  drift_abs
+# (the timeline median) still normalizes the total.
+PROBE_QUERY = "group_count"
+PROBE_EVERY = 20
+PROBE_RUNS = 3
+
 # median-of-3 by default: single-shot timings on this micro-VM swing ±30%
 # from neighbor noise; the median is robust to one bad run in EITHER
 # direction, where best-of-N reports a lucky outlier as steady state
@@ -150,7 +161,23 @@ def main() -> None:
     print(f"rewarm {names[0]}: {warm[names[0]]:.1f}s", file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
-    for name in names:
+    probe_fn = queries.get(PROBE_QUERY)
+    probe_timeline: list[tuple[int, float]] = []  # (query index, probe sec)
+
+    def probe(idx: int) -> None:
+        if probe_fn is None or sf != _ANCHOR_SF:
+            return
+        vals = [
+            _exec(probe_fn, spark, sf_dir, settle=True)
+            for _ in range(PROBE_RUNS)
+        ]
+        probe_timeline.append((idx, round(_median(vals), 3)))
+        print(f"probe @{idx}: {probe_timeline[-1][1]:.2f}s",
+              file=sys.stderr, flush=True)
+
+    for qi, name in enumerate(names):
+        if qi % PROBE_EVERY == 0:
+            probe(qi)
         runs = [
             _exec(queries[name], spark, sf_dir, settle=True)
             for _ in range(TIMED_RUNS)
@@ -170,27 +197,36 @@ def main() -> None:
             extra += 1
         timings[name] = round(med, 3)
         print(f"timed {name}: {med:.2f}s", file=sys.stderr, flush=True)
+    probe(len(names))  # closing checkpoint so the tail has a near probe
+    order_idx = {name: qi for qi, name in enumerate(names)}
 
     total = round(sum(timings.values()), 3)
 
-    # absolute drift normalization (see CONTROL_ANCHORS)
+    # absolute drift normalization (see CONTROL_ANCHORS / PROBE_QUERY)
     controls = None
     normalized = None
-    if sf == _ANCHOR_SF:
-        raw = {n: timings[n] for n in CONTROL_ANCHORS if n in timings}
-        if raw:
-            drift_abs = _median(
-                [raw[n] / CONTROL_ANCHORS[n] for n in raw]
-            )
-            controls = {
-                "anchors": CONTROL_ANCHORS,
-                "anchor_epoch": "r04-final BENCH_FULL.json @ ee6472d",
-                "raw": raw,
-                "drift_abs": round(drift_abs, 3),
-            }
-            normalized = {
-                n: round(t / drift_abs, 3) for n, t in timings.items()
-            }
+    if sf == _ANCHOR_SF and probe_timeline:
+        anchor_probe = CONTROL_ANCHORS[PROBE_QUERY]
+        drifts = [(i, v / anchor_probe) for i, v in probe_timeline]
+        drift_abs = _median([d for _, d in drifts])
+
+        def drift_at(qi: int) -> float:
+            return min(drifts, key=lambda p: abs(p[0] - qi))[1]
+
+        controls = {
+            "anchors": CONTROL_ANCHORS,
+            "anchor_epoch": "r04-final BENCH_FULL.json @ ee6472d",
+            "raw": {n: timings[n] for n in CONTROL_ANCHORS if n in timings},
+            "probe": PROBE_QUERY,
+            "timeline": [
+                [i, v, round(v / anchor_probe, 3)] for i, v in probe_timeline
+            ],
+            "drift_abs": round(drift_abs, 3),
+        }
+        normalized = {
+            n: round(t / drift_at(order_idx[n]), 3)
+            for n, t in timings.items()
+        }
 
     # CDC pipeline metrics — the numbers BASELINE.md actually publishes
     # (throughput to visible, E2E latency, delete propagation); compact run
