@@ -165,21 +165,32 @@ def test_cdc_soak_bounded_state_flat_latency_clean_audit(spark, tmp_path):
     assert live == _python_lww(raw_events)
 
 
-def test_cdc_soak_out_of_order_delivery_never_resurrects(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("grace", [None, 5])
+def test_cdc_soak_out_of_order_delivery_never_resurrects(spark, tmp_path, grace):
     """Adversarial delivery order: within every drain the file mtimes are
     INVERTED, so FileStreamSource processes the highest-seq file FIRST —
     the exact race that resurrected deleted keys under the old max_seq
     sweep horizon (a delete at seq 415 was GC'd while the insert at seq 403
     for the same key was still in flight).  The contiguous watermark must
     hold the tombstones until every lower seq commits, keep the audit
-    clean, and STILL sweep once the gaps close (bounded tombstones)."""
+    clean, and STILL sweep once the gaps close (bounded tombstones).
+
+    Parametrized over the aged-gap grace: with ``gc_reorder_grace_batches``
+    SET (the gappy-source opt-in), reorder gaps still close within the
+    drain (reorder distance <= 3 batches < grace 5), so grace must never
+    cross a gap that is a reordered in-flight file rather than a numbering
+    hole — the interplay the two features must get right together."""
     cfg = CdcLoadConfig(
-        name="t_soak_ooo",
+        name=f"t_soak_ooo_g{grace}",
         source_dir=str(tmp_path / "ev"),
         state_dir=str(tmp_path / "state"),
         checkpoint_dir=str(tmp_path / "ckpt"),
         gc_every_batches=3,
         max_files_per_trigger=1,
+        gc_reorder_grace_batches=grace,
     )
 
     n_drains = 7
