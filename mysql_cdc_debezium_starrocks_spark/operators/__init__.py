@@ -38,21 +38,24 @@ def _fixture_dir() -> str:
 #     compaction hooks — are streaming-lifecycle code outside the query
 #     registry, pytest-verified in test_soak/test_retention/
 #     test_ingest_compaction.)
-# (b) 45 of the 56 never-checked names, i.e. every one that fits after the
-#     anchors and the two new operators below (all green under the
+# (b) 43 of the 56 never-checked names, i.e. every one that fits after the
+#     anchors and the four new operators below (all green under the
 #     byte-strict local gate at sf0.01 AND sf0.001, re-verified this
 #     session).
 # (c) required family anchors with no never-checked member:
 #     window_range_rolling_revenue (window_) and ml_logreg_weights (ml_)
 #     — test_driver_priority_window requires one of each family in-window.
-# (a continued) the round's TWO NEW operators (emb_dim_budget_recall —
+# (a continued) the round's FOUR NEW operators (emb_dim_budget_recall —
 # Matryoshka-style truncated-dim recall gate; join_asof_nearest — the
-# nearest-in-time as-of join) take window slots per the standing
-# new-code-wins-priority policy, displacing the two never-checked names
-# with the closest in-window twins (ts_anomaly_zscore vs ts_anomaly_mad,
-# text_chunk vs the 7-strong text block) to just below the fold.
-# Net: 47 first-time names (>= the verdict's 45 bar; the two new queries
-# are themselves first-time); cumulative driver coverage reaches 181/192.
+# nearest-in-time as-of join; stats_doc_len_profile — exact per-source
+# length percentiles; events_burst_anomaly — robust per-minute rate-spike
+# detection) take window slots per the standing new-code-wins-priority
+# policy, displacing the four never-checked names with the closest
+# in-window twins (ts_anomaly_zscore vs ts_anomaly_mad, text_chunk /
+# text_fingerprint vs the 6-strong text block, events_rollup_cascade vs
+# the 6-strong events block) to just below the fold.
+# Net: 47 first-time names (>= the verdict's 45 bar; the four new queries
+# are themselves first-time); cumulative driver coverage reaches 181/194.
 # The remaining never-checked names sit IMMEDIATELY below the fold —
 # each the nearest twin of an in-window relative — so one more rotation
 # closes the registry.  pack_sequences cannot enter DRIVER_PRIORITY at all (it is
@@ -65,6 +68,7 @@ def _fixture_dir() -> str:
 DRIVER_PRIORITY = (
     # --- (a) changed/new this round ---
     "mix_temperature_sampling", "emb_dim_budget_recall", "join_asof_nearest",
+    "stats_doc_len_profile", "events_burst_anomaly",
     # --- (c) family anchors with no never-checked member ---
     "window_range_rolling_revenue", "ml_logreg_weights",
     # --- (b) the never-driver-checked tail: TPC-H stragglers ---
@@ -74,7 +78,7 @@ DRIVER_PRIORITY = (
     "timeseries_gapfill", "merge_upsert_orders",
     # --- (b) events family ---
     "events_retention", "events_json_props", "events_funnel",
-    "events_rollup_cascade", "events_transitions", "events_top_paths",
+    "events_transitions", "events_top_paths",
     "events_conversion_within_hour",
     # --- (b) embeddings / ANN family (emb_pca_project is rows-only by
     # design — eigenvector sign is engine-dependent — and cannot enter
@@ -88,7 +92,7 @@ DRIVER_PRIORITY = (
     "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_keep_canonical",
     "corpus_split_leakage_safe", "dedup_cross_source_matrix",
     # --- (b) text family ---
-    "text_perplexity", "text_vocab_growth", "text_fingerprint",
+    "text_perplexity", "text_vocab_growth",
     "text_inverted_index", "text_decontaminate", "text_pii_redact",
     "text_normalize",
     # --- (b) multimodal ---
@@ -101,6 +105,7 @@ DRIVER_PRIORITY = (
     # deferrals (sketch_approx_distinct/emb_pca_project/pack_sequences are
     # rows-only by design and excluded from the oracle-backed list) ---
     "ts_anomaly_zscore", "text_chunk",
+    "events_rollup_cascade", "text_fingerprint",
     "events_weekday_profile", "text_bigram_topk",
     "text_repetition", "dedup_exact_groups", "emb_norm_stats",
     "stats_corr_price_qty",

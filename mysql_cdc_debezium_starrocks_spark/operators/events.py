@@ -600,3 +600,105 @@ ORACLE["events_dau_wau"] = """
            (dau.dau * 1000000 // wau.wau)::BIGINT AS stickiness_ppm
     FROM dau JOIN wau ON dau.day = wau.day
 """
+
+
+def events_burst_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst detector: per-MINUTE event counts flagged against a
+    robust median/MAD baseline of the whole minute series — the rate twin
+    of ``ts_anomaly_mad`` (which hunts VALUE outliers per user; this hunts
+    LOAD spikes and ingest stalls, the thing an on-call dashboard alerts
+    on).  Same exact-integer scheme: counts are already integral, med2 =
+    the sum of the two middle order statistics of the minute counts, dev2 =
+    |2c - med2|, mad4 = 2x median of dev2, and a burst is the pure-integer
+    comparison ``2*dev2 > 3*mad4``.
+
+    Scale shape: ONE partial-agg'd groupBy collapses events to the minute
+    series, and everything after runs on |minutes| rows — bounded by the
+    WALL-CLOCK span (1,440/day, ~526k/year), NOT by data volume, so the
+    two unpartitioned rank windows are constant-size frames at any corpus
+    scale (the documented bounded-window idiom, cf. vocab coverage).
+    Minutes with zero events do not appear (no rows to count); gap-fill
+    belongs to ``timeseries_gapfill``.
+    """
+    e = load(spark, sf_dir, "events")
+    mc = (
+        e.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute_ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy()
+    m = mc.select(
+        "minute_ts",
+        "c",
+        F.row_number().over(w.orderBy("c", "minute_ts")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    lo, hi = F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
+    med = m.groupBy().agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("c")))
+            + F.sum(F.when(F.col("rn") == hi, F.col("c")))
+        ).cast("long").alias("med2"),
+    )
+    d = m.crossJoin(F.broadcast(med)).select(
+        "minute_ts",
+        "c",
+        "n",
+        "med2",
+        F.abs(F.lit(2) * F.col("c") - F.col("med2")).alias("dev2"),
+    )
+    d2 = d.withColumn(
+        "rn2", F.row_number().over(w.orderBy("dev2", "minute_ts"))
+    )
+    mad = d2.groupBy().agg(
+        (
+            F.sum(F.when(F.col("rn2") == lo, F.col("dev2")))
+            + F.sum(F.when(F.col("rn2") == hi, F.col("dev2")))
+        ).cast("long").alias("mad4"),
+    )
+    return (
+        d2.crossJoin(F.broadcast(mad))
+        .select(
+            "minute_ts",
+            F.col("c").alias("n_events"),
+            F.col("n").cast("long").alias("n_minutes"),
+            "med2",
+            "mad4",
+            (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4")).alias(
+                "is_burst"
+            ),
+        )
+    )
+
+
+QUERIES["events_burst_anomaly"] = events_burst_anomaly
+ORACLE["events_burst_anomaly"] = """
+    WITH mc AS (
+      SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_ts,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT minute_ts, c,
+             row_number() OVER (ORDER BY c, minute_ts) AS rn,
+             count(*) OVER () AS n
+      FROM mc),
+    med AS (
+      SELECT (sum(CASE WHEN rn = (n + 1) // 2 THEN c END)
+              + sum(CASE WHEN rn = (n + 2) // 2 THEN c END))::BIGINT AS med2
+      FROM m),
+    d AS (
+      SELECT m.minute_ts, m.c, m.n, med.med2,
+             abs(2 * m.c - med.med2) AS dev2
+      FROM m, med),
+    d2 AS (
+      SELECT *, row_number() OVER (ORDER BY dev2, minute_ts) AS rn2 FROM d),
+    mad AS (
+      SELECT (sum(CASE WHEN rn2 = (n + 1) // 2 THEN dev2 END)
+              + sum(CASE WHEN rn2 = (n + 2) // 2 THEN dev2 END))::BIGINT
+               AS mad4
+      FROM d2),
+    out AS (
+      SELECT d2.minute_ts, d2.c AS n_events, d2.n::BIGINT AS n_minutes,
+             d2.med2, mad.mad4, (2 * d2.dev2 > 3 * mad.mad4) AS is_burst
+      FROM d2, mad)
+    SELECT * FROM out
+"""

@@ -1628,3 +1628,75 @@ ORACLE["eval_mix_convergence"] = f"""
     FROM kt, tot
 """
 QUERIES["eval_mix_convergence"] = eval_mix_convergence
+
+
+def stats_doc_len_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile with EXACT order-statistic
+    percentiles: n_docs, total tokens, 2x-median (med2), exact p95 token
+    length, and max — the context-length planning table a packing/chunking
+    policy (PACK_BUDGET, CHUNK_TOKENS) is tuned against, and the per-group
+    twin of ``agg_stats``'s interpolating global percentile.
+
+    Exactness: the median is the sum of the two middle order statistics
+    (the ``ts_anomaly_mad`` idiom — integers end-to-end, no interpolation
+    to disagree on) and p95 is the value AT rank ceil(0.95 n) of the
+    ascending sort — a selected element, so tie order cannot change it.
+
+    Scale shape: one rank window + the count, both partitioned by source —
+    a balanced shuffle key; per-source state during the sort is O(1) per
+    row.  (An exact percentile per LOW-cardinality key would hot-spot its
+    partitions; that variant belongs to ``hist_quantile_bins``'s mergeable
+    sketch — same division of labor as ts_anomaly_mad documents.)
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("tok"),
+    )
+    wp = Window.partitionBy("source")
+    m = t.select(
+        "source",
+        "tok",
+        F.row_number().over(wp.orderBy("tok", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo, hi = F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
+    p95_rank = F.expr("(19 * n + 19) div 20")  # = ceil(0.95 n)
+    return (
+        m.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            (
+                F.sum(F.when(F.col("rn") == lo, F.col("tok")))
+                + F.sum(F.when(F.col("rn") == hi, F.col("tok")))
+            ).cast("long").alias("med2"),
+            F.sum(F.when(F.col("rn") == p95_rank, F.col("tok")))
+            .cast("long")
+            .alias("p95_tokens"),
+            F.max("tok").alias("max_tokens"),
+        )
+    )
+
+
+QUERIES["stats_doc_len_profile"] = stats_doc_len_profile
+ORACLE["stats_doc_len_profile"] = f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_W})::BIGINT AS tok FROM documents),
+    m AS (
+      SELECT source, tok,
+             row_number() OVER (PARTITION BY source ORDER BY tok, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM t)
+    SELECT source,
+           max(n)::BIGINT AS n_docs,
+           sum(tok)::BIGINT AS total_tokens,
+           (sum(CASE WHEN rn = (n + 1) // 2 THEN tok END)
+            + sum(CASE WHEN rn = (n + 2) // 2 THEN tok END))::BIGINT AS med2,
+           sum(CASE WHEN rn = (19 * n + 19) // 20 THEN tok END)::BIGINT
+             AS p95_tokens,
+           max(tok)::BIGINT AS max_tokens
+    FROM m GROUP BY source
+"""

@@ -77,3 +77,62 @@ def test_join_asof_nearest_python_replay(spark):
     # both directions actually exercised
     dirs = {v[2] for v in got.values()}
     assert "backward" in dirs and "forward" in dirs
+
+
+def test_stats_doc_len_profile_python_replay(spark):
+    """Exact per-source length percentiles equal a python replay of the
+    order-statistic definitions (med2 = two middle lengths, p95 = value at
+    rank ceil(0.95 n))."""
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        stats_doc_len_profile,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(
+            len([w for w in r.text.lower().split() if w])
+        )
+    expect = {}
+    for src, toks in by_src.items():
+        s = sorted(toks)
+        n = len(s)
+        med2 = s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+        p95 = s[(19 * n + 19) // 20 - 1]
+        expect[src] = (n, sum(s), med2, p95, max(s))
+    got = {
+        r.source: (r.n_docs, r.total_tokens, r.med2, r.p95_tokens, r.max_tokens)
+        for r in stats_doc_len_profile(spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 1
+
+
+def test_events_burst_anomaly_python_replay(spark):
+    """The burst flags equal a python replay of the integer median/MAD
+    scheme over per-minute counts; the baseline columns are constant."""
+    from mysql_cdc_debezium_starrocks_spark.catalog import load
+    from mysql_cdc_debezium_starrocks_spark.operators.events import (
+        events_burst_anomaly,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").collect()
+    counts: dict = {}
+    for r in ev:
+        counts[r.ts.replace(second=0, microsecond=0)] = (
+            counts.get(r.ts.replace(second=0, microsecond=0), 0) + 1
+        )
+    cs = sorted(counts.values())
+    n = len(cs)
+    med2 = cs[(n + 1) // 2 - 1] + cs[(n + 2) // 2 - 1]
+    devs = sorted(abs(2 * c - med2) for c in counts.values())
+    mad4 = devs[(n + 1) // 2 - 1] + devs[(n + 2) // 2 - 1]
+    expect = {
+        m: (c, n, med2, mad4, 2 * abs(2 * c - med2) > 3 * mad4)
+        for m, c in counts.items()
+    }
+    got = {
+        r.minute_ts: (r.n_events, r.n_minutes, r.med2, r.mad4, r.is_burst)
+        for r in events_burst_anomaly(spark, SF_SMOKE).collect()
+    }
+    assert got == expect and n > 100

@@ -118,6 +118,8 @@ CASES = {
     # round-5 additions: every new operator gets a row BEFORE it ships
     "emb_dim_budget_recall": ("operators.similarity", ["embeddings"]),
     "join_asof_nearest": ("operators.temporal", ["events"]),
+    "stats_doc_len_profile": ("operators.stats", ["documents"]),
+    "events_burst_anomaly": ("operators.events", ["events"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
