@@ -53,6 +53,13 @@ HEADLINE = [
         "inequality-join explosion.",
     ),
     (
+        "join_asof_nearest",
+        "Nearest as-of join: the same single key shuffle and ONE sort "
+        "serving both direction carries (backward last(), forward first() "
+        "over the identical window order); direction pick is map-side "
+        "millisecond arithmetic.",
+    ),
+    (
         "ann_ivf_topk",
         "IVF ANN: centroid scoring map-only against broadcast centroids, "
         "cell argmax via partial max_by (one row per vector on the wire).",
