@@ -178,6 +178,41 @@ def test_fold_crash_mid_compaction_is_invisible(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "baseline", "v=1", "_COMMITTED"))
 
 
+def test_fold_crash_after_commit_before_gc_never_double_counts(spark, tmp_path):
+    """The OTHER crash window: the baseline committed (marker written) but
+    the absorbed batch dirs were not yet deleted.  Readers must serve each
+    row exactly once — folded ids are excluded from the live listing even
+    while their dirs still exist — and the next fold finishes the cleanup."""
+    import shutil
+
+    root = str(tmp_path / "store")
+    for i in range(5):
+        spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "v").write.parquet(
+            os.path.join(root, f"batch={i}")
+        )
+    before = sorted(
+        r.v for r in spark.read.parquet(*read_fold_paths(root)).collect()
+    )
+    # run a real fold, then simulate the crash by RESTORING an absorbed dir
+    # (equivalent state: marker committed, dir deletion never ran)
+    fold_verbatim(spark, root, keep_last=2)  # folds 0, 1, 2
+    spark.range(0, 10).withColumnRenamed("id", "v").write.parquet(
+        os.path.join(root, "batch=0")
+    )
+    assert numbered_ids(root) == [0, 3, 4]  # dir exists on disk...
+    got = sorted(r.v for r in spark.read.parquet(*read_fold_paths(root)).collect())
+    assert got == before  # ...but is NOT served twice
+    # the next fold absorbs nothing new below keep_last=2... but must also
+    # not resurrect batch 0: its id stays in the committed manifest
+    fold_verbatim(spark, root, keep_last=1)  # folds 3 (0 already folded)
+    got = sorted(r.v for r in spark.read.parquet(*read_fold_paths(root)).collect())
+    assert got == before
+    shutil.rmtree(os.path.join(root, "batch=0"), ignore_errors=True)
+    assert sorted(
+        r.v for r in spark.read.parquet(*read_fold_paths(root)).collect()
+    ) == before
+
+
 def test_fold_ahead_of_replay_horizon_is_refused(spark, tmp_path):
     """read_fold_paths(before=b) must raise if the committed baseline holds
     batch ids >= b — serving it would double-count the replaying batch."""
