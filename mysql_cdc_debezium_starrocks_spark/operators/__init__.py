@@ -54,8 +54,8 @@ def _fixture_dir() -> str:
 # in-window twins (ts_anomaly_zscore vs ts_anomaly_mad, text_chunk /
 # text_fingerprint vs the 6-strong text block, events_rollup_cascade vs
 # the 6-strong events block) to just below the fold.
-# Net: 47 first-time names (>= the verdict's 45 bar; the four new queries
-# are themselves first-time); cumulative driver coverage reaches 181/194.
+# Net: 47 first-time names (>= the verdict's 45 bar; the nine new queries
+# are themselves first-time); cumulative driver coverage reaches 181/199.
 # The remaining never-checked names sit IMMEDIATELY below the fold —
 # each the nearest twin of an in-window relative — so one more rotation
 # closes the registry.  pack_sequences cannot enter DRIVER_PRIORITY at all (it is
@@ -69,17 +69,29 @@ DRIVER_PRIORITY = (
     # --- (a) changed/new this round ---
     "mix_temperature_sampling", "emb_dim_budget_recall", "join_asof_nearest",
     "stats_doc_len_profile", "events_burst_anomaly",
+    # --- (a continued) the round's second wave of NEW operators (each
+    # parity-green at sf0.001 AND sf0.01, python-replay tested in
+    # test_r5b_ops.py): BM25 ranking, DSIR importance weights,
+    # Efraimidis–Spirakis weighted sampling, per-source KL divergence,
+    # and the quality-threshold sweep.  Per new-code-wins they take
+    # window slots, displacing five never-checked tail names to JUST
+    # below the fold, each with its nearest twin still in-window
+    # (text_normalize ~ text_pii_redact; mm_resize ~ mm_frame_sample;
+    # events_conversion_within_hour ~ events_funnel; join_range ~
+    # join_asof; ts_anomaly_mad ~ events_burst_anomaly, its rate twin).
+    # Net: window first-time count stays 47 (38 tail + 9 new).
+    "text_bm25_topk", "mix_dsir_weights", "sample_weighted_priority",
+    "stats_kl_by_source", "eval_quality_threshold_sweep",
     # --- (c) family anchors with no never-checked member ---
     "window_range_rolling_revenue", "ml_logreg_weights",
     # --- (b) the never-driver-checked tail: TPC-H stragglers ---
     "q12_late_shipments", "q13_order_distribution",
     # --- (b) CDC + temporal/join family ---
-    "cdc_diff_window", "ts_anomaly_mad", "join_asof", "join_range",
+    "cdc_diff_window", "join_asof",
     "timeseries_gapfill", "merge_upsert_orders",
     # --- (b) events family ---
     "events_retention", "events_json_props", "events_funnel",
     "events_transitions", "events_top_paths",
-    "events_conversion_within_hour",
     # --- (b) embeddings / ANN family (emb_pca_project is rows-only by
     # design — eigenvector sign is engine-dependent — and cannot enter
     # the oracle-backed priority list; it trails in module order) ---
@@ -94,16 +106,18 @@ DRIVER_PRIORITY = (
     # --- (b) text family ---
     "text_perplexity", "text_vocab_growth",
     "text_inverted_index", "text_decontaminate", "text_pii_redact",
-    "text_normalize",
     # --- (b) multimodal ---
-    "mm_frame_sample", "mm_audio_energy", "mm_resize",
+    "mm_frame_sample", "mm_audio_energy",
     # --- (b) stats / sampling / sets ---
     "sample_shuffle_prefix", "mix_sample_apply", "hist_quantile_bins",
     "stats_key_skew", "set_intersect_except",
     # ^-- 50-slot window ends here --------------------------------------
     # --- the remaining never-checked oracle-backed names, nearest-twin
     # deferrals (sketch_approx_distinct/emb_pca_project/pack_sequences are
-    # rows-only by design and excluded from the oracle-backed list) ---
+    # rows-only by design and excluded from the oracle-backed list); the
+    # five displaced by this round's second-wave operators lead ---
+    "ts_anomaly_mad", "join_range", "events_conversion_within_hour",
+    "text_normalize", "mm_resize",
     "ts_anomaly_zscore", "text_chunk",
     "events_rollup_cascade", "text_fingerprint",
     "events_weekday_profile", "text_bigram_topk",

@@ -1700,3 +1700,236 @@ ORACLE["stats_doc_len_profile"] = f"""
            max(tok)::BIGINT AS max_tokens
     FROM m GROUP BY source
 """
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority keys
+    (Efraimidis–Spirakis A-ES): each doc draws u = hash-uniform(0,1] and
+    ranks by u^(1/w) — taking the top-k yields an exact weighted
+    without-replacement sample, the standard trick for "sample 10M docs
+    proportional to token count" on a cluster (one pass, no sequential
+    state, reproducible across runs/engines because u comes from the
+    portable hash, not rand()).
+
+    Integer form: maximizing u^(1/w) == minimizing -ln(u)/w, and with
+    u = (h+1)/2^32 the cost is (QLN32 - qln(h+1))/w — all quantities
+    pre-quantized micro-nat integers, so the ranking is bit-identical on
+    any engine (cost >= 0 keeps the truncating division sign-trivial).
+    Weight = n_chars (already a column: no tokenize pass needed to rank).
+
+    Scale shape: ONE scan computing the key map-side, then global top-k =
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge) — no
+    shuffle, no sort of the corpus.  This is the pattern that holds at
+    100 TB: the only cross-executor traffic is k rows per partition.
+    (Plain ``load``, not ``load_spread``: the per-row work is one md5 —
+    a spreading repartition would be the plan's ONLY exchange.)
+    """
+    d = load(spark, sf_dir, "documents")
+    # QLN32 = round(ln(2^32) * 1e6); ln(h+1) <= ln(2^32) so cost >= 0
+    qln32 = 22180710
+    h = phash32(F.col("doc_id"), "wrs")
+    qln_h = F.round(F.log((h + F.lit(1)).cast("double")) * 1e6).cast("long")
+    cost = F.expr(
+        f"(({qln32} - qln_h) * 1000000) div greatest(w, 1)"
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("w"),
+            qln_h.alias("qln_h"),
+        )
+        .select("doc_id", "source", "w", cost.alias("cost_q"))
+        .orderBy("cost_q", "doc_id")
+        .limit(20)
+    )
+
+
+QUERIES["sample_weighted_priority"] = sample_weighted_priority
+ORACLE["sample_weighted_priority"] = f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars AS w,
+             CAST(round(ln(({phash32_sql("CAST(doc_id AS VARCHAR)", "wrs")}
+                            + 1)::DOUBLE) * 1e6) AS BIGINT) AS qln_h
+      FROM documents)
+    SELECT doc_id, source, w,
+           ((22180710 - qln_h) * 1000000) // greatest(w, 1) AS cost_q
+    FROM d
+    ORDER BY cost_q, doc_id
+    LIMIT 20
+"""
+
+
+def stats_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(P_source || P_corpus) over unigram
+    token distributions, in micro-nats — the distribution-shift number a
+    mixture dashboard tracks next to entropy: a source whose token
+    distribution drifts far from the corpus (templated boilerplate, wrong
+    language, machine spam) scores high long before a human samples it.
+
+    No smoothing is needed: every source term is by construction in the
+    corpus support, so the ratio is finite.  Exact integers end-to-end via
+    the quantized-log decomposition (the entropy/perplexity idiom):
+    KL = sum_t c_st*((qln c_st - qln T_s) - (qln C_t - qln T)) / T_s with
+    every log pre-quantized to 1e-6 nat, integer sums, truncating division.
+
+    Scale shape: one explode, one (source, term) partial agg; the term
+    margin and source margin both derive from that |sources|x|vocab| table
+    (never rescanning the corpus); the corpus total rides an un-ordered
+    global window over the |vocab|-row margin (the text_perplexity
+    pattern).  The scoring join is vocab-sized, AQE-broadcastable.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    terms = d.select("source", F.explode(words(F.col("text"))).alias("term"))
+    st = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    ct = (
+        st.groupBy("term")
+        .agg(F.sum("c").alias("ct"))
+        .withColumn("t_all", F.sum("ct").over(Window.partitionBy()))
+    )
+    ts = st.groupBy("source").agg(F.sum("c").alias("t_src"))
+    q = lambda col: F.round(F.log(col.cast("double")) * 1e6).cast("long")
+    scored = (
+        st.join(ct, "term")
+        .join(ts, "source")
+        .select(
+            "source",
+            "c",
+            "t_src",
+            (
+                (q(F.col("c")) - q(F.col("t_src")))
+                - (q(F.col("ct")) - q(F.col("t_all")))
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.max("t_src").alias("n_tokens"),
+        F.expr("sum(c * lr) div max(t_src)").cast("long").alias("kl_micro_nats"),
+    )
+
+
+QUERIES["stats_kl_by_source"] = stats_kl_by_source
+ORACLE["stats_kl_by_source"] = f"""
+    WITH d AS (SELECT source, {_W} AS w FROM documents),
+    terms AS (SELECT source, t.term FROM d, LATERAL unnest(w) AS t(term)),
+    st AS (SELECT source, term, count(*) AS c FROM terms GROUP BY source, term),
+    ct AS (SELECT term, sum(c) AS ct, sum(sum(c)) OVER () AS t_all
+           FROM st GROUP BY term),
+    ts AS (SELECT source, sum(c) AS t_src FROM st GROUP BY source),
+    scored AS (
+      SELECT st.source, st.c, ts.t_src,
+             (CAST(round(ln(st.c::DOUBLE) * 1e6) AS BIGINT)
+              - CAST(round(ln(ts.t_src::DOUBLE) * 1e6) AS BIGINT))
+             - (CAST(round(ln(ct.ct::DOUBLE) * 1e6) AS BIGINT)
+                - CAST(round(ln(ct.t_all::DOUBLE) * 1e6) AS BIGINT)) AS lr
+      FROM st JOIN ct ON st.term = ct.term JOIN ts ON st.source = ts.source)
+    SELECT source, max(t_src)::BIGINT AS n_tokens,
+           (sum(c * lr) // max(t_src))::BIGINT AS kl_micro_nats
+    FROM scored GROUP BY source
+"""
+
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET = "src0"  # fixture sources are src0..src19 at every SF
+
+
+def mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every raw document by how target-like its hashed-bigram profile
+    is — log p_target(doc)/p_raw(doc) under bag-of-hashed-ngram models —
+    the standard cheap proxy for "select web data that looks like the
+    high-quality seed corpus".  Target = DSIR_TARGET's docs, raw = the
+    rest; features are bigrams hashed into DSIR_BUCKETS buckets (the
+    paper's 10k-bucket recipe scaled to the fixture).
+
+    Integer exactness: bucket log-probabilities use add-1 smoothing and
+    the quantized-log decomposition — lr_b = (qln(ct+1) - qln(Tt+B)) -
+    (qln(cr+1) - qln(Tr+B)) micro-nats; a doc's weight is the exact
+    integer sum of its grams' lr (negatives fine: both engines' integer
+    division truncates toward zero, and no division happens before the
+    final per-source mean).  Output is the per-source selection profile
+    (mean/min/max importance) — the table that says which raw sources
+    would survive resampling toward the target.
+
+    Scale shape: one gram explode -> (bucket) partial agg with conditional
+    sums (B rows out); totals ride an un-ordered window over the B-row
+    bucket table; the scoring join is doc-grams x B-row broadcast; then
+    one per-source agg.  Nothing wider than B=4096 rows ever sits on one
+    node; the gram explode is the same volume MinHash already shuffles.
+    """
+    from ..functions import word_grams
+
+    d = load_spread(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_grams(words(F.col("text")), 2)).alias("g"),
+    ).select(
+        "doc_id", "source", (phash32(F.col("g"), "dsir") % DSIR_BUCKETS).alias("b")
+    )
+    is_t = F.col("source") == DSIR_TARGET
+    bt = grams.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
+    )
+    w = Window.partitionBy()
+    q = lambda col: F.round(F.log(col.cast("double")) * 1e6).cast("long")
+    lr = bt.select(
+        "b",
+        (
+            (q(F.col("ct") + 1) - q(F.sum("ct").over(w) + DSIR_BUCKETS))
+            - (q(F.col("cr") + 1) - q(F.sum("cr").over(w) + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    doc_w = (
+        grams.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr").alias("w_micro"))
+    )
+    return doc_w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(w_micro) div count(1)").cast("long").alias("mean_w_micro"),
+        F.min("w_micro").alias("min_w_micro"),
+        F.max("w_micro").alias("max_w_micro"),
+    )
+
+
+QUERIES["mix_dsir_weights"] = mix_dsir_weights
+
+
+def _dsir_oracle() -> str:
+    from ..functions import word_grams_sql
+
+    h = phash32_sql("g", "dsir")
+    return f"""
+    WITH d AS (SELECT doc_id, source, {_W} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, source, ({h}) % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, source, t.g
+            FROM d, LATERAL unnest({word_grams_sql("w", 2)}) AS t(g))),
+    bt AS (
+      SELECT b,
+             sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN source = '{DSIR_TARGET}' THEN 0 ELSE 1 END) AS cr
+      FROM grams GROUP BY b),
+    lr AS (
+      SELECT b,
+             (CAST(round(ln((ct + 1)::DOUBLE) * 1e6) AS BIGINT)
+              - CAST(round(ln((sum(ct) OVER () + {DSIR_BUCKETS})::DOUBLE) * 1e6) AS BIGINT))
+             - (CAST(round(ln((cr + 1)::DOUBLE) * 1e6) AS BIGINT)
+                - CAST(round(ln((sum(cr) OVER () + {DSIR_BUCKETS})::DOUBLE) * 1e6) AS BIGINT))
+               AS lr
+      FROM bt),
+    doc_w AS (
+      SELECT grams.doc_id, grams.source, sum(lr.lr) AS w_micro
+      FROM grams JOIN lr ON grams.b = lr.b
+      GROUP BY grams.doc_id, grams.source)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           (sum(w_micro) // count(*))::BIGINT AS mean_w_micro,
+           min(w_micro)::BIGINT AS min_w_micro,
+           max(w_micro)::BIGINT AS max_w_micro
+    FROM doc_w GROUP BY source
+    """
+
+
+ORACLE["mix_dsir_weights"] = _dsir_oracle()

@@ -1498,3 +1498,200 @@ ORACLE["text_boilerplate_prefix"] = f"""
            ((t.n_docs * 1000000) // tt.n_total)::BIGINT AS share_ppm
     FROM top1 t JOIN totals tt ON t.source = tt.source
 """
+
+
+BM25_QUERY = ("hash", "join", "window", "scan")
+BM25_TOPK = 10
+# k1 = 1.2, b = 0.75 in thousandths (integer arithmetic end-to-end)
+_BM25_K1_Q = 1200
+_BM25_B_Q = 750
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query — the lexical retrieval
+    scorer every RAG/eval pipeline runs next to its ANN index (tf-idf's
+    production successor: tf saturation via k1, length normalization via
+    b).  Returns the top-k docs for ``BM25_QUERY`` with their integer
+    micro-scores.
+
+    Integer exactness: idf is pre-quantized (round(ln((N-df+.5)/(df+.5)+1)
+    * 1e6)); the saturation fraction tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    is evaluated in thousandths with truncating division, so scores are
+    bit-identical across engines and the (score desc, doc_id) order is
+    total.
+
+    Scale shape: tokens are filtered to the |Q| query terms BEFORE the
+    per-doc tf agg (the explode never shuffles non-query terms); df and
+    avgdl are |Q|-row / 1-row broadcast aggregates; the final top-k is
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver) —
+    no global sort.  At 100 TB an inverted index (text_inverted_index)
+    would replace the scan, but the scoring algebra is unchanged.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(words(F.col("text"))).alias("dl"),
+        F.explode(words(F.col("text"))).alias("term"),
+    )
+    qt = toks.filter(F.col("term").isin(*BM25_QUERY))
+    tf = qt.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words(F.col("text")))).alias("sum_dl"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * 1e6
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl_mil", F.expr("(sum_dl * 1000) div n_docs"))
+        .withColumn("idf_q", idf)
+        .withColumn(
+            "lnorm_q",
+            F.expr(
+                f"{1000 - _BM25_B_Q} + ({_BM25_B_Q} * dl * 1000) div avgdl_mil"
+            ),
+        )
+        .withColumn(
+            "s_micro",
+            F.expr(
+                f"(idf_q * tf * ({_BM25_K1_Q} + 1000)) div"
+                f" (tf * 1000 + ({_BM25_K1_Q} * lnorm_q) div 1000)"
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s_micro").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.max("dl").alias("dl"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+QUERIES["text_bm25_topk"] = text_bm25_topk
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+    WITH d AS (SELECT doc_id, {_W} AS w FROM documents),
+    toks AS (
+      SELECT doc_id, len(w) AS dl, t.term
+      FROM d, LATERAL unnest(w) AS t(term)
+      WHERE t.term IN ({terms})),
+    tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           FROM toks GROUP BY doc_id, term),
+    stats AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM d),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.tf, tf.dl,
+             CAST(round(ln((stats.n_docs - df.df + 0.5)
+                           / (df.df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_q,
+             (stats.sum_dl * 1000) // stats.n_docs AS avgdl_mil
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats),
+    s2 AS (
+      SELECT doc_id, tf, dl,
+             (idf_q * tf * ({_BM25_K1_Q} + 1000))
+               // (tf * 1000 + ({_BM25_K1_Q}
+                    * ({1000 - _BM25_B_Q} + ({_BM25_B_Q} * dl * 1000)
+                        // avgdl_mil)) // 1000) AS s_micro
+      FROM scored)
+    SELECT doc_id, sum(s_micro)::BIGINT AS score_micro,
+           count(*)::BIGINT AS n_terms_hit, max(dl)::BIGINT AS dl
+    FROM s2 GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+ORACLE["text_bm25_topk"] = _bm25_oracle()
+
+
+QSWEEP_STEP_BP = 2000  # threshold step = 0.2 in quality basis points (1e-4)
+QSWEEP_STEPS = 7  # thresholds 0.0, 0.2, ..., 1.2 (score max = 0.4+0.3+0.3)
+
+
+def eval_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-knob table: for each candidate quality threshold, how
+    many documents and what token share survive ``quality >= thr`` — the
+    one-page answer to "where do we set the filter?" that otherwise takes
+    a rescan per candidate.  Rides the session-memoized ``text_quality``
+    frame, so the corpus is scanned at most once for the whole family.
+
+    Exactness: quality is DECIMAL(7,4), so ``quality * 10000`` is an exact
+    integer; docs bucket by threshold step once and the sweep is a
+    cumulative sum over the (bounded, <= QSWEEP_STEPS) bucket rows — every
+    threshold row is emitted even when empty (left grid join), because a
+    missing row reads as "filter untested" on a dashboard.
+
+    Scale shape: one pass over the quality frame into <= 7 bucket rows;
+    the grid join and cumulative arithmetic touch only those 7 rows — the
+    broadcast-nested-loop is 7x7.  At 100 TB the sweep costs exactly the
+    bucket agg (one shuffle of 7 rows per partition).
+    """
+    q = text_quality(spark, sf_dir).select("doc_id", "n_words", "quality")
+    b = q.select(
+        F.least(
+            F.expr(f"CAST(quality * 10000 AS BIGINT) div {QSWEEP_STEP_BP}"),
+            F.lit(QSWEEP_STEPS - 1),
+        ).alias("b"),
+        "n_words",
+    ).groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("toks")
+    )
+    total = b.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("toks").alias("total_toks")
+    )
+    grid = spark.range(QSWEEP_STEPS).select(F.col("id").alias("t"))
+    kept = (
+        grid.join(F.broadcast(b), F.col("b") >= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs_kept"),
+            F.coalesce(F.sum("toks"), F.lit(0)).alias("tokens_kept"),
+        )
+    )
+    return kept.crossJoin(F.broadcast(total)).select(
+        (F.col("t") * (QSWEEP_STEP_BP // 100)).cast("long").alias("thr_centi"),
+        F.col("n_docs_kept").cast("long").alias("n_docs_kept"),
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        F.expr("(n_docs_kept * 1000000) div total_docs").cast("long")
+        .alias("docs_kept_ppm"),
+        F.expr("(tokens_kept * 1000000) div total_toks").cast("long")
+        .alias("tokens_kept_ppm"),
+    )
+
+
+QUERIES["eval_quality_threshold_sweep"] = eval_quality_threshold_sweep
+ORACLE["eval_quality_threshold_sweep"] = f"""
+    WITH q AS ({{QUALITY}}),
+    b AS (
+      SELECT least(CAST(quality * 10000 AS BIGINT) // {QSWEEP_STEP_BP},
+                   {QSWEEP_STEPS - 1}) AS b,
+             count(*) AS n_docs, sum(n_words) AS toks
+      FROM q GROUP BY 1),
+    total AS (SELECT sum(n_docs) AS total_docs, sum(toks) AS total_toks FROM b),
+    grid AS (SELECT unnest(generate_series(0, {QSWEEP_STEPS - 1})) AS t),
+    kept AS (
+      SELECT grid.t,
+             coalesce(sum(b.n_docs), 0) AS n_docs_kept,
+             coalesce(sum(b.toks), 0) AS tokens_kept
+      FROM grid LEFT JOIN b ON b.b >= grid.t
+      GROUP BY grid.t)
+    SELECT (t * {QSWEEP_STEP_BP // 100})::BIGINT AS thr_centi,
+           n_docs_kept::BIGINT AS n_docs_kept,
+           tokens_kept::BIGINT AS tokens_kept,
+           ((n_docs_kept * 1000000) // total_docs)::BIGINT AS docs_kept_ppm,
+           ((tokens_kept * 1000000) // total_toks)::BIGINT AS tokens_kept_ppm
+    FROM kept, total
+""".replace("{QUALITY}", ORACLE["text_quality"])

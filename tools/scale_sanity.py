@@ -120,6 +120,12 @@ CASES = {
     "join_asof_nearest": ("operators.temporal", ["events"]),
     "stats_doc_len_profile": ("operators.stats", ["documents"]),
     "events_burst_anomaly": ("operators.events", ["events"]),
+    # round-5 second wave
+    "text_bm25_topk": ("operators.text", ["documents"]),
+    "mix_dsir_weights": ("operators.stats", ["documents"]),
+    "sample_weighted_priority": ("operators.stats", ["documents"]),
+    "stats_kl_by_source": ("operators.stats", ["documents"]),
+    "eval_quality_threshold_sweep": ("operators.text", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
