@@ -55,7 +55,7 @@ def _fixture_dir() -> str:
 # text_fingerprint vs the 6-strong text block, events_rollup_cascade vs
 # the 6-strong events block) to just below the fold.
 # Net: 47 first-time names (>= the verdict's 45 bar; the nine new queries
-# are themselves first-time); cumulative driver coverage reaches 181/199.
+# are themselves first-time); cumulative driver coverage reaches 181/202.
 # The remaining never-checked names sit IMMEDIATELY below the fold —
 # each the nearest twin of an in-window relative — so one more rotation
 # closes the registry.  pack_sequences cannot enter DRIVER_PRIORITY at all (it is
@@ -82,6 +82,14 @@ DRIVER_PRIORITY = (
     # Net: window first-time count stays 47 (38 tail + 9 new).
     "text_bm25_topk", "mix_dsir_weights", "sample_weighted_priority",
     "stats_kl_by_source", "eval_quality_threshold_sweep",
+    # --- (a continued) wave 3: the oracle-checkable portable HLL (the
+    # exact-register twin of rows-only sketch_approx_distinct), the
+    # eval-side n-gram coverage profile, and embedding outlier QA.  Same
+    # displacement rule (hist_quantile_bins ~ stats_doc_len_profile;
+    # stats_key_skew ~ stats_kl_by_source; sample_shuffle_prefix ~
+    # sample_weighted_priority); first-time count stays 47 (35 tail
+    # + 12 new).
+    "sketch_hll_portable", "text_ngram_coverage", "emb_outlier_zscore",
     # --- (c) family anchors with no never-checked member ---
     "window_range_rolling_revenue", "ml_logreg_weights",
     # --- (b) the never-driver-checked tail: TPC-H stragglers ---
@@ -109,15 +117,15 @@ DRIVER_PRIORITY = (
     # --- (b) multimodal ---
     "mm_frame_sample", "mm_audio_energy",
     # --- (b) stats / sampling / sets ---
-    "sample_shuffle_prefix", "mix_sample_apply", "hist_quantile_bins",
-    "stats_key_skew", "set_intersect_except",
+    "mix_sample_apply", "set_intersect_except",
     # ^-- 50-slot window ends here --------------------------------------
     # --- the remaining never-checked oracle-backed names, nearest-twin
     # deferrals (sketch_approx_distinct/emb_pca_project/pack_sequences are
     # rows-only by design and excluded from the oracle-backed list); the
-    # five displaced by this round's second-wave operators lead ---
+    # eight displaced by this round's second/third-wave operators lead ---
     "ts_anomaly_mad", "join_range", "events_conversion_within_hour",
     "text_normalize", "mm_resize",
+    "hist_quantile_bins", "stats_key_skew", "sample_shuffle_prefix",
     "ts_anomaly_zscore", "text_chunk",
     "events_rollup_cascade", "text_fingerprint",
     "events_weekday_profile", "text_bigram_topk",

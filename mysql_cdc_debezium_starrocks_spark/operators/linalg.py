@@ -311,3 +311,86 @@ QUERIES = {
     "emb_norm_stats": emb_norm_stats,
     "emb_centroid_by_label": emb_centroid_by_label,
 }
+
+
+OUTLIER_TOPK = 20
+
+
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per-dimension z-scores from
+    EXACT integer moments, each vector scored by its worst dimension —
+    the embedding-table QA pass that surfaces corrupt rows (bad decode,
+    wrong scaling, dead model head) before they poison an ANN index or a
+    SemDeDup run.
+
+    Exactness: elements are pre-quantized to integer micro-units
+    (round(x*1e6) — float->double widening is exact and both engines
+    round doubles half-away-from-zero), so per-dim sum/sum-of-squares are
+    exact int64 (max |x_q| ~ 5e5, squared 2.5e11, x 1e5 rows = 2.5e16
+    << 2^63); sigma = floor(sqrt(biased var)) rides the correctly-rounded
+    IEEE sqrt (the mix_temperature idiom); scores are milli-sigmas with
+    truncating division.
+
+    Scale shape: one posexplode -> d-row partial-agg moments (map-side
+    combinable; the shuffle carries d rows per task), broadcast back onto
+    the element stream, one per-vector MAX agg, then global top-k =
+    TakeOrderedAndProject.  Nothing wider than d rows is ever centralized.
+    """
+    emb = load_spread(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("k", "x"),
+    ).select("vec_id", "k", F.round(F.col("x") * 1e6).cast("long").alias("xq"))
+    mom = (
+        el.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xq").alias("sx"),
+            F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        )
+        .select(
+            "k",
+            F.expr("sx div n").alias("mean_q"),
+            F.expr(
+                "CAST(floor(sqrt(CAST(sxx div n - (sx div n) * (sx div n)"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("sigma_q"),
+        )
+    )
+    scored = (
+        el.join(F.broadcast(mom), "k")
+        .select(
+            "vec_id",
+            F.expr("(abs(xq - mean_q) * 1000) div greatest(sigma_q, 1)")
+            .alias("z_milli"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("z_milli").cast("long").alias("max_z_milli"))
+    )
+    return scored.orderBy(F.col("max_z_milli").desc(), "vec_id").limit(
+        OUTLIER_TOPK
+    )
+
+
+QUERIES["emb_outlier_zscore"] = emb_outlier_zscore
+ORACLE["emb_outlier_zscore"] = f"""
+    WITH el AS (
+      SELECT vec_id, i - 1 AS k,
+             CAST(round(embedding[i]::DOUBLE * 1e6) AS BIGINT) AS xq
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding)))
+             AS t(i)),
+    mom AS (
+      SELECT k, sum(xq) // count(*) AS mean_q,
+             CAST(floor(sqrt((sum(xq * xq) // count(*)
+                   - (sum(xq) // count(*)) * (sum(xq) // count(*)))::DOUBLE))
+                  AS BIGINT) AS sigma_q
+      FROM el GROUP BY k),
+    scored AS (
+      SELECT el.vec_id,
+             max((abs(el.xq - mom.mean_q) * 1000)
+                 // greatest(mom.sigma_q, 1)) AS max_z_milli
+      FROM el JOIN mom ON el.k = mom.k
+      GROUP BY el.vec_id)
+    SELECT vec_id, max_z_milli::BIGINT AS max_z_milli
+    FROM scored ORDER BY max_z_milli DESC, vec_id LIMIT {OUTLIER_TOPK}
+"""

@@ -582,3 +582,139 @@ ORACLE = {
     "sketch_theta_containment": _CONTAIN_ORACLE,
     # sketch_approx_distinct: intentionally no oracle (HLL is engine-specific)
 }
+
+
+HLL_P = 10  # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+_HLL_REM_BITS = 32 - HLL_P  # 22-bit remainder per item
+_HLL_S = _HLL_REM_BITS + 1  # scale exponent: rho ranges 1.._HLL_S
+# alpha_m in ppm for m=1024: 0.7213 / (1 + 1.079/m)
+_HLL_ALPHA_PPM = 720541
+
+
+def _bitlen_case(expr: str) -> str:
+    """Exact bit-length of a < 2^22 nonnegative integer as a portable CASE
+    ladder (identical SQL text runs on Spark and DuckDB — no reliance on
+    log2() being correctly rounded at powers of two, which neither engine
+    guarantees)."""
+    branches = " ".join(
+        f"WHEN ({expr}) >= {1 << (b - 1)} THEN {b}"
+        for b in range(_HLL_REM_BITS, 0, -1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate that is ORACLE-CHECKABLE — the
+    cross-engine-exact twin of ``sketch_approx_distinct`` (whose native
+    HLL++ registers are engine-private, so the driver can only rows-check
+    it).  Built on the portable hash: register = top HLL_P hash bits,
+    rho = leading-zero rank of the 22-bit remainder (exact CASE-ladder
+    bit-length, no float log), registers merge by MAX — the mergeable-
+    sketch contract that lets 1000 executors sketch partitions
+    independently and combine in one reduce.
+
+    The harmonic denominator is kept EXACT: sum over registers of
+    2^(S - M_j) is an integer (empty registers contribute 2^S), so the
+    raw estimate alpha*m^2*2^S/sum is two truncating integer divisions
+    and the small-range linear-counting correction m*ln(m/V) uses the
+    quantized-log idiom.  Every intermediate is deterministic on any
+    engine — the whole sketch, not just its error bound, sits under the
+    byte-strict parity gate.  At sf0.01 the estimator runs in the raw-HLL
+    regime (~15k distinct orderkeys); at sf0.001 it crosses into the
+    linear-counting branch (~1.5k < 2.5m) — both branches parity-pinned.
+
+    Scale shape: one scan -> 1024-row register agg (map-side combinable
+    MAX) -> 1-row arithmetic; the exact countDistinct alongside is the
+    verification leg, same as the other sketch gates.
+    """
+    o = load(spark, sf_dir, "orders")
+    h = phash32(F.col("o_orderkey"), "hll")
+    items = o.select(
+        (h / (1 << _HLL_REM_BITS)).cast("long").alias("idx"),
+        (h % (1 << _HLL_REM_BITS)).alias("rem"),
+    )
+    regs = items.select(
+        "idx",
+        F.expr(f"{_HLL_S} - ({_bitlen_case('rem')})").alias("rho"),
+    ).groupBy("idx").agg(F.max("rho").alias("mr"))
+    sk = regs.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_S} - mr)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = o.agg(F.countDistinct("o_orderkey").alias("n_exact"))
+    qln = lambda e: f"CAST(round(ln(CAST(({e}) AS DOUBLE)) * 1e6) AS BIGINT)"
+    n1 = _HLL_ALPHA_PPM * (HLL_M * HLL_M) * (1 << _HLL_S)
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .withColumn(
+            "sum_scaled",
+            F.expr(f"s_present + ({HLL_M} - n_present) * {1 << _HLL_S}"),
+        )
+        .withColumn("n_zero_regs", F.expr(f"{HLL_M} - n_present"))
+        .withColumn("est_raw", F.expr(f"({n1} div sum_scaled) div 1000000"))
+        .withColumn(
+            "est_hll",
+            F.expr(
+                f"CASE WHEN est_raw <= {(5 * HLL_M) // 2} AND n_zero_regs > 0"
+                f" THEN ({HLL_M} * ({qln(HLL_M)} - {qln('n_zero_regs')}))"
+                f" div 1000000 ELSE est_raw END"
+            ),
+        )
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            F.col("n_exact").cast("long"),
+            F.col("n_zero_regs").cast("long"),
+            F.col("est_raw").cast("long"),
+            F.col("est_hll").cast("long"),
+            F.expr("((est_hll - n_exact) * 1000000) div n_exact")
+            .cast("long")
+            .alias("err_ppm"),
+        )
+    )
+
+
+QUERIES["sketch_hll_portable"] = sketch_hll_portable
+
+
+def _hll_oracle() -> str:
+    h = phash32_sql("CAST(o_orderkey AS VARCHAR)", "hll")
+    qln = lambda e: f"CAST(round(ln(({e})::DOUBLE) * 1e6) AS BIGINT)"
+    n1 = _HLL_ALPHA_PPM * (HLL_M * HLL_M) * (1 << _HLL_S)
+    return f"""
+    WITH items AS (
+      SELECT ({h}) // {1 << _HLL_REM_BITS} AS idx,
+             ({h}) % {1 << _HLL_REM_BITS} AS rem
+      FROM orders),
+    regs AS (
+      SELECT idx, max({_HLL_S} - ({_bitlen_case('rem')})) AS mr
+      FROM items GROUP BY idx),
+    sk AS (
+      SELECT sum((1::BIGINT << ({_HLL_S} - mr)))::BIGINT AS s_present,
+             count(*) AS n_present
+      FROM regs),
+    exact AS (SELECT count(DISTINCT o_orderkey) AS n_exact FROM orders),
+    c AS (
+      SELECT n_exact,
+             s_present + ({HLL_M} - n_present) * {1 << _HLL_S} AS sum_scaled,
+             {HLL_M} - n_present AS n_zero_regs
+      FROM sk, exact),
+    e AS (
+      SELECT *, ({n1} // sum_scaled) // 1000000 AS est_raw FROM c),
+    f AS (
+      SELECT *,
+             CASE WHEN est_raw <= {(5 * HLL_M) // 2} AND n_zero_regs > 0
+                  THEN ({HLL_M} * ({qln(str(HLL_M))} - {qln('n_zero_regs')}))
+                       // 1000000
+                  ELSE est_raw END AS est_hll
+      FROM e)
+    SELECT {HLL_M}::BIGINT AS m, n_exact::BIGINT AS n_exact,
+           n_zero_regs::BIGINT AS n_zero_regs, est_raw::BIGINT AS est_raw,
+           est_hll::BIGINT AS est_hll,
+           (((est_hll - n_exact) * 1000000) // n_exact)::BIGINT AS err_ppm
+    FROM f
+    """
+
+
+ORACLE["sketch_hll_portable"] = _hll_oracle()

@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_spread
 from ..functions import (
+    phash60,
     WORDS_SQL,
     phash32,
     phash32_sql,
@@ -1695,3 +1696,83 @@ ORACLE["eval_quality_threshold_sweep"] = f"""
            ((tokens_kept * 1000000) // total_toks)::BIGINT AS tokens_kept_ppm
     FROM kept, total
 """.replace("{QUALITY}", ORACLE["text_quality"])
+
+
+def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc benchmark coverage: for each held-out eval document,
+    the fraction of its distinct 4-grams that also appear somewhere in the
+    training split — ``text_decontaminate`` viewed from the eval side (the
+    leakage PROFILE: an eval doc near 1e6 ppm is memorizable from training
+    data and should be rotated out of the benchmark).
+
+    Scale shape chosen for a 100 TB training split: the eval gram set is
+    small and BROADCASTS; the training gram stream map-side inner-joins
+    against it, and only the MATCHES (bounded by |eval grams|, not by the
+    corpus) reach the distinct — the training side is never globally
+    deduplicated.  The per-doc rollup then joins eval grams to that tiny
+    hit set.  Grams travel as 60-bit portable hashes, never strings.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        word_shingles(words(F.col("text")), 4).alias("g"),
+        (phash32(F.col("doc_id"), "evalsplit") % EVAL_SPLIT_MOD == 0).alias(
+            "is_eval"
+        ),
+    )
+    gh = lambda c: phash60(c, "cov")
+    ev = (
+        base.filter(F.col("is_eval"))
+        .select("doc_id", F.explode("g").alias("gram"))
+        .select("doc_id", gh(F.col("gram")).alias("gh"))
+    )
+    tr = (
+        base.filter(~F.col("is_eval"))
+        .select(F.explode("g").alias("gram"))
+        .select(gh(F.col("gram")).alias("gh"))
+    )
+    hit = tr.join(F.broadcast(ev.select("gh").distinct()), "gh").distinct()
+    return (
+        ev.join(F.broadcast(hit.withColumn("covered", F.lit(1))), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("covered"), F.lit(0)))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .withColumn(
+            "coverage_ppm", F.expr("(n_covered * 1000000) div n_grams")
+        )
+    )
+
+
+QUERIES["text_ngram_coverage"] = text_ngram_coverage
+
+
+def _ngram_coverage_oracle() -> str:
+    from ..functions import phash60_sql
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {word_shingles_sql("w", 4)} AS g,
+             ({phash32_sql("doc_id::VARCHAR", "evalsplit")}
+              % {EVAL_SPLIT_MOD} = 0) AS is_eval
+      FROM (SELECT doc_id, {_W} AS w FROM documents)),
+    ev AS (SELECT doc_id, {phash60_sql("gram", "cov")} AS gh
+           FROM (SELECT doc_id, unnest(g) AS gram FROM base WHERE is_eval)),
+    tr AS (SELECT DISTINCT {phash60_sql("gram", "cov")} AS gh
+           FROM (SELECT unnest(g) AS gram FROM base WHERE NOT is_eval)),
+    hit AS (SELECT DISTINCT ev.gh FROM ev JOIN tr ON ev.gh = tr.gh),
+    per AS (
+      SELECT ev.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN hit.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_covered
+      FROM ev LEFT JOIN hit ON ev.gh = hit.gh
+      GROUP BY ev.doc_id)
+    SELECT doc_id, n_grams::BIGINT AS n_grams, n_covered::BIGINT AS n_covered,
+           ((n_covered * 1000000) // n_grams)::BIGINT AS coverage_ppm
+    FROM per
+    """
+
+
+ORACLE["text_ngram_coverage"] = _ngram_coverage_oracle()

@@ -266,3 +266,137 @@ def test_eval_quality_threshold_sweep_consistency(spark):
     ordered = [got[k] for k in sorted(got)]
     assert all(a[0] >= b[0] for a, b in zip(ordered, ordered[1:]))
     assert ordered[0][2] == 1_000_000 and ordered[0][3] == 1_000_000
+
+
+def test_sketch_hll_portable_replay_and_merge(spark):
+    """Exact register replay, the HLL error bound, and the mergeability
+    contract: registers built from any partition of the data max-combine
+    to the whole-corpus sketch."""
+    from mysql_cdc_debezium_starrocks_spark.operators.sketches import (
+        HLL_M,
+        HLL_P,
+        _HLL_REM_BITS,
+        sketch_hll_portable,
+    )
+
+    orders = load(spark, SF_SMOKE, "orders").select("o_orderkey").collect()
+    keys = [r.o_orderkey for r in orders]
+
+    def regs_of(ks):
+        regs = {}
+        for k in ks:
+            h = _phash32(str(k), "hll")
+            idx, rem = h >> _HLL_REM_BITS, h & ((1 << _HLL_REM_BITS) - 1)
+            rho = _HLL_REM_BITS + 1 - rem.bit_length()
+            regs[idx] = max(regs.get(idx, 0), rho)
+        return regs
+
+    whole = regs_of(keys)
+    # mergeability: split by key parity, max-combine == whole
+    a, b = regs_of([k for k in keys if k % 2]), regs_of(
+        [k for k in keys if not k % 2]
+    )
+    merged = dict(a)
+    for i, r in b.items():
+        merged[i] = max(merged.get(i, 0), r)
+    assert merged == whole
+
+    # replay the estimator arithmetic
+    s = _HLL_REM_BITS + 1
+    sum_scaled = sum(1 << (s - r) for r in whole.values()) + (
+        HLL_M - len(whole)
+    ) * (1 << s)
+    zeros = HLL_M - len(whole)
+    n1 = 720541 * HLL_M * HLL_M * (1 << s)
+    est_raw = (n1 // sum_scaled) // 1_000_000
+    if est_raw <= (5 * HLL_M) // 2 and zeros > 0:
+        est = (HLL_M * (_qln(HLL_M) - _qln(zeros))) // 1_000_000
+    else:
+        est = est_raw
+    n_exact = len(set(keys))
+    err = _tdiv((est - n_exact) * 1_000_000, n_exact)
+
+    row = sketch_hll_portable(spark, SF_SMOKE).collect()[0]
+    assert (row.m, row.n_exact, row.n_zero_regs) == (HLL_M, n_exact, zeros)
+    assert (row.est_raw, row.est_hll, row.err_ppm) == (est_raw, est, err)
+    # 1.04/sqrt(m) ~ 3.25% std error; 4 sigma bound
+    assert abs(row.err_ppm) < 130_000
+
+
+def test_emb_outlier_zscore_replay(spark):
+    """Integer-moment replay: per-dim mean/sigma and worst-dimension
+    milli-sigma scores, top-k order included."""
+    from mysql_cdc_debezium_starrocks_spark.operators.linalg import (
+        OUTLIER_TOPK,
+        emb_outlier_zscore,
+    )
+
+    rows = load(spark, SF_SMOKE, "embeddings").collect()
+    xq = {
+        r.vec_id: [int(_round_half_up(x * 1e6)) for x in r.embedding]
+        for r in rows
+    }
+    d = len(next(iter(xq.values())))
+    n = len(xq)
+    stats = []
+    for k in range(d):
+        col = [v[k] for v in xq.values()]
+        sx, sxx = sum(col), sum(c * c for c in col)
+        mean = _tdiv(sx, n)
+        var = _tdiv(sxx, n) - mean * mean
+        stats.append((mean, math.floor(math.sqrt(var))))
+    scores = {
+        vid: max(
+            (abs(v[k] - stats[k][0]) * 1000) // max(stats[k][1], 1)
+            for k in range(d)
+        )
+        for vid, v in xq.items()
+    }
+    order = sorted(scores, key=lambda v: (-scores[v], v))[:OUTLIER_TOPK]
+    expect = [(v, scores[v]) for v in order]
+
+    got = [
+        (r.vec_id, r.max_z_milli)
+        for r in emb_outlier_zscore(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def _round_half_up(v: float) -> float:
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(0, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def test_text_ngram_coverage_replay(spark):
+    """Set replay of the eval-side coverage profile; ppm bounded."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        EVAL_SPLIT_MOD,
+        text_ngram_coverage,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    ev_grams: dict = {}
+    tr_grams: set = set()
+    for r in docs:
+        w = _words(r.text)
+        g = {" ".join(w[i : i + 4]) for i in range(len(w) - 3)}
+        if _phash32(str(r.doc_id), "evalsplit") % EVAL_SPLIT_MOD == 0:
+            ev_grams[r.doc_id] = g
+        else:
+            tr_grams.update(g)
+    expect = {}
+    for d_, g in ev_grams.items():
+        if not g:
+            continue
+        cov = len(g & tr_grams)
+        expect[d_] = (len(g), cov, (cov * 1_000_000) // len(g))
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_covered, r.coverage_ppm)
+        for r in text_ngram_coverage(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert all(0 <= c[2] <= 1_000_000 for c in got.values())

@@ -126,6 +126,9 @@ CASES = {
     "sample_weighted_priority": ("operators.stats", ["documents"]),
     "stats_kl_by_source": ("operators.stats", ["documents"]),
     "eval_quality_threshold_sweep": ("operators.text", ["documents"]),
+    "sketch_hll_portable": ("operators.sketches", ["orders"]),
+    "text_ngram_coverage": ("operators.text", ["documents"]),
+    "emb_outlier_zscore": ("operators.linalg", ["embeddings"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
