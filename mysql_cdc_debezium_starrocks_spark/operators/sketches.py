@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -629,28 +629,59 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification leg, same as the other sketch gates.
     """
     o = load(spark, sf_dir, "orders")
-    h = phash32(F.col("o_orderkey"), "hll")
-    items = o.select(
-        (h / (1 << _HLL_REM_BITS)).cast("long").alias("idx"),
-        (h % (1 << _HLL_REM_BITS)).alias("rem"),
+    regs = hll_registers(o, F.col("o_orderkey"))
+    exact = o.agg(F.countDistinct("o_orderkey").alias("n_exact"))
+    return (
+        hll_estimate(regs)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "m",
+            F.col("n_exact").cast("long"),
+            "n_zero_regs",
+            "est_raw",
+            "est_hll",
+            F.expr("((est_hll - n_exact) * 1000000) div n_exact")
+            .cast("long")
+            .alias("err_ppm"),
+        )
     )
-    regs = items.select(
-        "idx",
-        F.expr(f"{_HLL_S} - ({_bitlen_case('rem')})").alias("rho"),
-    ).groupBy("idx").agg(F.max("rho").alias("mr"))
+
+
+def hll_registers(df: DataFrame, col: Column, seed: str = "hll") -> DataFrame:
+    """(idx, mr) register table for the portable HLL over ``col`` — the
+    mergeable sketch state: registers from ANY partition of the data
+    combine by ``groupBy(idx).max(mr)`` into the whole-data sketch, which
+    is what lets executors sketch independently and the streaming
+    maintainer (``streaming.hll_ingest``) fold per-batch registers."""
+    h = phash32(col, seed)
+    return (
+        df.select(
+            (h / (1 << _HLL_REM_BITS)).cast("long").alias("idx"),
+            (h % (1 << _HLL_REM_BITS)).alias("rem"),
+        )
+        .select("idx", F.expr(f"{_HLL_S} - ({_bitlen_case('rem')})").alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """1-row estimate (m, n_zero_regs, est_raw, est_hll) from a register
+    table — exact integer arithmetic end-to-end (see the operator doc)."""
+    qln = lambda e: f"CAST(round(ln(CAST(({e}) AS DOUBLE)) * 1e6) AS BIGINT)"
+    n1 = _HLL_ALPHA_PPM * (HLL_M * HLL_M) * (1 << _HLL_S)
     sk = regs.agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_S} - mr)"))
         .alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    exact = o.agg(F.countDistinct("o_orderkey").alias("n_exact"))
-    qln = lambda e: f"CAST(round(ln(CAST(({e}) AS DOUBLE)) * 1e6) AS BIGINT)"
-    n1 = _HLL_ALPHA_PPM * (HLL_M * HLL_M) * (1 << _HLL_S)
     return (
-        sk.crossJoin(F.broadcast(exact))
-        .withColumn(
+        sk.withColumn(
             "sum_scaled",
-            F.expr(f"s_present + ({HLL_M} - n_present) * {1 << _HLL_S}"),
+            F.expr(
+                f"coalesce(s_present, 0) + ({HLL_M} - n_present)"
+                f" * {1 << _HLL_S}"
+            ),
         )
         .withColumn("n_zero_regs", F.expr(f"{HLL_M} - n_present"))
         .withColumn("est_raw", F.expr(f"({n1} div sum_scaled) div 1000000"))
@@ -664,13 +695,9 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.lit(HLL_M).cast("long").alias("m"),
-            F.col("n_exact").cast("long"),
             F.col("n_zero_regs").cast("long"),
             F.col("est_raw").cast("long"),
             F.col("est_hll").cast("long"),
-            F.expr("((est_hll - n_exact) * 1000000) div n_exact")
-            .cast("long")
-            .alias("err_ppm"),
         )
     )
 
