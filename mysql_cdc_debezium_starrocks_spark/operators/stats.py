@@ -1857,6 +1857,23 @@ def mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-source agg.  Nothing wider than B=4096 rows ever sits on one
     node; the gram explode is the same volume MinHash already shuffles.
     """
+    doc_w = dsir_doc_weights(spark, sf_dir)
+    return doc_w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(w_micro) div count(1)").cast("long").alias("mean_w_micro"),
+        F.min("w_micro").alias("min_w_micro"),
+        F.max("w_micro").alias("max_w_micro"),
+    )
+
+
+QUERIES["mix_dsir_weights"] = mix_dsir_weights
+
+
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weights (doc_id, source, w_micro) —
+    the selection sub-frame ``mix_dsir_weights`` aggregates and the
+    ``CorpusPipeline.select_target_like`` step filters on.  See the
+    operator docstring for the arithmetic and scale argument."""
     from ..functions import word_grams
 
     d = load_spread(spark, sf_dir, "documents")
@@ -1881,20 +1898,11 @@ def mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (q(F.col("cr") + 1) - q(F.sum("cr").over(w) + DSIR_BUCKETS))
         ).alias("lr"),
     )
-    doc_w = (
+    return (
         grams.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
         .agg(F.sum("lr").alias("w_micro"))
     )
-    return doc_w.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("sum(w_micro) div count(1)").cast("long").alias("mean_w_micro"),
-        F.min("w_micro").alias("min_w_micro"),
-        F.max("w_micro").alias("max_w_micro"),
-    )
-
-
-QUERIES["mix_dsir_weights"] = mix_dsir_weights
 
 
 def _dsir_oracle() -> str:

@@ -187,6 +187,68 @@ class CorpusPipeline:
         self.steps.append("sample_mixture")
         return self
 
+    def weighted_sample(self, k: int = 20) -> "CorpusPipeline":
+        """Exact weighted sampling WITHOUT replacement over the RUNNING
+        frame (Efraimidis–Spirakis priorities on the portable hash —
+        the same integer cost as the oracle-backed
+        ``sample_weighted_priority``, applied after whatever filters
+        precede it): keep the k docs with the smallest
+        (QLN32 - qln(h+1))*1e6 div n_chars.  Deterministic on any engine
+        and any cluster; the top-k is per-partition heaps, no shuffle."""
+        qln_h = F.round(
+            F.log((phash32(F.col("doc_id"), "wrs") + F.lit(1)).cast("double"))
+            * 1e6
+        ).cast("long")
+        self._df = (
+            self._df.withColumn("_wrs_qln", qln_h)
+            .withColumn(
+                "_wrs_cost",
+                F.expr(
+                    "((22180710 - _wrs_qln) * 1000000)"
+                    " div greatest(n_chars, 1)"
+                ).cast("long"),
+            )
+            .orderBy("_wrs_cost", "doc_id")
+            .limit(int(k))
+            .drop("_wrs_qln", "_wrs_cost")
+        )
+        self.steps.append(f"weighted_sample@{k}")
+        return self
+
+    def select_target_like(
+        self, min_w_micro: int | None = None
+    ) -> "CorpusPipeline":
+        """DSIR selection step: keep docs whose hashed-bigram importance
+        weight (log p_target/p_raw, micro-nats — the per-doc sub-frame of
+        oracle-backed ``mix_dsir_weights``) clears ``min_w_micro``.  The
+        default threshold is the CORPUS MEAN weight (exact integer
+        sum-div-n, a 1-row broadcast) — "more target-like than average" —
+        because absolute weights are smoothing-shifted: with add-1 over
+        DSIR_BUCKETS, a small target corpus pushes every weight negative,
+        so a fixed 0 cutoff is meaningless across corpus shapes.  A doc_id
+        semi-join into the running frame, composing like every filter."""
+        from .operators.stats import dsir_doc_weights
+
+        w = dsir_doc_weights(self.spark, self.sf_dir)
+        if min_w_micro is None:
+            thr = w.agg(
+                F.expr("sum(w_micro) div count(1)").cast("long").alias("thr")
+            )
+            keep = (
+                w.crossJoin(F.broadcast(thr))
+                .filter(F.col("w_micro") >= F.col("thr"))
+                .select("doc_id")
+            )
+            tag = "mean"
+        else:
+            keep = w.filter(F.col("w_micro") >= int(min_w_micro)).select(
+                "doc_id"
+            )
+            tag = str(min_w_micro)
+        self._df = self._df.join(keep, "doc_id", "left_semi")
+        self.steps.append(f"select_target_like@{tag}")
+        return self
+
     def pack(self, budget: int | None = None) -> "CorpusPipeline":
         """Packing terminal transform: concat-then-chunk the RUNNING frame
         into ``budget``-token training sequences (default: the published

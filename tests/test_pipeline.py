@@ -195,3 +195,58 @@ def test_audit_side_channel_matches_standalone_ops(spark):
     got_cp = sorted(tuple(r) for r in rep["column_profile"].collect())
     want_cp = sorted(tuple(r) for r in stats_column_profile(spark, SF).collect())
     assert got_cp == want_cp and got_cp
+
+
+def test_weighted_sample_step_matches_standalone_op(spark):
+    """Unfiltered weighted_sample(20) keeps exactly the oracle-backed
+    sample_weighted_priority doc set; the step also applies AFTER filters
+    (sampling the filtered population, not the corpus)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        sample_weighted_priority,
+    )
+
+    want = {r.doc_id for r in sample_weighted_priority(spark, SF).collect()}
+    p = CorpusPipeline(spark, SF).weighted_sample(20)
+    got = {r.doc_id for r in p.df.select("doc_id").collect()}
+    assert got == want and len(got) == 20
+    assert p.steps == ["weighted_sample@20"]
+
+    q = CorpusPipeline(spark, SF).quality()
+    q_ids = {r.doc_id for r in q.df.select("doc_id").collect()}
+    sampled = {
+        r.doc_id
+        for r in CorpusPipeline(spark, SF)
+        .quality()
+        .weighted_sample(10)
+        .df.select("doc_id")
+        .collect()
+    }
+    assert len(sampled) == 10 and sampled <= q_ids
+
+
+def test_select_target_like_step_matches_doc_weights(spark):
+    """The DSIR step keeps exactly the docs whose per-doc importance
+    clears the threshold, and the target source survives whole at 0."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        DSIR_TARGET,
+        dsir_doc_weights,
+    )
+
+    w = dsir_doc_weights(spark, SF).collect()
+    thr = sum(r.w_micro for r in w) // len(w)
+    if sum(r.w_micro for r in w) < 0:  # trunc-toward-zero, not floor
+        thr = -((-sum(r.w_micro for r in w)) // len(w))
+    want = {r.doc_id for r in w if r.w_micro >= thr}
+    p = CorpusPipeline(spark, SF).select_target_like()
+    kept = p.df.select("doc_id", "source").collect()
+    assert {r.doc_id for r in kept} == want and kept
+    assert p.steps == ["select_target_like@mean"]
+    # selection property: the target source is ENRICHED by the cut —
+    # its keep fraction beats the raw sources' keep fraction
+    n_tgt = sum(1 for r in w if r.source == DSIR_TARGET)
+    k_tgt = sum(1 for r in kept if r.source == DSIR_TARGET)
+    n_raw, k_raw = len(w) - n_tgt, len(kept) - k_tgt
+    assert k_tgt * n_raw > k_raw * n_tgt
+    # explicit-threshold mode still works
+    lo = CorpusPipeline(spark, SF).select_target_like(min(r.w_micro for r in w))
+    assert lo.df.count() == len(w)
