@@ -137,3 +137,45 @@ def test_hll_ingest_streaming_path(spark, tmp_path):
     rs = {(r.idx, r.mr) for r in running_registers(spark, state).collect()}
     rd = {(r.idx, r.mr) for r in running_registers(spark, direct).collect()}
     assert rs == rd
+
+
+def test_hll_bitlen_ladder_property():
+    """The portable CASE-ladder bit-length equals int.bit_length for every
+    representable remainder — evaluated through DuckDB (the same SQL text
+    Spark codegens), boundary values plus a hypothesis sweep."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_cdc_debezium_starrocks_spark.operators.sketches import (
+        _HLL_REM_BITS,
+        _bitlen_case,
+    )
+
+    con = duckdb.connect()
+    expr = _bitlen_case("x")
+
+    def eval_ladder(vals):
+        rows = ", ".join(f"({v})" for v in vals)
+        return [
+            r[0]
+            for r in con.execute(
+                f"SELECT {expr} FROM (VALUES {rows}) AS t(x)"
+            ).fetchall()
+        ]
+
+    edges = [0, 1, 2, 3, (1 << _HLL_REM_BITS) - 1] + [
+        b
+        for k in range(1, _HLL_REM_BITS)
+        for b in ((1 << k) - 1, 1 << k, (1 << k) + 1)
+    ]
+    edges = sorted({v for v in edges if v < (1 << _HLL_REM_BITS)})
+    assert eval_ladder(edges) == [v.bit_length() for v in edges]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(0, (1 << _HLL_REM_BITS) - 1), min_size=1,
+                    max_size=50))
+    def sweep(vals):
+        assert eval_ladder(vals) == [v.bit_length() for v in vals]
+
+    sweep()

@@ -226,6 +226,31 @@ HEADLINE = [
         "arithmetic is map-side and the fill report is a partial-agg "
         "groupBy — no stateful loop, no driver state.",
     ),
+    (
+        "text_bm25_topk",
+        "BM25 retrieval: query-term filter BEFORE the tf agg (non-query "
+        "terms never shuffle), |Q|-row df + 1-row stats broadcasts, "
+        "integer scoring, global top-k as TakeOrderedAndProject.",
+    ),
+    (
+        "sample_weighted_priority",
+        "Weighted WOR sampling (A-ES priorities): one scan computing the "
+        "integer cost map-side, then TakeOrderedAndProject — zero "
+        "shuffles; the only cross-executor traffic is k rows/partition.",
+    ),
+    (
+        "sketch_hll_portable",
+        "Portable HLL: one scan -> 1024-register map-side-combinable MAX "
+        "agg -> 1-row integer estimate; the exact countDistinct leg is "
+        "the verification side, joined by a 1-row broadcast.",
+    ),
+    (
+        "mix_dsir_weights",
+        "DSIR importance weights: gram explode -> 4096-bucket conditional-"
+        "sum agg, bucket log-ratios broadcast back onto the gram stream, "
+        "per-doc sum then per-source profile — nothing wider than B rows "
+        "centralizes.",
+    ),
 ]
 
 
