@@ -90,6 +90,14 @@ DRIVER_PRIORITY = (
     # sample_weighted_priority); first-time count stays 47 (35 tail
     # + 12 new).
     "sketch_hll_portable", "text_ngram_coverage", "emb_outlier_zscore",
+    # --- (a continued) wave 4: the near-dup threshold-calibration sweep
+    # (the dedup twin of eval_quality_threshold_sweep) and eval_minhash_pr,
+    # which CHANGED this session (rewritten over the shared
+    # minhash_eval_pairs frame — changed code is always driver-re-verified
+    # in-window).  Displaced: dedup_ngram_jaccard (twin: the sweep's own
+    # exact-Jaccard leg + dedup_passage_exact), mix_sample_apply (twin:
+    # mix_temperature_sampling, green r04).
+    "eval_minhash_threshold_sweep", "eval_minhash_pr",
     # --- (c) family anchors with no never-checked member ---
     "window_range_rolling_revenue", "ml_logreg_weights",
     # --- (b) the never-driver-checked tail: TPC-H stragglers ---
@@ -108,7 +116,7 @@ DRIVER_PRIORITY = (
     # --- (b) sketches ---
     "sketch_theta_intersect", "sketch_theta_containment",
     # --- (b) dedup family ---
-    "dedup_passage_exact", "dedup_exact_substring", "dedup_ngram_jaccard",
+    "dedup_passage_exact", "dedup_exact_substring",
     "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_keep_canonical",
     "corpus_split_leakage_safe", "dedup_cross_source_matrix",
     # --- (b) text family ---
@@ -117,7 +125,7 @@ DRIVER_PRIORITY = (
     # --- (b) multimodal ---
     "mm_frame_sample", "mm_audio_energy",
     # --- (b) stats / sampling / sets ---
-    "mix_sample_apply", "set_intersect_except",
+    "set_intersect_except",
     # ^-- 50-slot window ends here --------------------------------------
     # --- the remaining never-checked oracle-backed names, nearest-twin
     # deferrals (sketch_approx_distinct/emb_pca_project/pack_sequences are
@@ -126,6 +134,7 @@ DRIVER_PRIORITY = (
     "ts_anomaly_mad", "join_range", "events_conversion_within_hour",
     "text_normalize", "mm_resize",
     "hist_quantile_bins", "stats_key_skew", "sample_shuffle_prefix",
+    "dedup_ngram_jaccard", "mix_sample_apply",
     "ts_anomaly_zscore", "text_chunk",
     "events_rollup_cascade", "text_fingerprint",
     "events_weekday_profile", "text_bigram_topk",

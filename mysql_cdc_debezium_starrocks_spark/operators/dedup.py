@@ -1021,6 +1021,37 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier draft joined full shingle ARRAYS onto every near-length pair
     (~1.2M pairs x 2 set ops at sf0.1) — 4x the wall of this form.
     """
+    pairs = minhash_eval_pairs(spark, sf_dir)
+    truth_bp = int(JACCARD_MIN * 10000)
+    return pairs.select(
+        (F.col("jac_bp") >= truth_bp).alias("is_true"), "is_pred"
+    ).agg(
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("n_truth"),
+        F.sum(F.when(F.col("is_pred"), 1).otherwise(0)).cast("long").alias("n_pred"),
+        F.sum(F.when(F.col("is_true") & F.col("is_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("is_pred") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("is_true") & ~F.col("is_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    ).select(
+        "n_truth", "n_pred", "tp", "fp", "fn",
+        F.expr("(tp * 1000000) div nullif(n_pred, 0)").alias("precision_q"),
+        F.expr("(tp * 1000000) div nullif(n_truth, 0)").alias("recall_q"),
+    )
+
+
+def minhash_eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation pair frame under ``eval_minhash_pr`` and
+    ``eval_minhash_threshold_sweep``: every length-blocked universe pair
+    with at least one shared shingle OR a band collision, carrying its
+    exact Jaccard in basis points (``jac_bp``, 1e-4 units — the rounded
+    DECIMAL(7,4) scaled exactly) and the banded-LSH prediction flag.
+    TN universe pairs with zero shared shingles and no collision never
+    materialize (they contribute to no metric at any threshold)."""
     docs = load_spread(spark, sf_dir, "documents")
     sig = shared_signatures(spark, sf_dir)
     # band 0 carries one (doc_id, hs) row per doc — a free projection of the
@@ -1068,9 +1099,10 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.round(
         F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
     ).cast("decimal(7,4)")
-    truth = (
-        inter.filter(jac >= JACCARD_MIN)
-        .select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    jacd = inter.select(
+        "doc_a",
+        "doc_b",
+        (jac * 10000).cast("long").alias("jac_bp"),
     )
     sa, sb = sig.alias("sa"), sig.alias("sb")
     blk = hsd.select("doc_id", "blk")
@@ -1093,26 +1125,65 @@ def eval_minhash_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("blk_a") - F.col("blk_b")) <= 1)
         .select("doc_a", "doc_b", F.lit(True).alias("is_pred"))
     )
-    joined = truth.join(pred, ["doc_a", "doc_b"], "full").select(
-        F.coalesce("is_true", F.lit(False)).alias("is_true"),
+    return jacd.join(pred, ["doc_a", "doc_b"], "full").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("jac_bp", F.lit(0)).alias("jac_bp"),
         F.coalesce("is_pred", F.lit(False)).alias("is_pred"),
     )
-    return joined.agg(
-        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("n_truth"),
-        F.sum(F.when(F.col("is_pred"), 1).otherwise(0)).cast("long").alias("n_pred"),
-        F.sum(F.when(F.col("is_true") & F.col("is_pred"), 1).otherwise(0))
-        .cast("long")
-        .alias("tp"),
-        F.sum(F.when(F.col("is_pred") & ~F.col("is_true"), 1).otherwise(0))
-        .cast("long")
-        .alias("fp"),
-        F.sum(F.when(F.col("is_true") & ~F.col("is_pred"), 1).otherwise(0))
-        .cast("long")
-        .alias("fn"),
-    ).select(
-        "n_truth", "n_pred", "tp", "fp", "fn",
-        F.expr("(tp * 1000000) div nullif(n_pred, 0)").alias("precision_q"),
-        F.expr("(tp * 1000000) div nullif(n_truth, 0)").alias("recall_q"),
+
+
+SWEEP_TAUS_BP = (3000, 4000, 5000, 6000, 7000)
+
+
+def eval_minhash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup CALIBRATION table: ``eval_minhash_pr``'s gate swept
+    over candidate truth thresholds — for each Jaccard cutoff tau, the
+    precision/recall the CURRENT banding (NUM_HASHES/BANDS tuned around
+    0.5) would deliver if the curation team defined "duplicate" at tau.
+    Banding theory says precision collapses below the S-curve knee and
+    recall decays above it; this emits the measured curve so the
+    threshold choice is a table lookup, not folklore — the dedup twin of
+    ``eval_quality_threshold_sweep``.
+
+    One pass: the shared evaluation pair frame (near-dup scale, never the
+    TN universe) crossed with the |taus|-row literal grid, one grouped
+    aggregate.  Rides the session signature artifact like the PR gate.
+    """
+    pairs = minhash_eval_pairs(spark, sf_dir)
+    grid = spark.createDataFrame(
+        [(t,) for t in SWEEP_TAUS_BP], "tau_bp long"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .select(
+            "tau_bp",
+            (F.col("jac_bp") >= F.col("tau_bp")).alias("is_true"),
+            "is_pred",
+        )
+        .groupBy("tau_bp")
+        .agg(
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_truth"),
+            F.sum(F.when(F.col("is_pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred"),
+            F.sum(F.when(F.col("is_true") & F.col("is_pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(F.col("is_pred") & ~F.col("is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(F.col("is_true") & ~F.col("is_pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        )
+        .select(
+            "tau_bp", "n_truth", "n_pred", "tp", "fp", "fn",
+            F.expr("(tp * 1000000) div nullif(n_pred, 0)").alias("precision_q"),
+            F.expr("(tp * 1000000) div nullif(n_truth, 0)").alias("recall_q"),
+        )
     )
 
 
@@ -1131,6 +1202,7 @@ QUERIES = {
     "dedup_graph_degree": dedup_graph_degree,
     "dedup_graph_triangles": dedup_graph_triangles,
     "eval_minhash_pr": eval_minhash_pr,
+    "eval_minhash_threshold_sweep": eval_minhash_threshold_sweep,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -1231,6 +1303,53 @@ ORACLE["eval_minhash_pr"] = f"""
            (tp * 1000000) // nullif(n_pred, 0) AS precision_q,
            (tp * 1000000) // nullif(n_truth, 0) AS recall_q
     FROM c
+"""
+
+ORACLE["eval_minhash_threshold_sweep"] = f"""
+    WITH {_HASHED_SHINGLES_CTE},
+    sig AS (SELECT doc_id, hs, {_MINHASH_SIG_SQL} AS sig FROM hsh),
+    bands AS (
+      SELECT doc_id, b.band, b.bhash
+      FROM sig, LATERAL (VALUES {_BANDS_SQL}) AS b(band, bhash)
+    ),
+    blk AS (
+      SELECT h.doc_id, h.hs, d.n_chars // {EVAL_BLK} AS blk
+      FROM hsh h JOIN documents d ON d.doc_id = h.doc_id),
+    ex AS (SELECT doc_id, hs, unnest([blk, blk + 1]) AS k FROM blk),
+    uni AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.hs AS sha, b.hs AS shb
+      FROM ex a JOIN ex b ON a.k = b.k AND a.doc_id < b.doc_id),
+    u2 AS (
+      SELECT doc_a, doc_b,
+             (CAST(round(len(list_intersect(sha, shb))::DOUBLE
+                  / len(list_distinct(list_concat(sha, shb))), 4)
+                  AS DECIMAL(7,4)) * 10000)::BIGINT AS jac_bp
+      FROM uni),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT coalesce(u2.jac_bp, 0) AS jac_bp,
+             (p.doc_a IS NOT NULL) AS is_pred
+      FROM u2 LEFT JOIN pred p
+        ON p.doc_a = u2.doc_a AND p.doc_b = u2.doc_b),
+    grid AS (SELECT t.tau_bp FROM (VALUES (3000), (4000), (5000), (6000), (7000)) AS t(tau_bp)),
+    cls AS (
+      SELECT grid.tau_bp, (j.jac_bp >= grid.tau_bp) AS is_true, j.is_pred
+      FROM j CROSS JOIN grid)
+    SELECT tau_bp::BIGINT AS tau_bp,
+           sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+           sum(CASE WHEN is_pred THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+           sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN is_pred AND NOT is_true THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN is_true AND NOT is_pred THEN 1 ELSE 0 END)::BIGINT AS fn,
+           (sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END) * 1000000)
+             // nullif(sum(CASE WHEN is_pred THEN 1 ELSE 0 END), 0) AS precision_q,
+           (sum(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END) * 1000000)
+             // nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0) AS recall_q
+    FROM cls GROUP BY tau_bp
 """
 
 # Recursive-CTE oracle for connected components: labels propagate one hop

@@ -129,6 +129,7 @@ CASES = {
     "sketch_hll_portable": ("operators.sketches", ["orders"]),
     "text_ngram_coverage": ("operators.text", ["documents"]),
     "emb_outlier_zscore": ("operators.linalg", ["embeddings"]),
+    "eval_minhash_threshold_sweep": ("operators.dedup", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
