@@ -54,8 +54,9 @@ def _fixture_dir() -> str:
 # in-window twins (ts_anomaly_zscore vs ts_anomaly_mad, text_chunk /
 # text_fingerprint vs the 6-strong text block, events_rollup_cascade vs
 # the 6-strong events block) to just below the fold.
-# Net: 47 first-time names (>= the verdict's 45 bar; the nine new queries
-# are themselves first-time); cumulative driver coverage reaches 181/202.
+# Net after all four in-session waves: 46 first-time names (>= the
+# verdict's 45 bar; the 13 new queries are themselves first-time);
+# cumulative driver coverage reaches 180/203.
 # The remaining never-checked names sit IMMEDIATELY below the fold —
 # each the nearest twin of an in-window relative — so one more rotation
 # closes the registry.  pack_sequences cannot enter DRIVER_PRIORITY at all (it is
@@ -79,7 +80,6 @@ DRIVER_PRIORITY = (
     # (text_normalize ~ text_pii_redact; mm_resize ~ mm_frame_sample;
     # events_conversion_within_hour ~ events_funnel; join_range ~
     # join_asof; ts_anomaly_mad ~ events_burst_anomaly, its rate twin).
-    # Net: window first-time count stays 47 (38 tail + 9 new).
     "text_bm25_topk", "mix_dsir_weights", "sample_weighted_priority",
     "stats_kl_by_source", "eval_quality_threshold_sweep",
     # --- (a continued) wave 3: the oracle-checkable portable HLL (the
@@ -87,8 +87,7 @@ DRIVER_PRIORITY = (
     # eval-side n-gram coverage profile, and embedding outlier QA.  Same
     # displacement rule (hist_quantile_bins ~ stats_doc_len_profile;
     # stats_key_skew ~ stats_kl_by_source; sample_shuffle_prefix ~
-    # sample_weighted_priority); first-time count stays 47 (35 tail
-    # + 12 new).
+    # sample_weighted_priority).
     "sketch_hll_portable", "text_ngram_coverage", "emb_outlier_zscore",
     # --- (a continued) wave 4: the near-dup threshold-calibration sweep
     # (the dedup twin of eval_quality_threshold_sweep) and eval_minhash_pr,
@@ -96,7 +95,10 @@ DRIVER_PRIORITY = (
     # minhash_eval_pairs frame — changed code is always driver-re-verified
     # in-window).  Displaced: dedup_ngram_jaccard (twin: the sweep's own
     # exact-Jaccard leg + dedup_passage_exact), mix_sample_apply (twin:
-    # mix_temperature_sampling, green r04).
+    # mix_temperature_sampling, green r04).  Window first-time total
+    # after all four waves: 46 of 50 (33 never-checked tail + 13 new
+    # operators; the 4 non-first-time slots are the two changed queries
+    # and the two family anchors) — still >= the verdict's 45 bar.
     "eval_minhash_threshold_sweep", "eval_minhash_pr",
     # --- (c) family anchors with no never-checked member ---
     "window_range_rolling_revenue", "ml_logreg_weights",
