@@ -100,6 +100,12 @@ DRIVER_PRIORITY = (
     # operators; the 4 non-first-time slots are the two changed queries
     # and the two family anchors) — still >= the verdict's 45 bar.
     "eval_minhash_threshold_sweep", "eval_minhash_pr",
+    # --- (a continued) wave 5: the BPE vocab-size compression sweep
+    # (tokens-per-word after each learned merge; its per-round states ride
+    # the same _bpe_state pipeline text_bpe_merges/encode share).
+    # Displaced: text_vocab_growth (twin: text_vocab_coverage, green r04,
+    # and this sweep itself — both vocabulary-size curves).
+    "eval_bpe_compression_sweep",
     # --- (c) family anchors with no never-checked member ---
     "window_range_rolling_revenue", "ml_logreg_weights",
     # --- (b) the never-driver-checked tail: TPC-H stragglers ---
@@ -122,7 +128,7 @@ DRIVER_PRIORITY = (
     "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_keep_canonical",
     "corpus_split_leakage_safe", "dedup_cross_source_matrix",
     # --- (b) text family ---
-    "text_perplexity", "text_vocab_growth",
+    "text_perplexity",
     "text_inverted_index", "text_decontaminate", "text_pii_redact",
     # --- (b) multimodal ---
     "mm_frame_sample", "mm_audio_energy",
@@ -136,7 +142,7 @@ DRIVER_PRIORITY = (
     "ts_anomaly_mad", "join_range", "events_conversion_within_hour",
     "text_normalize", "mm_resize",
     "hist_quantile_bins", "stats_key_skew", "sample_shuffle_prefix",
-    "dedup_ngram_jaccard", "mix_sample_apply",
+    "dedup_ngram_jaccard", "mix_sample_apply", "text_vocab_growth",
     "ts_anomaly_zscore", "text_chunk",
     "events_rollup_cascade", "text_fingerprint",
     "events_weekday_profile", "text_bigram_topk",

@@ -550,7 +550,9 @@ def _bpe_state(spark: SparkSession, sf_dir: str):
     """Shared BPE merge-learning pipeline: returns ``(state, outs)`` where
     ``state`` is the distinct-word frequency table ``(w, cnt, s)`` after
     ``BPE_ROUNDS`` merges (``s`` = space-separated symbol string) and
-    ``outs`` is one 1-row DataFrame per learned merge.
+    ``outs`` is one 1-row DataFrame per learned merge.  ``states`` holds
+    the table after EVERY round (index 0 = character-split baseline) for
+    the vocabulary-size compression sweep.
 
     Classic formulation: train on the distinct-word frequency table (tiny
     relative to the corpus — one partial-agg'd shuffle builds it and every
@@ -581,6 +583,7 @@ def _bpe_state(spark: SparkSession, sf_dir: str):
     )
 
     outs = []
+    states = [state]
     for r in range(1, BPE_ROUNDS + 1):
         toks = F.split(F.trim(F.col("s")), " ")
         prs = F.when(
@@ -638,7 +641,8 @@ def _bpe_state(spark: SparkSession, sf_dir: str):
             "cnt",
             F.when(F.col("_ba").isNull(), F.col("s")).otherwise(merged).alias("s"),
         )
-    return state, outs
+        states.append(state)
+    return state, outs, states
 
 
 def _bpe_artifacts(spark: SparkSession, sf_dir: str):
@@ -653,7 +657,7 @@ def _bpe_artifacts(spark: SparkSession, sf_dir: str):
     st = _artifact_get(spark, sf_dir, "bpe_state")
     mg = _artifact_get(spark, sf_dir, "bpe_merges")
     if st is None or mg is None:
-        state, outs = _bpe_state(spark, sf_dir)
+        state, outs, _ = _bpe_state(spark, sf_dir)
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
@@ -1776,3 +1780,57 @@ def _ngram_coverage_oracle() -> str:
 
 
 ORACLE["text_ngram_coverage"] = _ngram_coverage_oracle()
+
+
+def eval_bpe_compression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-size calibration: corpus compression (BPE tokens per
+    whitespace word) after EACH learned merge, rank 0 (character-split
+    baseline) through BPE_ROUNDS — the "how big should the vocab be"
+    curve a tokenizer-training run reports before committing, the BPE
+    twin of ``eval_quality_threshold_sweep``.  tokens_per_word_q is
+    monotone NONINCREASING in rank: every merge can only shorten
+    encodings (pytest-pinned).
+
+    Scale shape: the expensive pass is the one word-frequency groupBy the
+    learner already makes; every per-round aggregate runs on the
+    |vocab|-row state table (corpus-weighted via cnt — the corpus itself
+    is scanned exactly once).  The BPE_ROUNDS+1 single-row aggregates
+    union into one plan.
+    """
+    _, _, states = _bpe_state(spark, sf_dir)
+    rows = None
+    for r, st in enumerate(states):
+        n_sym = F.size(F.split(F.trim(F.col("s")), " "))
+        agg = st.agg(
+            F.lit(r).cast("long").alias("rank"),
+            F.sum("cnt").cast("long").alias("total_words"),
+            F.sum(F.col("cnt") * n_sym).cast("long").alias("total_bpe_tokens"),
+        )
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows.select(
+        "rank",
+        "total_words",
+        "total_bpe_tokens",
+        F.expr("(total_bpe_tokens * 1000000) div total_words")
+        .cast("long")
+        .alias("tokens_per_word_q"),
+    )
+
+
+QUERIES["eval_bpe_compression_sweep"] = eval_bpe_compression_sweep
+
+
+def _bpe_sweep_oracle() -> str:
+    selects = [
+        f"""SELECT {r} AS rank, sum(cnt)::BIGINT AS total_words,
+               sum(cnt * len(string_split(trim(s), ' ')))::BIGINT
+                 AS total_bpe_tokens,
+               (sum(cnt * len(string_split(trim(s), ' '))) * 1000000)
+                 // sum(cnt) AS tokens_per_word_q
+        FROM wf{r}"""
+        for r in range(0, BPE_ROUNDS + 1)
+    ]
+    return _bpe_cte_chain() + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE["eval_bpe_compression_sweep"] = _bpe_sweep_oracle()

@@ -432,3 +432,35 @@ def test_eval_minhash_threshold_sweep_consistency(spark):
     assert all(a.fp <= b.fp for a, b in zip(ordered, ordered[1:]))
     # n_pred is tau-independent (the prediction is the banding, fixed)
     assert len({r.n_pred for r in ordered}) == 1
+
+
+def test_eval_bpe_compression_sweep(spark):
+    """Rank-0 equals the exact character-split baseline; every merge can
+    only shorten encodings (monotone nonincreasing); the final rank
+    reconciles exactly with text_bpe_encode's per-doc totals."""
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        BPE_ROUNDS,
+        eval_bpe_compression_sweep,
+        text_bpe_encode,
+    )
+
+    rows = {r.rank: r for r in eval_bpe_compression_sweep(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == list(range(BPE_ROUNDS + 1))
+
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    words_all = [w for r in docs for w in _words(r.text)]
+    assert rows[0].total_words == len(words_all)
+    assert rows[0].total_bpe_tokens == sum(len(w) for w in words_all)
+
+    ordered = [rows[r] for r in sorted(rows)]
+    assert all(
+        a.total_bpe_tokens >= b.total_bpe_tokens
+        for a, b in zip(ordered, ordered[1:])
+    )
+    assert all(r.total_words == rows[0].total_words for r in ordered)
+
+    enc = text_bpe_encode(spark, SF_SMOKE).agg(
+        {"n_words": "sum", "n_bpe_tokens": "sum"}
+    ).collect()[0]
+    assert rows[BPE_ROUNDS].total_words == enc["sum(n_words)"]
+    assert rows[BPE_ROUNDS].total_bpe_tokens == enc["sum(n_bpe_tokens)"]

@@ -130,6 +130,7 @@ CASES = {
     "text_ngram_coverage": ("operators.text", ["documents"]),
     "emb_outlier_zscore": ("operators.linalg", ["embeddings"]),
     "eval_minhash_threshold_sweep": ("operators.dedup", ["documents"]),
+    "eval_bpe_compression_sweep": ("operators.text", ["documents"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
