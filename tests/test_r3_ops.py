@@ -36,7 +36,7 @@ def test_bpe_token_conservation(spark):
     assert all(m.pair_count > 0 for m in merges)
     enc = text_bpe_encode(spark, SF_SMOKE)
     total_bpe = enc.groupBy().sum("n_bpe_tokens").collect()[0][0]
-    state, _ = _bpe_state(spark, SF_SMOKE)
+    state, _, _ = _bpe_state(spark, SF_SMOKE)
     total_chars = (
         state.selectExpr("sum(cnt * length(w)) AS c").collect()[0][0]
     )

@@ -94,7 +94,7 @@ def test_bpe_self_pair_runs_merge_greedily(spark, tmp_path):
              n_chars=14) for i in range(5)]
     )
     docs.write.parquet(str(tmp_path / "documents.parquet"))
-    state, outs = _bpe_state(spark, str(tmp_path))
+    state, outs, _ = _bpe_state(spark, str(tmp_path))
     first = outs[0].collect()[0]
     assert (first.left_sym, first.right_sym) == ("z", "z")
     enc = {r.w: r.s for r in state.collect()}
@@ -138,7 +138,7 @@ def test_bpe_merge_application_handles_runs(spark, tmp_path):
              n_chars=15) for i in range(5)]
     )
     docs.write.parquet(str(tmp_path / "documents.parquet"))
-    state, outs = _bpe_state(spark, str(tmp_path))
+    state, outs, _ = _bpe_state(spark, str(tmp_path))
     first = outs[0].collect()[0]
     assert (first.left_sym, first.right_sym) == ("x", "y")
     # round 2 learns (xy, xy): BOTH its occurrences inside 'xy xy xy' merge
