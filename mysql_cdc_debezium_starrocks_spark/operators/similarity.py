@@ -1959,3 +1959,73 @@ ORACLE["emb_dim_budget_recall"] = f"""
     FROM top t LEFT JOIN truth tr ON tr.qid = t.qid AND tr.vec_id = t.vec_id
     GROUP BY t.dim_budget
 """
+
+
+# --- corpus diversity profile (round 6) --------------------------------------
+
+CPH_BUCKETS = 32  # hash-blocking: pair work is ~n^2 / CPH_BUCKETS
+
+
+def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity profile: histogram of pairwise cosine similarity
+    over a deterministic hash-blocked pair sample — the one-look answer to
+    "has my corpus collapsed toward near-duplicates?" that embedding
+    curation dashboards track next to the dedup rate (a mass near
+    cosine ~1 means redundancy; mass near 0 means diversity).
+
+    Pairing every vector is O(n^2); instead each vector lands in one of
+    ``CPH_BUCKETS`` seeded-hash buckets and only same-bucket pairs are
+    scored — an unbiased pair sample (any pair's inclusion probability is
+    exactly 1/CPH_BUCKETS, independent of content) realized as an
+    equi-join, never a cartesian product.  At 100 TB the bucket count
+    scales with corpus size to hold per-bucket work constant; the
+    histogram (21 bins of width 0.1 over [-1, 1]) stays tiny and
+    map-side combinable.  Binning applies to the 6-decimal-rounded cosine
+    (the ``dedup_embedding_cosine`` cross-engine contract), so bin edges
+    cannot disagree between engines.
+    """
+    e = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        (phash32(F.col("vec_id"), "cph") % CPH_BUCKETS).alias("bkt"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")), 6
+    ).cast("decimal(9,6)")
+    pairs = a.join(
+        b,
+        (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(cos.alias("cosine"))
+    return (
+        pairs.select(
+            F.floor(F.col("cosine") * 10).cast("int").alias("bin"),
+            "cosine",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("cosine").cast("decimal(18,6)").alias("sum_cosine"),
+        )
+    )
+
+
+QUERIES["emb_cosine_pair_histogram"] = emb_cosine_pair_histogram
+ORACLE["emb_cosine_pair_histogram"] = f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
+             ({phash32_sql("CAST(vec_id AS VARCHAR)", "cph")}) % {CPH_BUCKETS}
+               AS bkt
+      FROM embeddings),
+    pairs AS (
+      SELECT CAST(round({_DOT_SQL.format(a='a.v', b='b.v')}
+                        / (a.norm * b.norm), 6) AS DECIMAL(9,6)) AS cosine
+      FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+    SELECT CAST(floor(cosine * 10) AS INTEGER) AS bin,
+           count(*)::BIGINT AS n_pairs,
+           CAST(sum(cosine) AS DECIMAL(18,6)) AS sum_cosine
+    FROM pairs GROUP BY floor(cosine * 10)
+"""

@@ -640,7 +640,7 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_zero_regs",
             "est_raw",
             "est_hll",
-            F.expr("((est_hll - n_exact) * 1000000) div n_exact")
+            F.expr("((est_hll - n_exact) * 1000000) div nullif(n_exact, 0)")
             .cast("long")
             .alias("err_ppm"),
         )
@@ -739,7 +739,8 @@ def _hll_oracle() -> str:
     SELECT {HLL_M}::BIGINT AS m, n_exact::BIGINT AS n_exact,
            n_zero_regs::BIGINT AS n_zero_regs, est_raw::BIGINT AS est_raw,
            est_hll::BIGINT AS est_hll,
-           (((est_hll - n_exact) * 1000000) // n_exact)::BIGINT AS err_ppm
+           (((est_hll - n_exact) * 1000000) // nullif(n_exact, 0))::BIGINT
+             AS err_ppm
     FROM f
     """
 

@@ -44,6 +44,12 @@ from ..functions import (
 STRATA_PCT = {"en": 50, "de": 30, "fr": 20, "es": 10, "zh": 5}
 _DEFAULT_PCT = 25
 
+# round(ln(2^32) * 1e6): the quantized-micro-nat ceiling of ln(h+1) for a
+# 32-bit portable hash.  Shared by every Efraimidis–Spirakis priority site
+# (sample_weighted_priority + its oracle, pipeline.weighted_sample) so a
+# future re-quantization cannot desynchronize the engines (ADVICE r05).
+QLN32 = 22180710
+
 
 def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation/slope of quantity vs extended price per return flag, from
@@ -1725,8 +1731,8 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     a spreading repartition would be the plan's ONLY exchange.)
     """
     d = load(spark, sf_dir, "documents")
-    # QLN32 = round(ln(2^32) * 1e6); ln(h+1) <= ln(2^32) so cost >= 0
-    qln32 = 22180710
+    # ln(h+1) <= ln(2^32) == QLN32 micro-nats, so cost >= 0
+    qln32 = QLN32
     h = phash32(F.col("doc_id"), "wrs")
     qln_h = F.round(F.log((h + F.lit(1)).cast("double")) * 1e6).cast("long")
     cost = F.expr(
@@ -1753,7 +1759,7 @@ ORACLE["sample_weighted_priority"] = f"""
                             + 1)::DOUBLE) * 1e6) AS BIGINT) AS qln_h
       FROM documents)
     SELECT doc_id, source, w,
-           ((22180710 - qln_h) * 1000000) // greatest(w, 1) AS cost_q
+           (({QLN32} - qln_h) * 1000000) // greatest(w, 1) AS cost_q
     FROM d
     ORDER BY cost_q, doc_id
     LIMIT 20
@@ -1941,3 +1947,225 @@ def _dsir_oracle() -> str:
 
 
 ORACLE["mix_dsir_weights"] = _dsir_oracle()
+
+
+# --- epoch repeat planning (round 6) -----------------------------------------
+
+UPSAMPLE_CAP_PPM = 4_000_000  # at most 4 epochs of any source
+
+
+def mix_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch repeat planning: the UP-sampling dual of
+    ``mix_weights_by_source``.  Down-sampling alone cannot realize a target
+    mixture when a source is UNDER-represented — the standard cure is
+    repetition (multiple epochs of the small source per single epoch of the
+    large ones, as data-constrained scaling recipes prescribe).  Per source:
+    ``repeat_ppm = min(CAP, target/share)`` in integer ppm, split into
+    whole epochs (``repeat_ppm div 1e6``) plus a fractional epoch realized
+    per-doc by the seeded portable hash (``phash % 1e6 < frac_ppm``) — so
+    ``docs_out``/``tokens_out`` are exact, reproducible counts, not
+    expectations, and any engine cuts the identical repeated corpus.
+
+    Scale shape: one token-count groupBy (map-side combinable), a
+    |sources|-row broadcast back onto the doc scan, one realization agg —
+    two scans, zero wide shuffles (the ``mix_sample_apply`` shape).
+
+    Reference scope: beyond the reference's SQL surface (its pipeline has
+    no mixing at all); part of the training-data extension suite.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(words(F.col("text"))).alias("tk")
+    )
+    toks = d.groupBy("source").agg(
+        F.sum("tk").cast("long").alias("tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    total = toks.agg(F.sum("tokens").alias("total"))
+    tgt = F.lit(0)
+    for s, sh in MIX_TARGET_SHARE.items():
+        tgt = F.when(F.col("source") == s, F.lit(round(sh * 1_000_000))).otherwise(tgt)
+    plan = (
+        toks.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_ppm", F.expr("(tokens * 1000000) div total").cast("long")
+        )
+        .withColumn("tgt_ppm", tgt.cast("long"))
+        .withColumn(
+            "repeat_ppm",
+            F.when(
+                F.col("tgt_ppm") > 0,
+                F.least(
+                    F.lit(UPSAMPLE_CAP_PPM).cast("long"),
+                    F.expr(
+                        "(tgt_ppm * 1000000) div greatest(share_ppm, 1)"
+                    ).cast("long"),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .select("source", "tokens", "n_docs", "share_ppm", "tgt_ppm", "repeat_ppm")
+    )
+    rates = plan.select(
+        "source",
+        F.expr("repeat_ppm div 1000000").alias("n_full"),
+        F.expr("repeat_ppm % 1000000").alias("frac_ppm"),
+    )
+    copies = F.col("n_full") + F.when(
+        phash32(F.col("doc_id"), "rep") % 1_000_000 < F.col("frac_ppm"), 1
+    ).otherwise(0)
+    realized = (
+        d.join(F.broadcast(rates), "source")
+        .select("source", "tk", copies.alias("copies"))
+        .groupBy("source")
+        .agg(
+            F.sum("copies").cast("long").alias("docs_out"),
+            F.sum(F.col("tk") * F.col("copies")).cast("long").alias("tokens_out"),
+        )
+    )
+    return plan.join(realized, "source").select(
+        "source", "tokens", "n_docs", "share_ppm", "tgt_ppm", "repeat_ppm",
+        "docs_out", "tokens_out",
+    )
+
+
+QUERIES["mix_upsample_repeat"] = mix_upsample_repeat
+
+_UPSAMPLE_TGT_SQL = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {round(sh * 1_000_000)}"
+    for s, sh in MIX_TARGET_SHARE.items()
+) + " ELSE 0 END"
+
+ORACLE["mix_upsample_repeat"] = f"""
+    WITH d AS (
+      SELECT doc_id, source, len({WORDS_SQL.format(expr="text")}) AS tk
+      FROM documents),
+    toks AS (
+      SELECT source, sum(tk)::BIGINT AS tokens, count(*)::BIGINT AS n_docs
+      FROM d GROUP BY source),
+    tot AS (SELECT sum(tokens) AS total FROM toks),
+    plan AS (
+      SELECT source, tokens, n_docs,
+             ((tokens * 1000000) // total)::BIGINT AS share_ppm,
+             ({_UPSAMPLE_TGT_SQL})::BIGINT AS tgt_ppm
+      FROM toks, tot),
+    plan2 AS (
+      SELECT *,
+             CASE WHEN tgt_ppm > 0
+                  THEN least({UPSAMPLE_CAP_PPM},
+                             (tgt_ppm * 1000000) // greatest(share_ppm, 1))
+                  ELSE 0 END::BIGINT AS repeat_ppm
+      FROM plan),
+    realized AS (
+      SELECT d.source,
+             sum(plan2.repeat_ppm // 1000000
+                 + CASE WHEN ({phash32_sql("CAST(d.doc_id AS VARCHAR)", "rep")})
+                             % 1000000 < plan2.repeat_ppm % 1000000
+                        THEN 1 ELSE 0 END)::BIGINT AS docs_out,
+             sum(d.tk * (plan2.repeat_ppm // 1000000
+                 + CASE WHEN ({phash32_sql("CAST(d.doc_id AS VARCHAR)", "rep")})
+                             % 1000000 < plan2.repeat_ppm % 1000000
+                        THEN 1 ELSE 0 END))::BIGINT AS tokens_out
+      FROM d JOIN plan2 ON d.source = plan2.source
+      GROUP BY d.source)
+    SELECT p.source, p.tokens, p.n_docs, p.share_ppm, p.tgt_ppm, p.repeat_ppm,
+           r.docs_out, r.tokens_out
+    FROM plan2 p JOIN realized r ON p.source = r.source
+"""
+
+
+# --- CUSUM changepoint detection (round 6) -----------------------------------
+
+CUSUM_K_MILLI = 250    # drift allowance k = 0.25 sigma, in milli-sigmas
+CUSUM_TOPK = 20
+
+
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scores over per-hour event rates — the
+    level-shift detector that catches a sustained rate change long before
+    any single hour trips the pointwise z-score gate
+    (``ts_anomaly_zscore``'s structural complement).
+
+    The textbook recursion ``s_t = max(0, s_{t-1} + z_t - k)`` is not a
+    window aggregate — but it has a closed windowed form:
+    ``s_t = prefix_t - min(0, min_{i<=t} prefix_i)`` where ``prefix`` is
+    the running sum of ``z - k``.  That makes CUSUM TWO stock window
+    functions (running sum, then running min) over one (event_type, hour)
+    sort — no recursion, no UDF, and the same plan at any scale: one
+    shuffle on event_type, one sort amortized across both windows.
+
+    Integer end-to-end: per-type mean/sigma from exact integer moments
+    (sigma = floor(IEEE sqrt) — the ``emb_outlier_zscore`` idiom), z in
+    milli-sigmas by truncating division, so both engines produce identical
+    scores.  Output: the top-``CUSUM_TOPK`` (type, hour) cells by score.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+    ).select(
+        "event_type",
+        F.expr("sx div n").alias("mean_q"),
+        F.expr(
+            "CAST(floor(sqrt(CAST(sxx div n - (sx div n) * (sx div n)"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("sigma_q"),
+    )
+    z = hourly.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "hr",
+        F.expr(
+            f"((cnt - mean_q) * 1000) div greatest(sigma_q, 1)"
+            f" - {CUSUM_K_MILLI}"
+        ).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = z.withColumn("prefix", F.sum("d").over(w))
+    cus = pre.withColumn(
+        "cusum_milli",
+        (F.col("prefix") - F.least(F.min("prefix").over(w), F.lit(0).cast("long")))
+        .cast("long"),
+    )
+    return (
+        cus.select("event_type", "hr", "cusum_milli")
+        .orderBy(F.col("cusum_milli").desc(), "event_type", "hr")
+        .limit(CUSUM_TOPK)
+    )
+
+
+QUERIES["ts_changepoint_cusum"] = ts_changepoint_cusum
+ORACLE["ts_changepoint_cusum"] = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*)::BIGINT AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    mom AS (
+      SELECT event_type,
+             sum(cnt) // count(*) AS mean_q,
+             CAST(floor(sqrt((sum(cnt * cnt) // count(*)
+                   - (sum(cnt) // count(*)) * (sum(cnt) // count(*)))::DOUBLE))
+                  AS BIGINT) AS sigma_q
+      FROM hourly GROUP BY event_type),
+    z AS (
+      SELECT h.event_type, h.hr,
+             ((h.cnt - m.mean_q) * 1000) // greatest(m.sigma_q, 1)
+               - {CUSUM_K_MILLI} AS d
+      FROM hourly h JOIN mom m ON h.event_type = m.event_type),
+    pre AS (
+      SELECT event_type, hr,
+             sum(d) OVER (PARTITION BY event_type ORDER BY hr
+                          ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM z),
+    cus AS (
+      SELECT event_type, hr,
+             (prefix - least(min(prefix) OVER (PARTITION BY event_type
+                             ORDER BY hr ROWS UNBOUNDED PRECEDING),
+                             0))::BIGINT AS cusum_milli
+      FROM pre)
+    SELECT event_type, hr, cusum_milli
+    FROM cus ORDER BY cusum_milli DESC, event_type, hr LIMIT {CUSUM_TOPK}
+"""

@@ -195,6 +195,8 @@ class CorpusPipeline:
         precede it): keep the k docs with the smallest
         (QLN32 - qln(h+1))*1e6 div n_chars.  Deterministic on any engine
         and any cluster; the top-k is per-partition heaps, no shuffle."""
+        from .operators.stats import QLN32
+
         qln_h = F.round(
             F.log((phash32(F.col("doc_id"), "wrs") + F.lit(1)).cast("double"))
             * 1e6
@@ -204,7 +206,7 @@ class CorpusPipeline:
             .withColumn(
                 "_wrs_cost",
                 F.expr(
-                    "((22180710 - _wrs_qln) * 1000000)"
+                    f"(({QLN32} - _wrs_qln) * 1000000)"
                     " div greatest(n_chars, 1)"
                 ).cast("long"),
             )
@@ -226,26 +228,34 @@ class CorpusPipeline:
         because absolute weights are smoothing-shifted: with add-1 over
         DSIR_BUCKETS, a small target corpus pushes every weight negative,
         so a fixed 0 cutoff is meaningless across corpus shapes.  A doc_id
-        semi-join into the running frame, composing like every filter."""
+        join into the running frame, composing like every filter.
+
+        Docs with fewer than 2 words produce no bigrams and therefore no
+        DSIR weight row; they are treated as w_micro = 0 (left join +
+        coalesce, ADVICE r05) so an explicitly low threshold keeps the
+        whole frame instead of silently dropping them.  The mean threshold
+        is still computed over the WEIGHTED docs only (the documented
+        "more target-like than the average weighted doc" semantics)."""
         from .operators.stats import dsir_doc_weights
 
-        w = dsir_doc_weights(self.spark, self.sf_dir)
+        w = dsir_doc_weights(self.spark, self.sf_dir).select(
+            "doc_id", "w_micro"
+        )
+        joined = self._df.join(w, "doc_id", "left").withColumn(
+            "_dsir_w", F.coalesce("w_micro", F.lit(0).cast("long"))
+        )
         if min_w_micro is None:
             thr = w.agg(
                 F.expr("sum(w_micro) div count(1)").cast("long").alias("thr")
             )
-            keep = (
-                w.crossJoin(F.broadcast(thr))
-                .filter(F.col("w_micro") >= F.col("thr"))
-                .select("doc_id")
+            joined = joined.crossJoin(F.broadcast(thr)).filter(
+                F.col("_dsir_w") >= F.col("thr")
             )
             tag = "mean"
         else:
-            keep = w.filter(F.col("w_micro") >= int(min_w_micro)).select(
-                "doc_id"
-            )
+            joined = joined.filter(F.col("_dsir_w") >= int(min_w_micro))
             tag = str(min_w_micro)
-        self._df = self._df.join(keep, "doc_id", "left_semi")
+        self._df = joined.drop("w_micro", "_dsir_w", "thr")
         self.steps.append(f"select_target_like@{tag}")
         return self
 

@@ -100,15 +100,20 @@ def read_fold_paths(root: str, before: int | None = None) -> list[str]:
     return paths
 
 
-def fold_verbatim(spark, root: str, keep_last: int = 2, agg=None) -> None:
+def fold_verbatim(
+    spark, root: str, keep_last: int = 2, agg=None, partition_by=None
+) -> None:
     """Fold all but the newest ``keep_last`` contribution dirs (plus the
     old baseline) into a new committed baseline, then GC what it absorbed.
 
     ``agg`` (optional) is a schema-preserving DataFrame reducer applied to
     the union before writing (e.g. re-summing a token ledger); default is a
-    verbatim row copy.  ``keep_last`` must stay >= 1: only the newest batch
-    can crash-replay, and its re-read excludes folded ids, so the dirs a
-    replay may touch must never be folded.
+    verbatim row copy.  ``partition_by`` (optional) keeps the baseline laid
+    out as ``key=value`` partition dirs so readers that prune on that
+    column (the ANN index's bucket pruning) keep pruning the baseline
+    exactly like a live contribution dir.  ``keep_last`` must stay >= 1:
+    only the newest batch can crash-replay, and its re-read excludes folded
+    ids, so the dirs a replay may touch must never be folded.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (replay safety)")
@@ -123,13 +128,22 @@ def fold_verbatim(spark, root: str, keep_last: int = 2, agg=None) -> None:
     parts = [os.path.join(root, f"batch={i}") for i in fold]
     if base:
         parts.append(base[0])
-    merged = spark.read.parquet(*parts)
+    # one read per path, each its own basePath: a multi-root read over
+    # partitioned contribution dirs (the ANN index's bucket=<b> layout)
+    # trips Spark's conflicting-partition-directories check otherwise
+    dfs = [spark.read.option("basePath", p).parquet(p) for p in parts]
+    merged = dfs[0]
+    for d in dfs[1:]:
+        merged = merged.unionByName(d)
     if agg is not None:
         merged = agg(merged)
     broot = os.path.join(root, _BASELINE)
     ks = numbered_ids(broot, prefix="v")  # uncommitted leftovers count too:
     new_dir = os.path.join(broot, f"v={(ks[-1] + 1) if ks else 0}")  # no reuse
-    merged.write.mode("overwrite").parquet(os.path.join(new_dir, "data"))
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(new_dir, "data"))
     with open(os.path.join(new_dir, _FOLDED), "w") as f:
         json.dump(sorted(folded | set(fold)), f)
     with open(os.path.join(new_dir, _COMMITTED), "w") as f:

@@ -19,6 +19,13 @@ table ONCE per vector at ingest:
 Same-result contract: a query against the maintained index returns exactly
 what the batch LSH top-k returns over the union of all ingested batches
 (asserted in tests/test_ann_ingest.py).
+
+Retention: ``compact_ann_ingest`` folds old per-batch dirs into a committed
+baseline (the ``_state.fold_verbatim`` scheme mix/phash/hll use) KEEPING the
+``bucket=<b>`` partition layout, so query-time partition pruning prunes the
+baseline exactly like a live dir and file listings stay O(keep_last) on a
+long-lived stream (VERDICT r05 #2).  Reference analog: StarRocks PK-table
+background compaction (docs/ARCHITECTURE.md:120-129).
 """
 
 from __future__ import annotations
@@ -30,19 +37,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.similarity import _bucket, _dot
-from ._state import numbered_ids
+from ._state import committed_fold, fold_verbatim, numbered_ids
 
 _INDEX = "index"
-
-
-def _batch_ids(state_dir: str) -> list[int]:
-    return numbered_ids(os.path.join(state_dir, _INDEX))
 
 
 def ingest_ann_batch(
     spark: SparkSession, state_dir: str, vectors: DataFrame, batch_id: int
 ) -> None:
     """Sketch one micro-batch of (vec_id, embedding) rows into the index."""
+    base = committed_fold(os.path.join(state_dir, _INDEX))
+    if base and batch_id in base[1]:
+        # unlike the store-reading maintainers (whose read_fold_paths
+        # before= check trips first), this writer never reads state — so
+        # the folded-id replay guard lives here: rewriting a folded dir
+        # would serve its rows twice (baseline + live).
+        raise RuntimeError(
+            f"{state_dir}: batch {batch_id} already folded into the "
+            "committed baseline but is replaying — compaction ran ahead "
+            "of the checkpoint commit horizon (keep_last too small?)"
+        )
     rows = vectors.select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -58,12 +72,49 @@ def ingest_ann_batch(
 
 
 def read_ann_index(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The full maintained index with its bucket partition column."""
-    ids = _batch_ids(state_dir)
-    if not ids:
+    """The full maintained index with its bucket partition column.
+
+    Live contribution dirs and the committed baseline are read with their
+    own ``basePath`` (the baseline sits under ``baseline/v=<k>/data``,
+    whose non-``key=value`` ancestors would break a single-rooted
+    partition discovery) and unioned on the common columns — a bucket
+    filter prunes partitions in BOTH legs."""
+    root = os.path.join(state_dir, _INDEX)
+    base = committed_fold(root)
+    folded = base[1] if base else set()
+    ids = [i for i in numbered_ids(root) if i not in folded]
+    cols = ["vec_id", "v", "norm", "bucket"]
+    parts = []
+    if ids:
+        parts.append(
+            spark.read.option("basePath", root)
+            .parquet(*[os.path.join(root, f"batch={i}") for i in ids])
+            .select(*cols)
+        )
+    if base:
+        parts.append(
+            spark.read.option("basePath", base[0]).parquet(base[0]).select(*cols)
+        )
+    if not parts:
         raise FileNotFoundError(f"no ANN index under {state_dir}")
-    return spark.read.option("basePath", os.path.join(state_dir, _INDEX)).parquet(
-        *[os.path.join(state_dir, _INDEX, f"batch={i}") for i in ids]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_ann_ingest(
+    spark: SparkSession, state_dir: str, keep_last: int = 2
+) -> None:
+    """Retention hook: fold old index contribution dirs into a committed
+    baseline, preserving the ``bucket`` partition layout (verbatim rows —
+    the sketch is a pure per-vector function, nothing to re-aggregate).
+    Crash-mid-fold is invisible (committed-marker-last)."""
+    fold_verbatim(
+        spark,
+        os.path.join(state_dir, _INDEX),
+        keep_last,
+        partition_by=["bucket"],
     )
 
 
@@ -110,11 +161,22 @@ def start_ann_ingest(
     checkpoint_dir: str,
     available_now: bool = False,
     trigger_seconds: int = 1,
+    compact_every: int | None = None,
+    keep_last: int = 2,
 ):
-    """Wire a (vec_id, embedding) stream into the index maintainer."""
-    writer = source.writeStream.foreachBatch(
-        lambda df, bid: ingest_ann_batch(df.sparkSession, state_dir, df, bid)
-    ).option("checkpointLocation", checkpoint_dir)
+    """Wire a (vec_id, embedding) stream into the index maintainer.
+
+    ``compact_every``: fold contribution dirs every Nth batch
+    (:func:`compact_ann_ingest`) — bounded state on a long-lived stream."""
+
+    def _apply(df: DataFrame, bid: int) -> None:
+        ingest_ann_batch(df.sparkSession, state_dir, df, bid)
+        if compact_every and bid % compact_every == compact_every - 1:
+            compact_ann_ingest(df.sparkSession, state_dir, keep_last)
+
+    writer = source.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

@@ -40,7 +40,6 @@ from ._state import fold_verbatim, read_fold_paths
 
 
 def ingest_hll_batch(
-    spark: SparkSession,
     state_dir: str,
     rows: DataFrame,
     batch_id: int,
@@ -48,7 +47,10 @@ def ingest_hll_batch(
     seed: str = "hll",
 ) -> None:
     """Write batch ``batch_id``'s register contribution (idempotent:
-    batch-keyed overwrite of a pure function of the batch's rows)."""
+    batch-keyed overwrite of a pure function of the batch's rows).
+
+    Unlike the other ingest maintainers this takes no SparkSession:
+    registers derive purely from ``rows`` (ADVICE r05)."""
     regs = hll_registers(rows, F.col(key), seed)
     regs.write.mode("overwrite").parquet(
         os.path.join(state_dir, "regs", f"batch={batch_id}")
@@ -105,7 +107,7 @@ def start_hll_ingest(
     """Wire a keyed stream into the sketch maintainer."""
 
     def _apply(df: DataFrame, bid: int) -> None:
-        ingest_hll_batch(df.sparkSession, state_dir, df, bid, key, seed)
+        ingest_hll_batch(state_dir, df, bid, key, seed)
         if compact_every and bid % compact_every == compact_every - 1:
             compact_hll_ingest(df.sparkSession, state_dir, keep_last)
 

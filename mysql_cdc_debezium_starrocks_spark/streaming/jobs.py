@@ -22,7 +22,7 @@ from dataclasses import replace
 
 from pyspark.sql import SparkSession
 
-from .materializer import CdcLoadConfig, start_cdc_load
+from .materializer import CdcLoadConfig, gc_ledger_stats, start_cdc_load
 
 
 class LoadJobManager:
@@ -64,6 +64,14 @@ class LoadJobManager:
                     # public desc in PySpark 4.x — .desc would AttributeError
                     # exactly when a job HAS failed and OtherMsg matters
                     "OtherMsg": str(q.exception()) if q.exception() else None,
+                    # tombstone-GC interval ledger (n_gaps / oldest gap age):
+                    # the evidence behind gc_reorder_grace_batches, mirroring
+                    # SHOW ROUTINE LOAD's progress/lag (monitor.sh:11-21)
+                    "GcLedger": (
+                        gc_ledger_stats(self._configs[name])
+                        if name in self._configs
+                        else None
+                    ),
                 }
             )
         return out

@@ -446,6 +446,35 @@ def _write_gc_horizon(
     os.replace(tmp, path)
 
 
+def gc_ledger_stats(cfg: CdcLoadConfig) -> dict | None:
+    """Operator-facing view of the tombstone-GC interval ledger — the
+    evidence for choosing ``gc_reorder_grace_batches`` (VERDICT r05 #4):
+    how many committed-sequence intervals are pending, how many gaps
+    separate them, and how long the oldest gap has stayed unfilled
+    (in committed batches).  Mirrors SHOW ROUTINE LOAD's progress/lag
+    fields (reference: monitor.sh:11-21).  ``None`` until the first
+    committed batch writes the ledger.
+
+    A gap that persists for many batches on a source KNOWN to deliver
+    densely numbered sequences is (betting-odds) a numbering hole — the
+    case the grace knob exists for; a young gap is an undelivered
+    reordered file and must keep pinning the sweep horizon.
+    """
+    led = _read_gc_horizon(cfg)
+    if led is None:
+        return None
+    intervals = led["intervals"]
+    bid = int(led["batch_id"])
+    ages = [bid - int(v) for v in led.get("gap_seen", {}).values()]
+    return {
+        "batch_id": bid,
+        "n_intervals": len(intervals),
+        "n_gaps": len(intervals) - 1,
+        "oldest_gap_age_batches": max(ages) if ages else None,
+        "contiguous_horizon": intervals[0][1] if intervals else None,
+    }
+
+
 def _safe_sweep_horizon(
     ledger: dict, current_batch_id: int, grace: int | None
 ) -> int | None:

@@ -229,3 +229,149 @@ def test_fold_ahead_of_replay_horizon_is_refused(spark, tmp_path):
     # a hypothetical replay of an already-folded batch is refused loudly
     with pytest.raises(RuntimeError, match="compaction ran ahead"):
         read_fold_paths(root, before=2)
+
+
+def _doc_batch(spark, i: int):
+    """2 docs per batch; content repeats every 7 docs so cross-batch
+    near-dup pairs keep forming against FOLDED signature-store rows."""
+    rows = [
+        (
+            i * 2 + j,
+            f"shared shingle corpus group {(i * 2 + j) % 7} "
+            + "alpha beta gamma delta epsilon zeta eta theta " * 4,
+        )
+        for j in range(2)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_ingest_compaction_soak_bounded_equal_replayable(spark, tmp_path):
+    from mysql_cdc_debezium_starrocks_spark.streaming.dedup_ingest import (
+        compact_dedup_ingest,
+        dup_pairs,
+        ingest_dedup_batch,
+    )
+
+    compacted = str(tmp_path / "c")
+    control = str(tmp_path / "u")
+    for i in range(N_BATCHES):
+        b = _doc_batch(spark, i)
+        ingest_dedup_batch(spark, compacted, b, batch_id=i)
+        if i % COMPACT_EVERY == COMPACT_EVERY - 1:
+            compact_dedup_ingest(spark, compacted, keep_last=KEEP_LAST)
+        ingest_dedup_batch(spark, control, b, batch_id=i)
+
+    # 1. bounded: live dirs never exceed keep_last + compact cadence
+    for sub in ("sigs", "pairs"):
+        assert _live_dirs(os.path.join(compacted, sub)) <= KEEP_LAST + COMPACT_EVERY
+        assert _live_dirs(os.path.join(control, sub)) == N_BATCHES
+        assert len(_baselines(os.path.join(compacted, sub))) == 1
+
+    # 2. equal output: the pair set is identical to the uncompacted control
+    pairs_c = {(r.doc_a, r.doc_b, str(r.jaccard))
+               for r in dup_pairs(spark, compacted).collect()}
+    pairs_u = {(r.doc_a, r.doc_b, str(r.jaccard))
+               for r in dup_pairs(spark, control).collect()}
+    assert pairs_c == pairs_u
+    # the repeating content guarantees pairs kept forming against folded
+    # store rows — an empty set would mean the soak tested nothing
+    assert len(pairs_c) > 100
+
+    # 3. replay of the newest batch is a no-op against the compacted state
+    ingest_dedup_batch(spark, compacted, _doc_batch(spark, N_BATCHES - 1),
+                       batch_id=N_BATCHES - 1)
+    assert {(r.doc_a, r.doc_b, str(r.jaccard))
+            for r in dup_pairs(spark, compacted).collect()} == pairs_c
+
+
+def _vec_batch(spark, i: int):
+    """3 vectors per batch; directions repeat every 5 ids so every bucket
+    keeps accumulating rows across folds."""
+    rows = [
+        (
+            i * 3 + j,
+            [
+                float((i * 3 + j) % 5) - 2.0,
+                float(j + 1),
+                1.0 if (i + j) % 2 == 0 else -1.0,
+                0.5,
+            ],
+        )
+        for j in range(3)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_ingest_compaction_soak_bounded_equal_pruned(spark, tmp_path):
+    import pytest
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.ann_ingest import (
+        ann_index_query,
+        compact_ann_ingest,
+        ingest_ann_batch,
+        read_ann_index,
+    )
+
+    compacted = str(tmp_path / "c")
+    control = str(tmp_path / "u")
+    for i in range(N_BATCHES):
+        b = _vec_batch(spark, i)
+        ingest_ann_batch(spark, compacted, b, batch_id=i)
+        if i % COMPACT_EVERY == COMPACT_EVERY - 1:
+            compact_ann_ingest(spark, compacted, keep_last=KEEP_LAST)
+        ingest_ann_batch(spark, control, b, batch_id=i)
+
+    # 1. bounded dirs + exactly one committed baseline
+    assert _live_dirs(os.path.join(compacted, "index")) <= KEEP_LAST + COMPACT_EVERY
+    assert _live_dirs(os.path.join(control, "index")) == N_BATCHES
+    assert len(_baselines(os.path.join(compacted, "index"))) == 1
+
+    # 2. the folded index serves exactly the control's rows
+    rows_c = {(r.vec_id, r.bucket)
+              for r in read_ann_index(spark, compacted).collect()}
+    rows_u = {(r.vec_id, r.bucket)
+              for r in read_ann_index(spark, control).collect()}
+    assert rows_c == rows_u and len(rows_c) == N_BATCHES * 3
+
+    # 3. query equality AND partition pruning over the baseline-inclusive
+    #    read (the fold preserved the bucket=<b> layout)
+    queries = _vec_batch(spark, 0)
+    got_c = sorted(map(tuple,
+                       ann_index_query(spark, compacted, queries, k=3).collect()))
+    got_u = sorted(map(tuple,
+                       ann_index_query(spark, control, queries, k=3).collect()))
+    assert got_c == got_u and got_c
+    plan = (
+        ann_index_query(spark, compacted, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters: [", 1)[1][:120]
+
+    # 4. replay of the newest batch is a no-op; replay of a FOLDED batch is
+    #    refused loudly (this writer never reads state, so the guard lives
+    #    in ingest_ann_batch itself)
+    ingest_ann_batch(spark, compacted, _vec_batch(spark, N_BATCHES - 1),
+                     batch_id=N_BATCHES - 1)
+    assert {(r.vec_id, r.bucket)
+            for r in read_ann_index(spark, compacted).collect()} == rows_c
+    with pytest.raises(RuntimeError, match="compaction ran ahead"):
+        ingest_ann_batch(spark, compacted, _vec_batch(spark, 0), batch_id=0)
+
+
+def test_dedup_ingest_folded_replay_refused(spark, tmp_path):
+    """The store-reading maintainer's guard: replaying a batch whose id the
+    baseline already absorbed must be refused by the before= read."""
+    import pytest
+
+    from mysql_cdc_debezium_starrocks_spark.streaming.dedup_ingest import (
+        compact_dedup_ingest,
+        ingest_dedup_batch,
+    )
+
+    state = str(tmp_path / "d")
+    for i in range(6):
+        ingest_dedup_batch(spark, state, _doc_batch(spark, i), batch_id=i)
+    compact_dedup_ingest(spark, state, keep_last=1)
+    with pytest.raises(RuntimeError, match="compaction ran ahead"):
+        ingest_dedup_batch(spark, state, _doc_batch(spark, 0), batch_id=0)

@@ -77,16 +77,41 @@ def test_power_iteration_aligns_with_eigh(spark):
 
 
 def test_pca_projection_variance_ordering(spark):
-    """PC1 projections must capture at least as much variance as PC2, and
-    both at least as much as a raw coordinate (top eigenpair property)."""
-    from mysql_cdc_debezium_starrocks_spark.operators.linalg import emb_pca_project
+    """The integer PCA (micro-unit pc1_q/pc2_q, oracle-backed since r06):
+    PC1 projections must capture at least as much variance as PC2, both at
+    least as much as a raw coordinate (top eigenpair property), the
+    components near-orthogonal, and each integer projection must align
+    with the float eigh projection of the same data."""
+    from mysql_cdc_debezium_starrocks_spark.operators.linalg import (
+        POWER_SCALE,
+        _int_top2_components,
+        emb_covariance,
+        emb_pca_project,
+        fit_pca,
+    )
 
     rows = emb_pca_project(spark, SF_SMOKE).collect()
-    pc1 = np.array([float(r["pc1"]) for r in rows])
-    pc2 = np.array([float(r["pc2"]) for r in rows])
+    pc1 = np.array([r["pc1_q"] / 1e6 for r in rows])
+    pc2 = np.array([r["pc2_q"] / 1e6 for r in rows])
     x = _embeddings_matrix(spark)
     assert pc1.var() >= pc2.var() > 0
-    assert pc1.var() >= x.var(axis=0).max() - 1e-6
+    assert pc1.var() >= x.var(axis=0).max() - 1e-4
+
+    # quantized components: unit-ish L2 norm and near-orthogonality
+    n1, n2 = _int_top2_components(emb_covariance(spark, SF_SMOKE).collect())
+    a1 = np.array(n1) / POWER_SCALE
+    a2 = np.array(n2) / POWER_SCALE
+    assert abs(np.linalg.norm(a1) - 1) < 1e-3
+    assert abs(np.linalg.norm(a2) - 1) < 1e-3
+    assert abs(a1 @ a2) < 1e-2
+
+    # alignment with the float reference: |corr| near 1 per component
+    mean, pcs = fit_pca(spark, SF_SMOKE, k=2)
+    ref1 = (x - mean) @ pcs[:, 0]
+    ref2 = (x - mean) @ pcs[:, 1]
+    order = np.argsort([r["vec_id"] for r in rows])
+    assert abs(np.corrcoef(pc1[order], ref1)[0, 1]) > 0.999
+    assert abs(np.corrcoef(pc2[order], ref2)[0, 1]) > 0.99
 
 
 def test_repetition_bounds(spark):

@@ -5,6 +5,8 @@ export runnable shards.
 
 import glob
 
+from pyspark.sql import functions as F
+
 from mysql_cdc_debezium_starrocks_spark.pipeline import CorpusPipeline
 
 SF = "/root/testdata/sf0.001"
@@ -250,3 +252,121 @@ def test_select_target_like_step_matches_doc_weights(spark):
     # explicit-threshold mode still works
     lo = CorpusPipeline(spark, SF).select_target_like(min(r.w_micro for r in w))
     assert lo.df.count() == len(w)
+
+
+def test_select_target_like_weightless_docs_kept_at_low_threshold(spark):
+    """A doc with fewer than 2 words produces no bigrams and therefore no
+    DSIR weight row; it is treated as w_micro = 0 (left join + coalesce,
+    ADVICE r05), so an explicitly low threshold keeps it instead of the
+    old semi-join silently dropping it."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        dsir_doc_weights,
+    )
+
+    p = CorpusPipeline(spark, SF)
+    extra = spark.createDataFrame(
+        [(999_999, "solo", "en", "web", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p._df = p._df.unionByName(extra)
+    n_before = p.df.count()
+    lo = min(r.w_micro for r in dsir_doc_weights(spark, SF).collect())
+    p.select_target_like(min(lo, 0))
+    assert p.df.count() == n_before  # the bigram-less doc survives
+    assert p.df.filter(F.col("doc_id") == 999_999).count() == 1
+    # mean mode: the threshold is still over WEIGHTED docs, and a
+    # weight-0 doc is kept iff 0 clears it — no silent drop either way
+    q = CorpusPipeline(spark, SF)
+    q._df = q._df.unionByName(extra)
+    q.select_target_like()
+    w = dsir_doc_weights(spark, SF).collect()
+    tot = sum(r.w_micro for r in w)
+    thr = tot // len(w) if tot >= 0 else -((-tot) // len(w))
+    want_extra = 1 if 0 >= thr else 0
+    assert q.df.filter(F.col("doc_id") == 999_999).count() == want_extra
+
+
+def test_full_funnel_end_to_end_sf01(spark, tmp_path):
+    """VERDICT r05 #7: ONE full user-facing funnel at sf0.1 — quality ->
+    decontaminate -> near-dup dedup -> mixture sampling -> weighted
+    sampling -> export, plus pack and audit on the curated frame —
+    asserting stage-count monotonicity, packing token conservation,
+    funnel_report conservation, and export shard integrity.  The steps are
+    individually equality-tested elsewhere; this pins their COMPOSITION."""
+    import math
+
+    from mysql_cdc_debezium_starrocks_spark.operators.packing import PACK_BUDGET
+
+    SF1 = "/root/testdata/sf0.1"
+    K = 50
+
+    p = CorpusPipeline(spark, SF1)
+    n_raw = p.count()
+    assert n_raw == 5000
+    counts = [n_raw]
+    for step in ("quality", "decontaminate", "dedup", "sample_mixture"):
+        getattr(p, step)()
+        counts.append(p.count())
+    # every stage only removes docs, and the funnel actually cuts
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[-1] < n_raw
+    curated = p.df
+
+    # packing on the curated frame: bins per source = ceil(tokens/budget),
+    # tokens conserved (every doc starts in exactly one bin)
+    packed = CorpusPipeline(spark, SF1)
+    packed._df = curated
+    packed.pack()
+    bins = packed.df.collect()
+    tok_by_src = {
+        r["source"]: r["toks"]
+        for r in curated.groupBy("source")
+        .agg(
+            F.expr(
+                "sum(size(filter(split(lower(text), '\\\\s+'), x -> x != '')))"
+            ).alias("toks")
+        )
+        .collect()
+    }
+    started = {}
+    nbins = {}
+    for r in bins:
+        started[r["source"]] = started.get(r["source"], 0) + r["n_tokens_started"]
+        nbins[r["source"]] = nbins.get(r["source"], 0) + 1
+    assert started == tok_by_src
+    for s, toks in tok_by_src.items():
+        assert nbins[s] == math.ceil(toks / PACK_BUDGET)
+
+    # weighted sample: exactly K survivors, all drawn from the curated set
+    p.weighted_sample(K)
+    sampled = p.df.collect()
+    assert len(sampled) == K
+    curated_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert {r["doc_id"] for r in sampled} <= curated_ids
+
+    # audit side-channel: report frames with the expected shape
+    aud = p.audit()
+    assert {"fk_orphans", "column_profile"} <= set(aud)
+    assert aud["fk_orphans"].count() > 0
+    assert aud["column_profile"].count() > 0
+
+    # funnel_report conservation: monotone docs/tokens down the fixed funnel
+    rep = sorted(p.funnel_report().collect(), key=lambda r: r["stage_idx"])
+    assert rep[0]["n_docs"] == n_raw
+    assert all(
+        a["n_docs"] >= b["n_docs"] and a["n_tokens"] >= b["n_tokens"]
+        for a, b in zip(rep, rep[1:])
+    )
+
+    # export: deterministic shard layout, every sampled row present once
+    out = str(tmp_path / "shards")
+    p.export(out, shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == K
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in sampled
+    }
+    shard_dirs = {r["_shard"] for r in back.select("_shard").distinct().collect()}
+    assert shard_dirs <= {0, 1, 2, 3}
+    for r in back.select("doc_id", "_shard").collect():
+        assert r["_shard"] == r["doc_id"] % 4

@@ -43,7 +43,7 @@ def test_hll_ingest_soak_bounded_merge_replay(spark, tmp_path):
     state = str(tmp_path / "hll")
     all_keys = set()
     for i in range(N_BATCHES):
-        ingest_hll_batch(spark, state, _batch(spark, i), i)
+        ingest_hll_batch(state, _batch(spark, i), i)
         all_keys.update(range(i * 4, i * 4 + 8))
         if i % COMPACT_EVERY == COMPACT_EVERY - 1:
             compact_hll_ingest(spark, state, KEEP_LAST)
@@ -72,7 +72,7 @@ def test_hll_ingest_soak_bounded_merge_replay(spark, tmp_path):
 
     # 4. replay idempotence: re-running the newest batch changes nothing
     before = got_regs
-    ingest_hll_batch(spark, state, _batch(spark, N_BATCHES - 1), N_BATCHES - 1)
+    ingest_hll_batch(state, _batch(spark, N_BATCHES - 1), N_BATCHES - 1)
     after = {
         (r.idx, r.mr) for r in running_registers(spark, state).collect()
     }
@@ -85,7 +85,7 @@ def test_hll_ingest_equals_uncompacted_control(spark, tmp_path):
     c, u = str(tmp_path / "c"), str(tmp_path / "u")
     for i in range(17):
         for d in (c, u):
-            ingest_hll_batch(spark, d, _batch(spark, i * 3), i)
+            ingest_hll_batch(d, _batch(spark, i * 3), i)
         if i % 4 == 3:
             compact_hll_ingest(spark, c, KEEP_LAST)
     rc = {(r.idx, r.mr) for r in running_registers(spark, c).collect()}
@@ -129,7 +129,6 @@ def test_hll_ingest_streaming_path(spark, tmp_path):
     direct = str(tmp_path / "hll_direct")
     for i, half in enumerate(halves):
         ingest_hll_batch(
-            spark,
             direct,
             spark.createDataFrame([(k,) for k in half], "key long"),
             i,

@@ -361,3 +361,56 @@ def test_theta_refuses_recycled_batch_id(spark, tmp_path):
     # non-recycled ids still write, and the sketch stays readable
     update_theta_batch(spark, state, fresh, "k", 4, k=32)
     assert read_theta(spark, state).count() > 0
+
+
+def test_gc_ledger_stats_gap_age_and_clear(tmp_path):
+    """Monitoring surface for the interval ledger (VERDICT r05 #4): a
+    forced delivery gap shows up with its age in committed batches and
+    clears the moment the gap fills — the evidence an operator needs to
+    choose gc_reorder_grace_batches."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.materializer import (
+        _write_gc_horizon,
+        gc_ledger_stats,
+    )
+
+    cfg = CdcLoadConfig(
+        name="led",
+        source_dir=str(tmp_path / "src"),
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    os.makedirs(cfg.state_dir, exist_ok=True)
+    assert gc_ledger_stats(cfg) is None  # no committed batch yet
+
+    _write_gc_horizon(cfg, batch_id=0, min_seq=0, max_seq=5)
+    s = gc_ledger_stats(cfg)
+    assert s == {
+        "batch_id": 0, "n_intervals": 1, "n_gaps": 0,
+        "oldest_gap_age_batches": None, "contiguous_horizon": 5,
+    }
+
+    # batch 1 delivers out of order: gap [6..9] opens, age 0
+    _write_gc_horizon(cfg, batch_id=1, min_seq=10, max_seq=12)
+    s = gc_ledger_stats(cfg)
+    assert s["n_gaps"] == 1 and s["oldest_gap_age_batches"] == 0
+    assert s["contiguous_horizon"] == 5  # sweep stays pinned below the gap
+
+    # batch 4 opens a second gap; the FIRST gap has now aged 3 batches
+    _write_gc_horizon(cfg, batch_id=4, min_seq=20, max_seq=22)
+    s = gc_ledger_stats(cfg)
+    assert s["n_intervals"] == 3 and s["n_gaps"] == 2
+    assert s["oldest_gap_age_batches"] == 3
+
+    # the reordered file finally lands: first gap fills, horizon advances
+    _write_gc_horizon(cfg, batch_id=5, min_seq=6, max_seq=9)
+    s = gc_ledger_stats(cfg)
+    assert s["n_gaps"] == 1 and s["contiguous_horizon"] == 12
+    assert s["oldest_gap_age_batches"] == 1  # the younger gap remains
+
+    # everything contiguous again: gap count and age clear
+    _write_gc_horizon(cfg, batch_id=6, min_seq=13, max_seq=19)
+    s = gc_ledger_stats(cfg)
+    assert s == {
+        "batch_id": 6, "n_intervals": 1, "n_gaps": 0,
+        "oldest_gap_age_batches": None, "contiguous_horizon": 22,
+    }

@@ -88,6 +88,12 @@ def test_streaming_insert_update_delete(spark, tmp_path):
     [job] = mgr.show()
     assert job["JobName"] == "t_orders"
     assert job["Statistic"]["batchId"] is not None
+    # the tombstone-GC interval ledger surfaces (VERDICT r05 #4): an
+    # in-order drain leaves one contiguous interval, no pending gaps
+    led = job["GcLedger"]
+    assert led is not None and led["n_gaps"] == 0
+    assert led["n_intervals"] == 1 and led["contiguous_horizon"] == 6
+    assert led["oldest_gap_age_batches"] is None
 
 
 def test_kafka_projection_matches_file_source(spark, tmp_path):

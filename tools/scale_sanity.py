@@ -131,6 +131,11 @@ CASES = {
     "emb_outlier_zscore": ("operators.linalg", ["embeddings"]),
     "eval_minhash_threshold_sweep": ("operators.dedup", ["documents"]),
     "eval_bpe_compression_sweep": ("operators.text", ["documents"]),
+    # round-6 additions: every new operator gets a row BEFORE it ships
+    "mix_upsample_repeat": ("operators.stats", ["documents"]),
+    "ts_changepoint_cusum": ("operators.stats", ["events"]),
+    "emb_cosine_pair_histogram": ("operators.similarity", ["embeddings"]),
+    "emb_pca_project": ("operators.linalg", ["embeddings"]),
 }
 
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
