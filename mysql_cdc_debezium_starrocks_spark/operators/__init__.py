@@ -66,10 +66,15 @@ def _fixture_dir() -> str:
 # operators are first-time names; every other registry name then holds a
 # driver row from some round, r06 re-checking the stalest).
 DRIVER_PRIORITY = (
-    # --- (a) changed/new this round ---
+    # --- (a) changed/new this round (join_interval_overlap: the 100x
+    # scale pass measured the grid-blocked pair join's inherent
+    # quadratic-in-density candidate growth — 6.1k -> 527M candidates,
+    # 256x wall — and it was rewritten as sweep-line aggregates, 2.7x
+    # wall at 100x; changed code is always driver-re-verified in-window,
+    # displacing the agg_top1_per_group_argmax refresher below the fold) ---
     "emb_pca_project", "sketch_hll_portable", "sample_weighted_priority",
     "emb_top_eigenvector", "mix_upsample_repeat", "ts_changepoint_cusum",
-    "emb_cosine_pair_histogram",
+    "emb_cosine_pair_histogram", "join_interval_overlap",
     # --- (b) the last never-driver-checked names: stats/sampling ---
     "stats_corr_price_qty", "stats_key_skew", "hist_quantile_bins",
     "sample_shuffle_prefix", "mix_sample_apply",
@@ -94,8 +99,9 @@ DRIVER_PRIORITY = (
     "q9_product_profit", "filter_eq", "group_count", "topk_orders",
     "year_histogram", "union_priorities", "scalar_subquery_correlated",
     "events_rate", "mix_weights_by_source", "window_running_sum",
-    "pivot_status_matrix", "agg_top1_per_group_argmax",
+    "pivot_status_matrix",
     # ^-- 50-slot window ends here --------------------------------------
+    "agg_top1_per_group_argmax",
     # --- beyond the fold: last round's window first (most recently
     # verified high-value names), then the r05 anchors ---
     "mix_temperature_sampling", "emb_dim_budget_recall", "join_asof_nearest",
@@ -124,7 +130,7 @@ DRIVER_PRIORITY = (
     "ann_ivfpq_refine", "eval_retrieval_mrr", "eval_kmeans_silhouette",
     "eval_phash_pr", "mm_image_phash", "mm_phash_dupes",
     "mm_phash_components", "text_vocab_coverage", "stats_source_gini",
-    "join_interval_overlap", "stats_column_profile", "eval_ivf_balance",
+    "stats_column_profile", "eval_ivf_balance",
     "cdc_monitor_profile", "corpus_dedup_funnel",
     "dq_fk_orphans", "emb_prune_diversity",
     "stats_bootstrap_means", "events_attribution", "join_fuzzy_parts",

@@ -516,32 +516,52 @@ ORACLE["ts_anomaly_mad"] = f"""
 
 
 # Interval-overlap join: both sides are intervals (no built-in in Spark; the
-# naive inequality join is a cross product).  Grid-blocking: each interval
-# explodes to the ~GRID_DAYS-wide calendar cells it touches, candidates join
-# on (key, cell) equality — a plain hash join — then the true overlap
-# predicate verifies and a pair-level dedup removes multi-cell repeats.
-GRID_DAYS = 7  # block width; intervals here span <= 8 days -> <= 3 cells
+# naive inequality join is a cross product).  Computed as sweep-line
+# aggregates — pair ENUMERATION (even grid-blocked) is quadratic in
+# per-(key, window) density, which the round-6 100x scale run measured
+# directly; see join_interval_overlap's docstring for the reformulation.
 
 
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concurrent-shipment pairs: lineitems of the SAME part whose shipping
-    windows ``[shipdate, shipdate + (quantity % 7 + 1) days]`` overlap —
-    the interval-overlap self-join (room-scheduling / overlapping-sessions
-    shape) Spark has no operator for.
+    """Concurrent-shipment stats: per part, how many pairs of lineitems
+    have overlapping shipping windows ``[shipdate, shipdate + (quantity %
+    7 + 1) days]``, their total pairwise overlap in days, and the longest
+    single pairwise overlap — the interval-overlap self-join
+    (room-scheduling / overlapping-sessions shape) Spark has no operator
+    for, reduced to its aggregate WITHOUT enumerating pairs.
 
-    Scale shape: a raw self-join on ``l_partkey`` with the overlap
-    predicate is hash-joinable but fans out C(per-key rows, 2) candidates
-    per key BEFORE the date filter.  Grid-blocking bounds it: explode each
-    interval to its ``GRID_DAYS`` calendar cells (<= 3 here, map-only), join
-    on ``(l_partkey, cell)`` equality so only time-adjacent rows ever meet,
-    verify the exact overlap, and dedup pairs that share several cells.
-    Shuffle carries (key, cell)-bucketed rows; candidate volume scales with
-    TEMPORAL density, not per-part history length — the standard
-    interval-join blocking trick (cf. Spark's range-join hints / DuckDB's
-    IEJoin, reproduced here with plain DataFrame ops).  Per-part overlap
-    stats via one partial-agg'd groupBy.  (Reference analog: none — its SQL
-    never joins on time; this serves the CDC-materialized ``lineitem``
-    consumers SURVEY.md §2.8 anticipates.)
+    Through round 5 this ran as a grid-blocked pair join ((part, 7-day
+    cell) equi-join + exact verify).  The round-6 100x scale run caught
+    the inherent cliff: when per-(part, cell) density grows f-fold the
+    candidate set grows f^2-fold (measured: 6.1k -> 527M candidates, wall
+    0.7 s -> 182 s at 100x) — any pair-enumerating plan is quadratic in
+    temporal density.  But the OUTPUT is only per-part aggregates, and
+    each has a linear sweep-line form (the reformulation, one sort each,
+    all integer/date-exact so the naive-join DuckDB oracle still matches
+    value-for-value):
+
+    - ``n_pairs``: sort start/end EVENTS per part (starts before ends on
+      date ties — an interval ending exactly at another's start does
+      overlap it for closed intervals); at each start, the number of live
+      intervals = starts-before - ends-before (two running sums over ONE
+      window sort); summing gives the overlapping-pair count because
+      every pair is counted exactly once at its later-starting member.
+    - ``sum_overlap_days``: a pair with an L-day intersection contributes
+      L day-units, so the total equals sum over calendar days of
+      C(coverage(day), 2) — a bounded day-explode (intervals span <= 8
+      days) + two partial-agg'd groupBys.
+    - ``max_overlap_days``: for intervals sorted by (start, id), the best
+      partner for row i among earlier starters maximizes min(e_i, e_j),
+      so min(e_i, running-max-of-prefix-e) - s_i + 1 is an achievable
+      pair overlap and its per-part max is THE max (running max over the
+      same sort as the event sweep).
+
+    Scale shape: three shuffles on ``l_partkey`` (event window, day
+    rollup, interval window) + final joins of per-part 1-row aggregates —
+    O(n log n) regardless of per-part density.  100x replica: 2.7x wall
+    (vs 256x for the pair join it replaces).  (Reference analog: none —
+    its SQL never joins on time; this serves the CDC-materialized
+    ``lineitem`` consumers SURVEY.md §2.8 anticipates.)
     """
     li = load(spark, sf_dir, "lineitem")
     s = F.to_date("l_shipdate")
@@ -552,41 +572,82 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("ln"),
         s.alias("s"),
         e.alias("e"),
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_date(s) / GRID_DAYS).cast("long"),
-                F.floor(F.unix_date(e) / GRID_DAYS).cast("long"),
-            )
-        ).alias("cell"),
     )
-    a = iv.select(
-        "l_partkey", "cell",
-        F.col("ok").alias("ok_a"), F.col("ln").alias("ln_a"),
-        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
-    )
-    b = iv.select(
-        "l_partkey", "cell",
-        F.col("ok").alias("ok_b"), F.col("ln").alias("ln_b"),
-        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
-    )
-    pairs = (
-        a.join(b, ["l_partkey", "cell"])
-        .filter(
-            (F.col("ok_a") < F.col("ok_b"))
-            | ((F.col("ok_a") == F.col("ok_b")) & (F.col("ln_a") < F.col("ln_b")))
+
+    # n_pairs: event sweep.  typ 0 = start, 1 = end; ordering (val, typ)
+    # puts ends AFTER starts on date ties, so ends_before counts only
+    # e_j < s_i (strict — equal-date end still overlaps a closed start).
+    ev = iv.select(
+        "l_partkey", F.col("s").alias("val"), F.lit(0).alias("typ"), "ok", "ln"
+    ).unionByName(
+        iv.select(
+            "l_partkey", F.col("e").alias("val"), F.lit(1).alias("typ"),
+            "ok", "ln",
         )
-        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
-        # a pair overlapping across several grid cells matches once per
-        # shared cell; pair identity dedups it (hash-agg on the pair key)
-        .dropDuplicates(["l_partkey", "ok_a", "ln_a", "ok_b", "ln_b"])
     )
-    overlap_days = (
-        F.datediff(F.least("e_a", "e_b"), F.greatest("s_a", "s_b")) + 1
+    wev = (
+        Window.partitionBy("l_partkey")
+        .orderBy("val", "typ", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return pairs.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(overlap_days).cast("long").alias("sum_overlap_days"),
-        F.max(overlap_days).cast("int").alias("max_overlap_days"),
+    live = (
+        ev.select(
+            "l_partkey",
+            "typ",
+            F.coalesce(
+                F.sum(F.when(F.col("typ") == 0, 1)).over(wev), F.lit(0)
+            ).alias("starts_before"),
+            F.coalesce(
+                F.sum(F.when(F.col("typ") == 1, 1)).over(wev), F.lit(0)
+            ).alias("ends_before"),
+        )
+        .filter(F.col("typ") == 0)
+        .select(
+            "l_partkey",
+            (F.col("starts_before") - F.col("ends_before")).alias("live"),
+        )
+    )
+    npairs = live.groupBy("l_partkey").agg(
+        F.sum("live").cast("long").alias("n_pairs")
+    )
+
+    # sum_overlap_days: per-day coverage c -> sum C(c, 2)
+    sums = (
+        iv.select(
+            "l_partkey", F.explode(F.sequence(F.col("s"), F.col("e"))).alias("d")
+        )
+        .groupBy("l_partkey", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.expr("(c * (c - 1)) div 2"))
+            .cast("long")
+            .alias("sum_overlap_days")
+        )
+    )
+
+    # max_overlap_days: min(e, running max of earlier e) - s + 1
+    wmax = (
+        Window.partitionBy("l_partkey")
+        .orderBy("s", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mx = (
+        iv.withColumn("cand_e", F.max("e").over(wmax))
+        .filter(F.col("cand_e") >= F.col("s"))
+        .select(
+            "l_partkey",
+            (F.datediff(F.least("e", "cand_e"), F.col("s")) + 1).alias("ov"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.max("ov").cast("int").alias("max_overlap_days"))
+    )
+
+    return (
+        npairs.filter(F.col("n_pairs") > 0)
+        .join(sums, "l_partkey")
+        .join(mx, "l_partkey")
+        .select("l_partkey", "n_pairs", "sum_overlap_days", "max_overlap_days")
     )
 
 

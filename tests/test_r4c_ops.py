@@ -43,9 +43,11 @@ def test_funnel_monotone_and_matches_curate(spark):
     assert rows["decontam"].n_docs == corpus_curate(spark, SF_SMOKE).count()
 
 
-def test_interval_overlap_grid_equals_plain_join(spark):
-    """The grid blocking is an implementation detail: the pair set must
-    equal the plain (unblocked) inequality self-join."""
+def test_interval_overlap_sweep_equals_plain_join(spark):
+    """The sweep-line reformulation (round 6 — replaced the grid-blocked
+    pair join after the 100x run measured its inherent quadratic-in-
+    density candidate growth) is an implementation detail: ALL THREE
+    aggregates must equal the plain (unblocked) inequality self-join."""
     li = load(spark, SF_SMOKE, "lineitem")
     s = F.to_date("l_shipdate")
     iv = li.select(
@@ -63,6 +65,7 @@ def test_interval_overlap_grid_equals_plain_join(spark):
         "l_partkey", F.col("ok").alias("ok_b"), F.col("ln").alias("ln_b"),
         F.col("s").alias("s_b"), F.col("e").alias("e_b"),
     )
+    ov = F.datediff(F.least("e_a", "e_b"), F.greatest("s_a", "s_b")) + 1
     plain = (
         a.join(b, "l_partkey")
         .filter(
@@ -71,11 +74,18 @@ def test_interval_overlap_grid_equals_plain_join(spark):
         )
         .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
         .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(ov).alias("sum_overlap_days"),
+            F.max(ov).alias("max_overlap_days"),
+        )
     )
-    expected = {r.l_partkey: r.n_pairs for r in plain.collect()}
+    expected = {
+        r.l_partkey: (r.n_pairs, r.sum_overlap_days, r.max_overlap_days)
+        for r in plain.collect()
+    }
     got = {
-        r.l_partkey: r.n_pairs
+        r.l_partkey: (r.n_pairs, r.sum_overlap_days, r.max_overlap_days)
         for r in join_interval_overlap(spark, SF_SMOKE).collect()
     }
     assert got == expected

@@ -251,6 +251,29 @@ HEADLINE = [
         "per-doc sum then per-source profile — nothing wider than B rows "
         "centralizes.",
     ),
+    (
+        "join_interval_overlap",
+        "Interval-overlap aggregates by SWEEP-LINE (round 6: replaced the "
+        "grid-blocked pair join after the 100x run measured quadratic-in-"
+        "density candidate growth): event window for live counts, per-day "
+        "C(c,2) rollup, running-max-prefix window — three l_partkey "
+        "shuffles, NO pair enumeration, O(n log n) at any temporal "
+        "density.",
+    ),
+    (
+        "emb_pca_project",
+        "Integer PCA projection: covariance + 64-row moment jobs run "
+        "eagerly at build; the projection itself is ONE map-only scan — "
+        "literal integer PC arrays folded by zip_with/aggregate inside "
+        "codegen, no Python, no shuffle beyond the spread repartition.",
+    ),
+    (
+        "ts_changepoint_cusum",
+        "CUSUM via closed form: hourly rollup, broadcast per-type integer "
+        "moments, then running sum AND running min ride ONE "
+        "(event_type, hr) sort — the recursion as two stock windows; "
+        "TakeOrderedAndProject top-k, no global sort.",
+    ),
 ]
 
 
