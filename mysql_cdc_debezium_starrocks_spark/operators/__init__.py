@@ -59,8 +59,9 @@ def _fixture_dir() -> str:
 # (c) family anchors with no member in (a)/(b): cdc_apply (flagship),
 #     q1_pricing_summary, ann_ivf_topk, ml_naive_bayes,
 #     window_range_rolling_revenue.
-# (d) the remaining 15 slots refresh the STALEST evidence: r02-era greens
-#     never re-checked since (oldest-first risk: four rounds of repo-wide
+# (d) the remaining slots (14 after join_interval_overlap's rewrite took
+#     one for (a)) refresh the STALEST evidence: r02-era greens never
+#     re-checked since (oldest-first risk: four rounds of repo-wide
 #     refactors since their last driver row).
 # Expected outcome: cumulative driver coverage 207/207 (the three round-6
 # operators are first-time names; every other registry name then holds a

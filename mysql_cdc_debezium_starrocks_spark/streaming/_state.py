@@ -100,6 +100,50 @@ def read_fold_paths(root: str, before: int | None = None) -> list[str]:
     return paths
 
 
+def guard_folded_replay(root: str, batch_id: int) -> None:
+    """Refuse a replay of a batch id the committed baseline already
+    absorbed — rewriting its dir would serve the rows twice (baseline +
+    live).  For maintainers whose writer never reads state (so the
+    ``read_fold_paths(before=...)`` check never trips)."""
+    base = committed_fold(root)
+    if base and batch_id in base[1]:
+        raise RuntimeError(
+            f"{root}: batch {batch_id} already folded into the committed "
+            "baseline but is replaying — compaction ran ahead of the "
+            "checkpoint commit horizon (keep_last too small?)"
+        )
+
+
+def read_fold_df(spark, root: str, cols: list[str]):
+    """The store as ONE DataFrame: live contribution dirs + the committed
+    baseline, each read with its own ``basePath`` (required for stores
+    whose dirs carry ``key=value`` partition subdirs — a multi-root read
+    would trip Spark's conflicting-partition-directories check, and the
+    baseline's ``baseline/v=<k>/data`` ancestors would break single-rooted
+    discovery), unioned on ``cols``.  Returns None when the store is
+    empty.  Partition-column filters prune in every leg."""
+    base = committed_fold(root)
+    folded = base[1] if base else set()
+    ids = [i for i in numbered_ids(root) if i not in folded]
+    parts = []
+    if ids:
+        parts.append(
+            spark.read.option("basePath", root)
+            .parquet(*[os.path.join(root, f"batch={i}") for i in ids])
+            .select(*cols)
+        )
+    if base:
+        parts.append(
+            spark.read.option("basePath", base[0]).parquet(base[0]).select(*cols)
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def fold_verbatim(
     spark, root: str, keep_last: int = 2, agg=None, partition_by=None
 ) -> None:

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.similarity import _bucket, _dot
-from ._state import committed_fold, fold_verbatim, numbered_ids
+from ._state import fold_verbatim, guard_folded_replay, read_fold_df
 
 _INDEX = "index"
 
@@ -45,18 +45,13 @@ _INDEX = "index"
 def ingest_ann_batch(
     spark: SparkSession, state_dir: str, vectors: DataFrame, batch_id: int
 ) -> None:
-    """Sketch one micro-batch of (vec_id, embedding) rows into the index."""
-    base = committed_fold(os.path.join(state_dir, _INDEX))
-    if base and batch_id in base[1]:
-        # unlike the store-reading maintainers (whose read_fold_paths
-        # before= check trips first), this writer never reads state — so
-        # the folded-id replay guard lives here: rewriting a folded dir
-        # would serve its rows twice (baseline + live).
-        raise RuntimeError(
-            f"{state_dir}: batch {batch_id} already folded into the "
-            "committed baseline but is replaying — compaction ran ahead "
-            "of the checkpoint commit horizon (keep_last too small?)"
-        )
+    """Sketch one micro-batch of (vec_id, embedding) rows into the index.
+
+    This writer never reads state (the sketch is a pure function of the
+    batch), so the ``read_fold_paths(before=...)`` replay check the
+    store-reading maintainers get for free never trips — the shared
+    folded-id guard runs here instead."""
+    guard_folded_replay(os.path.join(state_dir, _INDEX), batch_id)
     rows = vectors.select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -74,33 +69,17 @@ def ingest_ann_batch(
 def read_ann_index(spark: SparkSession, state_dir: str) -> DataFrame:
     """The full maintained index with its bucket partition column.
 
-    Live contribution dirs and the committed baseline are read with their
-    own ``basePath`` (the baseline sits under ``baseline/v=<k>/data``,
-    whose non-``key=value`` ancestors would break a single-rooted
-    partition discovery) and unioned on the common columns — a bucket
+    ``_state.read_fold_df`` reads live contribution dirs and the committed
+    baseline each with their own ``basePath`` and unions them — a bucket
     filter prunes partitions in BOTH legs."""
-    root = os.path.join(state_dir, _INDEX)
-    base = committed_fold(root)
-    folded = base[1] if base else set()
-    ids = [i for i in numbered_ids(root) if i not in folded]
-    cols = ["vec_id", "v", "norm", "bucket"]
-    parts = []
-    if ids:
-        parts.append(
-            spark.read.option("basePath", root)
-            .parquet(*[os.path.join(root, f"batch={i}") for i in ids])
-            .select(*cols)
-        )
-    if base:
-        parts.append(
-            spark.read.option("basePath", base[0]).parquet(base[0]).select(*cols)
-        )
-    if not parts:
+    df = read_fold_df(
+        spark,
+        os.path.join(state_dir, _INDEX),
+        ["vec_id", "v", "norm", "bucket"],
+    )
+    if df is None:
         raise FileNotFoundError(f"no ANN index under {state_dir}")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return df
 
 
 def compact_ann_ingest(
