@@ -375,3 +375,63 @@ def test_dedup_ingest_folded_replay_refused(spark, tmp_path):
     compact_dedup_ingest(spark, state, keep_last=1)
     with pytest.raises(RuntimeError, match="compaction ran ahead"):
         ingest_dedup_batch(spark, state, _doc_batch(spark, 0), batch_id=0)
+
+
+def test_partitioned_fold_crash_mid_compaction_is_invisible(spark, tmp_path):
+    """The partition_by fold path (ANN bucket layout): a baseline missing
+    its _COMMITTED marker must be ignored by the per-leg basePath reader
+    and superseded by the next fold, which must also keep the bucket
+    partition layout."""
+    from mysql_cdc_debezium_starrocks_spark.streaming._state import (
+        read_fold_df,
+    )
+
+    root = str(tmp_path / "store")
+    for i in range(5):
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id AS vec_id", "CAST(id % 4 AS INT) AS bucket")
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(root, f"batch={i}"))
+        )
+    cols = ["vec_id", "bucket"]
+    before = sorted(
+        map(tuple, read_fold_df(spark, root, cols).collect())
+    )
+    assert len(before) == 50
+
+    # crash: complete partitioned data + manifest, NO commit marker
+    crash = os.path.join(root, "baseline", "v=0")
+    (
+        spark.range(1)
+        .selectExpr("CAST(-999 AS BIGINT) AS vec_id", "CAST(0 AS INT) AS bucket")
+        .write.partitionBy("bucket")
+        .parquet(os.path.join(crash, "data"))
+    )
+    with open(os.path.join(crash, "_FOLDED"), "w") as f:
+        json.dump([0, 1, 2], f)
+    assert sorted(
+        map(tuple, read_fold_df(spark, root, cols).collect())
+    ) == before
+
+    # recovery fold commits v=1, keeps the bucket layout, GCs absorbed dirs
+    fold_verbatim(spark, root, keep_last=2, partition_by=["bucket"])
+    assert sorted(
+        map(tuple, read_fold_df(spark, root, cols).collect())
+    ) == before
+    assert numbered_ids(root) == [3, 4]
+    vdir = os.path.join(root, "baseline", "v=1")
+    assert os.path.exists(os.path.join(vdir, "_COMMITTED"))
+    assert any(
+        d.startswith("bucket=") for d in os.listdir(os.path.join(vdir, "data"))
+    )
+    # partition pruning works over the recovered baseline-inclusive read
+    plan = (
+        read_fold_df(spark, root, cols)
+        .filter(F.col("bucket") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
