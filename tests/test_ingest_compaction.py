@@ -435,3 +435,83 @@ def test_partitioned_fold_crash_mid_compaction_is_invisible(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [" in plan
+
+
+def test_dedup_and_ann_streaming_path_with_compaction(spark, tmp_path):
+    """The start_* wiring with compact_every on: a 3-file stream drained
+    one file per trigger folds mid-stream and still yields exactly the
+    direct-call results (dedup pair set / ANN index rows)."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.ann_ingest import (
+        ingest_ann_batch,
+        read_ann_index,
+        start_ann_ingest,
+    )
+    from mysql_cdc_debezium_starrocks_spark.streaming.dedup_ingest import (
+        dup_pairs,
+        ingest_dedup_batch,
+        start_dedup_ingest,
+    )
+
+    # --- dedup ---
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    for k in range(3):
+        rows = [
+            _doc_batch(spark, i).collect() for i in range(k * 2, k * 2 + 2)
+        ]
+        flat = [(r.doc_id, r.text) for batch in rows for r in batch]
+        df = spark.createDataFrame(flat, "doc_id long, text string")
+        df.coalesce(1).write.mode("append").json(src)
+    files = sorted(os.listdir(src))
+    for j, f in enumerate(p for p in files if p.endswith(".json")):
+        os.utime(os.path.join(src, f), (1700000000 + j, 1700000000 + j))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    dstate = str(tmp_path / "dstate")
+    q = start_dedup_ingest(
+        spark, stream, dstate, str(tmp_path / "dckpt"),
+        available_now=True, compact_every=2, keep_last=1,
+    )
+    q.awaitTermination(180)
+
+    direct = str(tmp_path / "ddirect")
+    for b in range(3):
+        rows = [
+            _doc_batch(spark, i).collect() for i in range(b * 2, b * 2 + 2)
+        ]
+        flat = [(r.doc_id, r.text) for batch in rows for r in batch]
+        ingest_dedup_batch(
+            spark, direct,
+            spark.createDataFrame(flat, "doc_id long, text string"), b,
+        )
+    got = {(r.doc_a, r.doc_b) for r in dup_pairs(spark, dstate).collect()}
+    want = {(r.doc_a, r.doc_b) for r in dup_pairs(spark, direct).collect()}
+    assert got == want and got
+
+    # --- ann ---
+    asrc = str(tmp_path / "asrc")
+    os.makedirs(asrc)
+    for k in range(3):
+        _vec_batch(spark, k).coalesce(1).write.mode("append").parquet(asrc)
+    vstream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", 1).parquet(asrc)
+    astate = str(tmp_path / "astate")
+    q = start_ann_ingest(
+        spark, vstream, astate, str(tmp_path / "ackpt"),
+        available_now=True, compact_every=2, keep_last=1,
+    )
+    q.awaitTermination(180)
+    adirect = str(tmp_path / "adirect")
+    seen = set()
+    for k in range(3):
+        ingest_ann_batch(spark, adirect, _vec_batch(spark, k), k)
+        seen |= {k * 3 + j for j in range(3)}
+    got = {(r.vec_id, r.bucket)
+           for r in read_ann_index(spark, astate).collect()}
+    want = {(r.vec_id, r.bucket)
+            for r in read_ann_index(spark, adirect).collect()}
+    assert got == want and {v for v, _ in got} == seen
