@@ -49,7 +49,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.stats import CUSUM_K_MILLI
-from ._state import fold_verbatim, numbered_ids, read_fold_paths
+from ._state import (
+    fold_verbatim,
+    guard_folded_replay,
+    numbered_ids,
+    read_fold_paths,
+)
 
 CUSUM_ALARM_MILLI = 5_000  # default decision threshold H = 5 sigma
 
@@ -89,9 +94,23 @@ def ingest_cusum_batch(
     batch_id: int,
     k_milli: int = CUSUM_K_MILLI,
 ) -> None:
-    """Score one micro-batch of finalized (event_type, hr, cnt) rows."""
+    """Score one micro-batch of finalized (event_type, hr, cnt) rows.
+
+    Replay safety: this writer never reads the scores store, so the
+    shared folded-id guard runs here (the ``ann_ingest`` pattern); and a
+    replay whose PRIOR carry was pruned is refused loudly — falling back
+    to the zero calibration carry would silently reset the CUSUM state
+    and corrupt every subsequent score."""
+    guard_folded_replay(os.path.join(state_dir, "scores"), batch_id)
     calib = spark.read.parquet(os.path.join(state_dir, "calib"))
-    prev = [i for i in _carry_ids(state_dir) if i < batch_id]
+    ids = _carry_ids(state_dir)
+    prev = [i for i in ids if i < batch_id]
+    if not prev and any(i >= batch_id for i in ids):
+        raise RuntimeError(
+            f"{state_dir}: batch {batch_id} is replaying but its prior "
+            "carry dir was pruned — compaction ran ahead of the "
+            "checkpoint commit horizon (keep_last too small?)"
+        )
     if prev:
         carry = spark.read.parquet(
             os.path.join(state_dir, "carry", f"batch={prev[-1]}")
@@ -132,6 +151,9 @@ def ingest_cusum_batch(
             .cast("long"),
         )
     )
+    # persisted: scores write + carry aggregate both consume it (the
+    # dedup_ingest signature_table pattern — one evaluation, two actions)
+    scored = scored.persist()
     scored.select("event_type", "hr", "cusum_milli").write.mode(
         "overwrite"
     ).parquet(os.path.join(state_dir, "scores", f"batch={batch_id}"))
@@ -152,9 +174,12 @@ def ingest_cusum_batch(
             ).cast("long").alias("c_minp"),
         )
     )
-    new_carry.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "carry", f"batch={batch_id}")
-    )
+    try:
+        new_carry.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "carry", f"batch={batch_id}")
+        )
+    finally:
+        scored.unpersist()
 
 
 def cusum_scores(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -177,13 +202,17 @@ def compact_cusum_ingest(
     spark: SparkSession, state_dir: str, keep_last: int = 2
 ) -> None:
     """Retention hook: fold old score dirs into a committed baseline
-    (verbatim — scores are final once written) and DELETE carry dirs older
-    than the newest ``keep_last`` (a carry is only ever read by the NEXT
-    batch; older ones are unreachable, so plain deletion is crash-safe —
-    worst case a crash leaves extra dirs for the next sweep)."""
+    (verbatim — scores are final once written) and DELETE carry dirs
+    older than the newest ``max(keep_last, 2)``.  The floor of 2 is
+    load-bearing: a crash-replay of the newest batch B re-reads the carry
+    at B-1, so the prune must never remove the newest batch's PRIOR carry
+    (``ingest_cusum_batch`` refuses loudly if it ever finds that state).
+    Deleting older carries is crash-safe — they are unreachable by any
+    future read; worst case a crash mid-sweep leaves extra dirs for the
+    next one."""
     fold_verbatim(spark, os.path.join(state_dir, "scores"), keep_last)
     ids = _carry_ids(state_dir)
-    for i in ids[:-keep_last] if keep_last else ids:
+    for i in ids[: -max(keep_last, 2)]:
         shutil.rmtree(
             os.path.join(state_dir, "carry", f"batch={i}"), ignore_errors=True
         )

@@ -182,3 +182,83 @@ def test_streaming_path(spark, tmp_path):
     got_s = sorted(map(tuple, cusum_scores(spark, state).collect()))
     got_d = sorted(map(tuple, cusum_scores(spark, direct).collect()))
     assert got_s == got_d
+
+
+def test_keep_last_1_still_retains_replay_carry(spark, tmp_path):
+    """Compaction at keep_last=1 must still keep the newest batch's PRIOR
+    carry (floor of 2): a crash-replay of the newest batch against the
+    just-compacted state reproduces identical scores instead of silently
+    resetting the CUSUM state (review finding, round 6)."""
+    state = str(tmp_path / "cusum")
+    calibrate_cusum(state, _to_df(spark, _calib_rows()))
+    rows = _series()
+    for i in range(6):
+        lo, hi = i * HOURS_PER_BATCH, (i + 1) * HOURS_PER_BATCH
+        ingest_cusum_batch(
+            spark, state,
+            _to_df(spark, [(t, h, c) for (t, h, c) in rows if lo <= h < hi]),
+            i,
+        )
+    compact_cusum_ingest(spark, state, keep_last=1)
+    assert numbered_ids(os.path.join(state, "carry")) == [4, 5]
+    before = sorted(map(tuple, cusum_scores(spark, state).collect()))
+    lo = 5 * HOURS_PER_BATCH
+    ingest_cusum_batch(
+        spark, state,
+        _to_df(spark, [(t, h, c) for (t, h, c) in rows
+                       if lo <= h < lo + HOURS_PER_BATCH]),
+        5,
+    )  # crash-replay of the newest batch: must be a byte-identical no-op
+    assert sorted(map(tuple, cusum_scores(spark, state).collect())) == before
+
+
+def test_replay_with_pruned_prior_carry_is_refused(spark, tmp_path):
+    """A replay whose prior carry dir is gone must raise, never fall back
+    to the zero calibration carry (which would reset the running state)."""
+    import shutil
+
+    import pytest
+
+    state = str(tmp_path / "cusum")
+    calibrate_cusum(state, _to_df(spark, _calib_rows()))
+    rows = _series()
+    for i in range(4):
+        lo, hi = i * HOURS_PER_BATCH, (i + 1) * HOURS_PER_BATCH
+        ingest_cusum_batch(
+            spark, state,
+            _to_df(spark, [(t, h, c) for (t, h, c) in rows if lo <= h < hi]),
+            i,
+        )
+    # simulate an over-aggressive manual prune of every prior carry
+    for i in (0, 1, 2):
+        shutil.rmtree(os.path.join(state, "carry", f"batch={i}"))
+    lo = 3 * HOURS_PER_BATCH
+    with pytest.raises(RuntimeError, match="prior carry dir was pruned"):
+        ingest_cusum_batch(
+            spark, state,
+            _to_df(spark, [(t, h, c) for (t, h, c) in rows
+                           if lo <= h < lo + HOURS_PER_BATCH]),
+            3,
+        )
+
+
+def test_replay_of_folded_scores_batch_is_refused(spark, tmp_path):
+    """The shared folded-id guard: replaying a batch whose scores the
+    committed baseline absorbed must be refused loudly."""
+    import pytest
+
+    state = str(tmp_path / "cusum")
+    calibrate_cusum(state, _to_df(spark, _calib_rows()))
+    rows = _series()
+    for i in range(6):
+        lo, hi = i * HOURS_PER_BATCH, (i + 1) * HOURS_PER_BATCH
+        ingest_cusum_batch(
+            spark, state,
+            _to_df(spark, [(t, h, c) for (t, h, c) in rows if lo <= h < hi]),
+            i,
+        )
+    compact_cusum_ingest(spark, state, keep_last=2)  # folds scores 0..3
+    with pytest.raises(RuntimeError, match="compaction ran ahead"):
+        ingest_cusum_batch(
+            spark, state, _to_df(spark, [("steady", 0, 10)]), 0
+        )
