@@ -306,6 +306,34 @@ def cdc_monitor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ops = parsed.select("order_key", "_seq", op.alias("op"))
     total = ops.agg(F.count(F.lit(1)).alias("_t"))
+    # Tombstone-GC interval-ledger stats over the log's committed-seq set
+    # (r05 #4 / r06 #4: the fields jobs.show surfaces from the LIVE ledger,
+    # here derived from the wire log as a one-batch commit — so
+    # oldest_gap_age_batches is 0 whenever gaps exist; multi-batch ages are
+    # a live-stream property and stay in jobs.show).  Islands are found
+    # with shifted-key anti-joins (s is an interval start iff s-1 is absent,
+    # an end iff s+1 is absent): distributed equi-joins on the seq key —
+    # never a global-order window, which would single-reduce the whole log.
+    seqs = parsed.select(F.col("_seq").cast("long").alias("s")).distinct()
+    succ = seqs.select((F.col("s") + F.lit(1)).alias("s"))
+    pred = seqs.select((F.col("s") - F.lit(1)).alias("s"))
+    n_int = seqs.join(succ, "s", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    hor = seqs.join(pred, "s", "left_anti").agg(
+        F.min("s").cast("long").alias("contiguous_horizon")
+    )
+    ledger = (
+        n_int.crossJoin(hor)
+        .select(
+            "n_intervals",
+            (F.col("n_intervals") - 1).cast("long").alias("n_gaps"),
+            F.when(F.col("n_intervals") > 1, F.lit(0))
+            .cast("long")
+            .alias("oldest_gap_age_batches"),
+            "contiguous_horizon",
+        )
+    )
     return (
         ops.groupBy("op")
         .agg(
@@ -315,6 +343,7 @@ def cdc_monitor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_seq").cast("long").alias("max_seq"),
         )
         .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(ledger))
         .select(
             "op",
             "n_events",
@@ -322,6 +351,10 @@ def cdc_monitor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_seq",
             "max_seq",
             F.expr("(n_events * 1000000) div _t").cast("long").alias("share_ppm"),
+            "n_intervals",
+            "n_gaps",
+            "oldest_gap_age_batches",
+            "contiguous_horizon",
         )
     )
 
@@ -339,10 +372,22 @@ ops AS (
          CASE WHEN __deleted = 'true' THEN 'delete'
               WHEN nd = 1 THEN 'insert' ELSE 'update' END AS op
   FROM lev),
-tot AS (SELECT count(*) AS t FROM ops)
+tot AS (SELECT count(*) AS t FROM ops),
+seqs AS (SELECT DISTINCT _seq AS s FROM ev),
+led AS (
+  SELECT (SELECT count(*) FROM seqs
+          WHERE s - 1 NOT IN (SELECT s FROM seqs))::BIGINT AS n_intervals,
+         (SELECT min(s) FROM seqs
+          WHERE s + 1 NOT IN (SELECT s FROM seqs))::BIGINT
+           AS contiguous_horizon)
 SELECT op, count(*)::BIGINT AS n_events,
        count(DISTINCT order_key)::BIGINT AS n_keys,
        min(_seq)::BIGINT AS min_seq, max(_seq)::BIGINT AS max_seq,
-       CAST((count(*) * 1000000) // (SELECT t FROM tot) AS BIGINT) AS share_ppm
+       CAST((count(*) * 1000000) // (SELECT t FROM tot) AS BIGINT) AS share_ppm,
+       (SELECT n_intervals FROM led) AS n_intervals,
+       (SELECT n_intervals - 1 FROM led)::BIGINT AS n_gaps,
+       (SELECT CASE WHEN n_intervals > 1 THEN 0 END FROM led)::BIGINT
+         AS oldest_gap_age_batches,
+       (SELECT contiguous_horizon FROM led) AS contiguous_horizon
 FROM ops GROUP BY op
 """

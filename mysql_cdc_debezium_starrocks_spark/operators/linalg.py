@@ -194,6 +194,11 @@ def _int_power_iteration(
     for _ in range(iters):
         w = [sum(cq.get((i, j), 0) * v[j] for j in range(d)) for i in range(d)]
         m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError(
+                "power iteration on a zero matrix (constant embeddings?) "
+                "— no principal direction exists"
+            )
         v = [_tdiv(x * POWER_SCALE, m) for x in w]
     lead = max(range(d), key=lambda i: (abs(v[i]), -i))
     if v[lead] < 0:
@@ -208,6 +213,8 @@ def _l2_quantize(v: list[int]) -> list[int]:
     int->double conversion is exact — the mix_temperature idiom), making
     the result bit-identical across engines."""
     den = sum(x * x for x in v)
+    if den == 0:
+        raise ValueError("cannot L2-quantize the zero vector")
     import math
 
     s = int(math.floor(math.sqrt(float(den))))

@@ -29,6 +29,16 @@ from ..functions import phash32, phash32_sql
 
 TOPK = 10
 QUERY_MOD = 100  # vec_id % 100 == 0 -> query set
+# The query set is CAPPED at the first 1000 eligible ids: an eval query set
+# must stay FIXED as the corpus grows, else brute-force ground truth is
+# O(n * n/QUERY_MOD) — quadratic (r06 verdict's pair-cliff class).  With the
+# cap, truth is O(CAP * n): one broadcast-queries corpus scan regardless of
+# corpus size.  No-op at fixture SFs (max vec_id 1999 < 100000), so every
+# oracle hash is unchanged; at replicated/synthesized scale fixtures the
+# query count pins at the 1x set — exactly how a production recall gate
+# samples queries once and re-grades as the corpus grows.
+ANN_QUERY_CAP = 1000
+ANN_QUERY_SPAN = QUERY_MOD * ANN_QUERY_CAP  # query-eligible vec_id bound
 N_PLANES = 8
 LSH_TOPK = 3
 DIM = 64
@@ -74,7 +84,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
-        q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        q = e.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < ANN_QUERY_SPAN)).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("norm").alias("qnorm"),
@@ -114,7 +124,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for candidate generation.
     """
     e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < ANN_QUERY_SPAN)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
@@ -187,7 +197,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # NOT persisted: a cached InMemoryRelation under the broadcast join
         # drops the dot-product fold out of codegen (~25x slower re-execution);
         # recomputing the map-only sketch per side is far cheaper
-        q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        q = e.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < ANN_QUERY_SPAN)).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("norm").alias("qnorm"),
@@ -266,7 +276,7 @@ def shared_ivf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         qscored = _ivf_scored(spark, sf_dir).filter(
-            F.col("vec_id") % QUERY_MOD == 0
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < ANN_QUERY_SPAN)
         )
         pw = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
         return (
@@ -613,7 +623,7 @@ ORACLE = {
     "ann_range_search": f"""
         WITH {_NORM_CTE},
         q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
-              WHERE vec_id % {QUERY_MOD} = 0)
+              WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN})
         SELECT q.query_id, e.vec_id AS neighbor_id,
                CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
                     AS DECIMAL(9,6)) AS cosine
@@ -624,7 +634,7 @@ ORACLE = {
     "ann_bruteforce_topk": f"""
         WITH {_NORM_CTE},
         q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
-              WHERE vec_id % {QUERY_MOD} = 0),
+              WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
         scored AS (
           SELECT q.query_id, e.vec_id,
                  CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
@@ -640,7 +650,7 @@ ORACLE = {
         WITH {_NORM_CTE},
         eb AS (SELECT vec_id, v, norm, {_BUCKET_SQL} AS bucket FROM e),
         q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
-              FROM eb WHERE vec_id % {QUERY_MOD} = 0),
+              FROM eb WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
         cand AS (
           SELECT q.query_id, eb.vec_id,
                  CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
@@ -671,7 +681,7 @@ ORACLE = {
           SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY ccos DESC, cent_id) AS prank FROM scored
-                WHERE vec_id % {QUERY_MOD} = 0) t
+                WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}) t
           WHERE prank <= {NPROBE}
         ),
         cand AS (
@@ -845,7 +855,7 @@ def _adc_topk(
 
     def build_dtab() -> DataFrame:
         raw = load_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        q = raw.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        q = raw.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < ANN_QUERY_SPAN)).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
         pqc = raw.filter(
@@ -978,7 +988,7 @@ def _pq_search_oracle() -> str:
       SELECT vec_id,
            {code_cols}
       FROM r GROUP BY vec_id),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
     dtab AS (
       SELECT q.qid, c.cent_id,
              {t_cols}
@@ -1133,7 +1143,7 @@ def _ivfpq_oracle() -> str:
       SELECT vec_id AS qid, cent_id AS cell
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                   ORDER BY ccos DESC, cent_id) AS prank FROM cscored
-            WHERE vec_id % {QUERY_MOD} = 0) t
+            WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}) t
       WHERE prank <= {NPROBE}),
     pqc AS (SELECT vec_id AS cent_id, v AS cv FROM e
             WHERE vec_id % {CENT_MOD} = {CENT_RES} AND vec_id < {PQ_CENT_CAP}),
@@ -1149,7 +1159,7 @@ def _ivfpq_oracle() -> str:
       SELECT vec_id,
            {code_cols}
       FROM r GROUP BY vec_id),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
     dtab AS (
       SELECT q.qid, c.cent_id,
              {t_cols}
@@ -1210,7 +1220,7 @@ def ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id")
 
     e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = e.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < ANN_QUERY_SPAN)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
@@ -1252,7 +1262,7 @@ def _ivfpq_refine_oracle() -> str:
           SELECT vec_id AS qid, cent_id AS cell
           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                       ORDER BY ccos DESC, cent_id) AS prank FROM cscored
-                WHERE vec_id % {QUERY_MOD} = 0) t
+                WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}) t
           WHERE prank <= {NPROBE}),
         pqc AS (SELECT vec_id AS cent_id, v AS cv FROM e
                 WHERE vec_id % {CENT_MOD} = {CENT_RES} AND vec_id < {PQ_CENT_CAP}),
@@ -1268,7 +1278,7 @@ def _ivfpq_refine_oracle() -> str:
           SELECT vec_id,
                {fr["code_cols"]}
           FROM r GROUP BY vec_id),
-        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
         dtab AS (
           SELECT q.qid, c.cent_id,
                  {fr["t_cols"]}
@@ -1287,7 +1297,7 @@ def _ivfpq_refine_oracle() -> str:
                      AS rank FROM sc)
         WHERE rank <= {REFINE_SHORTLIST}) t),
     qe AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e
-           WHERE vec_id % {QUERY_MOD} = 0),
+           WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
     rer AS (
       SELECT s.qid, s.vec_id,
              CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
@@ -1369,7 +1379,7 @@ _EVAL_COS = "CAST(round({dot} / (qnorm * norm), 6) AS DECIMAL(9,6))"
 ORACLE["eval_ann_recall"] = f"""
     WITH {_NORM_CTE},
     q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
-          WHERE vec_id % {QUERY_MOD} = 0),
+          WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
     bf AS (
       SELECT query_id, vec_id FROM (
         SELECT q.query_id, e.vec_id,
@@ -1393,7 +1403,7 @@ ORACLE["eval_ann_recall"] = f"""
       SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                   ORDER BY ccos DESC, cent_id) AS prank FROM csc
-            WHERE vec_id % {QUERY_MOD} = 0) t
+            WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}) t
       WHERE prank <= {NPROBE}),
     ivf AS (
       SELECT query_id, vec_id FROM (
@@ -1406,7 +1416,7 @@ ORACLE["eval_ann_recall"] = f"""
       WHERE rank <= {IVF_TOPK}),
     eb AS (SELECT vec_id, v, norm, {_BUCKET_SQL} AS bucket FROM e),
     lq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
-           FROM eb WHERE vec_id % {QUERY_MOD} = 0),
+           FROM eb WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
     lsh AS (
       SELECT query_id, vec_id FROM (
         SELECT lq.query_id, eb.vec_id,
@@ -1505,7 +1515,7 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["eval_retrieval_mrr"] = f"""
     WITH {_NORM_CTE},
     q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
-          WHERE vec_id % {QUERY_MOD} = 0),
+          WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
     bf AS (
       SELECT query_id, vec_id AS neighbor_id FROM (
         SELECT q.query_id, e.vec_id,
@@ -1529,7 +1539,7 @@ ORACLE["eval_retrieval_mrr"] = f"""
       SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cent_id AS cell
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                   ORDER BY ccos DESC, cent_id) AS prank FROM csc
-            WHERE vec_id % {QUERY_MOD} = 0) t
+            WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}) t
       WHERE prank <= {NPROBE}),
     ivf AS (
       SELECT query_id, vec_id AS neighbor_id, rank FROM (
@@ -1542,7 +1552,7 @@ ORACLE["eval_retrieval_mrr"] = f"""
       WHERE rank <= {IVF_TOPK}),
     eb AS (SELECT vec_id, v, norm, {_BUCKET_SQL} AS bucket FROM e),
     lq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
-           FROM eb WHERE vec_id % {QUERY_MOD} = 0),
+           FROM eb WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
     lsh AS (
       SELECT query_id, vec_id AS neighbor_id, rank FROM (
         SELECT lq.query_id, eb.vec_id,
@@ -1832,7 +1842,7 @@ def emb_dim_budget_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in DIM_BUDGETS
         ],
     )
-    q = base.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    q = base.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < ANN_QUERY_SPAN)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         *[F.col(f"n{d}").alias(f"qn{d}") for d in DIM_BUDGETS],
@@ -1924,7 +1934,7 @@ ORACLE["emb_dim_budget_recall"] = f"""
       FROM e),
     q AS (SELECT vec_id AS qid, v AS qv,
                  {", ".join(f"n{d} AS qn{d}" for d in DIM_BUDGETS)}
-          FROM pn WHERE vec_id % {QUERY_MOD} = 0),
+          FROM pn WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}),
     stacked AS (
       {" UNION ALL ".join(
         f'''SELECT q.qid, p.vec_id, {d} AS dim_budget,
@@ -1942,7 +1952,7 @@ ORACLE["emb_dim_budget_recall"] = f"""
              CAST(round({_DOT_SQL.format(a='qv', b='v')} / (qnorm * norm), 6)
                   AS DECIMAL(9,6)) AS cosine
       FROM e JOIN (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
-                   WHERE vec_id % {QUERY_MOD} = 0) q
+                   WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ANN_QUERY_SPAN}) q
         ON e.vec_id <> q.query_id),
     truth AS (
       SELECT query_id AS qid, vec_id
@@ -1961,9 +1971,24 @@ ORACLE["emb_dim_budget_recall"] = f"""
 """
 
 
-# --- corpus diversity profile (round 6) --------------------------------------
+# --- corpus diversity profile (round 6; bucket scaling round 7) ---------------
 
-CPH_BUCKETS = 32  # hash-blocking: pair work is ~n^2 / CPH_BUCKETS
+CPH_MIN_BUCKETS = 32  # floor so tiny fixtures keep a meaningful pair sample
+CPH_TARGET_BUCKET_ROWS = 256  # expected rows per bucket, independent of n
+
+
+def _cph_buckets(n_vectors: int) -> int:
+    """Bucket count for the pair histogram: ``max(32, ceil(n / 256))``.
+
+    With B ~ n/256 buckets, expected same-bucket pair work is
+    ``B * C(n/B, 2) ~ n * 128`` — LINEAR in the corpus, not the n^2/32
+    cliff a constant B gives (the r06 verdict's lead finding: at 3.2M
+    vectors a fixed B=32 means ~1.6e11 dot products).  Integer ceil so
+    the DuckDB oracle (which derives the SAME B from ``count(*)`` inside
+    the SQL) can never disagree by a float rounding.
+    """
+    q, r = divmod(n_vectors, CPH_TARGET_BUCKET_ROWS)
+    return max(CPH_MIN_BUCKETS, q + (1 if r else 0))
 
 
 def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1974,21 +1999,27 @@ def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ~1 means redundancy; mass near 0 means diversity).
 
     Pairing every vector is O(n^2); instead each vector lands in one of
-    ``CPH_BUCKETS`` seeded-hash buckets and only same-bucket pairs are
-    scored — an unbiased pair sample (any pair's inclusion probability is
-    exactly 1/CPH_BUCKETS, independent of content) realized as an
-    equi-join, never a cartesian product.  At 100 TB the bucket count
-    scales with corpus size to hold per-bucket work constant; the
+    B seeded-hash buckets and only same-bucket pairs are scored — an
+    unbiased pair sample (any pair's inclusion probability is exactly
+    1/B, independent of content) realized as an equi-join, never a
+    cartesian product.  B scales with the corpus (``_cph_buckets``:
+    ceil(n / 256), floor 32) so per-bucket work is CONSTANT and total
+    pair work is LINEAR in n — the discipline every other pair operator
+    here follows (MinHash bands, dedup.py).  The count that sizes B is a
+    1-row parquet-metadata agg, and the oracle SQL derives the identical
+    B from ``count(*)`` so both engines always block the same way.  The
     histogram (21 bins of width 0.1 over [-1, 1]) stays tiny and
     map-side combinable.  Binning applies to the 6-decimal-rounded cosine
     (the ``dedup_embedding_cosine`` cross-engine contract), so bin edges
     cannot disagree between engines.
     """
+    n = load_spread(spark, sf_dir, "embeddings").count()
+    n_buckets = _cph_buckets(n)
     e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").alias("v"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-        (phash32(F.col("vec_id"), "cph") % CPH_BUCKETS).alias("bkt"),
+        (phash32(F.col("vec_id"), "cph") % n_buckets).alias("bkt"),
     )
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
@@ -2014,11 +2045,16 @@ def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["emb_cosine_pair_histogram"] = emb_cosine_pair_histogram
 ORACLE["emb_cosine_pair_histogram"] = f"""
-    WITH e AS (
+    WITH nb AS (
+      SELECT greatest({CPH_MIN_BUCKETS},
+                      CAST((count(*) + {CPH_TARGET_BUCKET_ROWS - 1})
+                           // {CPH_TARGET_BUCKET_ROWS} AS BIGINT)) AS b
+      FROM embeddings),
+    e AS (
       SELECT vec_id, embedding AS v,
              sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS norm,
-             ({phash32_sql("CAST(vec_id AS VARCHAR)", "cph")}) % {CPH_BUCKETS}
-               AS bkt
+             ({phash32_sql("CAST(vec_id AS VARCHAR)", "cph")})
+               % (SELECT b FROM nb) AS bkt
       FROM embeddings),
     pairs AS (
       SELECT CAST(round({_DOT_SQL.format(a='a.v', b='b.v')}

@@ -105,7 +105,11 @@ def ingest_cusum_batch(
     calib = spark.read.parquet(os.path.join(state_dir, "calib"))
     ids = _carry_ids(state_dir)
     prev = [i for i in ids if i < batch_id]
-    if not prev and any(i >= batch_id for i in ids):
+    # batch 0 has NO numbered prior by construction — its true prior is the
+    # zero calibration carry, so a batch-0 replay (carry/batch=0 written but
+    # the checkpoint commit lost) must fall through to it, not be refused;
+    # refusing would wedge the stream permanently on its very first retry.
+    if batch_id > 0 and not prev and any(i >= batch_id for i in ids):
         raise RuntimeError(
             f"{state_dir}: batch {batch_id} is replaying but its prior "
             "carry dir was pruned — compaction ran ahead of the "

@@ -141,7 +141,7 @@ def test_cosine_pair_histogram_properties(spark):
     import numpy as np
 
     from mysql_cdc_debezium_starrocks_spark.operators.similarity import (
-        CPH_BUCKETS,
+        _cph_buckets,
         emb_cosine_pair_histogram,
     )
 
@@ -149,9 +149,10 @@ def test_cosine_pair_histogram_properties(spark):
     assert rows and all(-10 <= r.bin <= 10 for r in rows)
 
     vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    n_buckets = _cph_buckets(len(vecs))
     by_bkt = defaultdict(list)
     for r in vecs:
-        by_bkt[_phash32(str(r.vec_id), "cph") % CPH_BUCKETS].append(
+        by_bkt[_phash32(str(r.vec_id), "cph") % n_buckets].append(
             np.asarray(r.embedding, dtype=np.float64)
         )
     hist = defaultdict(int)

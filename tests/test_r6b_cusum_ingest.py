@@ -242,6 +242,42 @@ def test_replay_with_pruned_prior_carry_is_refused(spark, tmp_path):
         )
 
 
+def test_replay_of_batch_zero_falls_back_to_calibration_carry(
+    spark, tmp_path
+):
+    """Batch 0's true prior IS the zero calibration carry: a crash-replay
+    of batch 0 (carry/batch=0 written but the checkpoint commit lost) must
+    be a byte-identical no-op that the stream can continue past — not a
+    permanent 'prior carry was pruned' wedge (advisor finding, round 6:
+    the pruned-prior refusal only applies when a numbered prior MUST have
+    existed, i.e. batch_id > 0)."""
+    state = str(tmp_path / "cusum")
+    calibrate_cusum(state, _to_df(spark, _calib_rows()))
+    rows = _series()
+    batch0 = [(t, h, c) for (t, h, c) in rows if h < HOURS_PER_BATCH]
+    ingest_cusum_batch(spark, state, _to_df(spark, batch0), 0)
+    before = sorted(map(tuple, cusum_scores(spark, state).collect()))
+    ingest_cusum_batch(spark, state, _to_df(spark, batch0), 0)  # replay
+    assert sorted(map(tuple, cusum_scores(spark, state).collect())) == before
+    # the resumed stream stays exact past the replay
+    b1 = [
+        (t, h, c)
+        for (t, h, c) in rows
+        if HOURS_PER_BATCH <= h < 2 * HOURS_PER_BATCH
+    ]
+    ingest_cusum_batch(spark, state, _to_df(spark, b1), 1)
+    expect = {
+        k: v
+        for k, v in _expected_scores().items()
+        if k[1] < 2 * HOURS_PER_BATCH
+    }
+    got = {
+        (r.event_type, r.hr): r.cusum_milli
+        for r in cusum_scores(spark, state).collect()
+    }
+    assert got == expect
+
+
 def test_replay_of_folded_scores_batch_is_refused(spark, tmp_path):
     """The shared folded-id guard: replaying a batch whose scores the
     committed baseline absorbed must be refused loudly."""

@@ -138,6 +138,74 @@ CASES = {
     "emb_pca_project": ("operators.linalg", ["embeddings"]),
 }
 
+# ---- pair-regime embeddings fixture (round 7) -------------------------------
+# The replicated fixture tops out at ~15k vectors (500-row base x 30): pair
+# work that grows quadratically hides entirely under Spark fixed costs at
+# that size — the r06 verdict's "what's missing #1" (this harness replicates
+# tiny bases and so physically could not see the emb_cosine_pair_histogram
+# fixed-B=32 cliff; the join_interval_overlap cliff class).  This section
+# SYNTHESIZES a deterministic n-vector embeddings table (same schema:
+# vec_id BIGINT, embedding FLOAT[64], label INT; xxhash64-seeded uniform
+# components, so content is irrelevant to timing but norms are never zero)
+# and times the pair-enumerating family across an nx row step where
+# quadratic pair work grows n^2 x and CANNOT hide.
+#
+# name -> (module, base_n, big_n).  emb_cosine_pair_histogram /
+# dedup_semantic / eval_ann_recall run 25k -> 200k (8x rows; linear plans
+# should read well under 8x wall).  dedup_embedding_cosine runs 12.5k -> 50k
+# (4x): its OUTPUT CONTRACT (every within-label pair above threshold, 10
+# fixed labels) makes candidate work O(n^2/10) by definition — the exact
+# path documented as such, with dedup_semantic/ann_lsh_topk the scale path —
+# so the harness sizes it to demonstrate the growth without a 10-minute row.
+PAIR_CASES = {
+    "emb_cosine_pair_histogram": ("operators.similarity", 25_000, 200_000),
+    "dedup_semantic": ("operators.similarity", 25_000, 200_000),
+    "eval_ann_recall": ("operators.similarity", 25_000, 200_000),
+    "dedup_embedding_cosine": ("operators.dedup", 12_500, 50_000),
+}
+
+
+def _build_pair_fixture(spark, out: str, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out, "_READY_v1")):
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    comp = lambda d: (  # noqa: E731 — per-dim uniform in [-1, 1], seeded
+        (
+            (
+                F.xxhash64(
+                    F.concat(
+                        F.lit("pr:"),
+                        F.col("vec_id").cast("string"),
+                        F.lit(":"),
+                        d.cast("string"),
+                    )
+                )
+                % 2001
+                + 2001
+            )
+            % 2001
+            - 1000
+        )
+        / F.lit(1000.0)
+    ).cast("float")
+    (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .select(
+            "vec_id",
+            F.transform(F.sequence(F.lit(0), F.lit(63)), comp).alias(
+                "embedding"
+            ),
+            (F.col("vec_id") % 10).cast("int").alias("label"),
+        )
+        .repartition(32)
+        .write.parquet(os.path.join(out, "embeddings.parquet"))
+    )
+    open(os.path.join(out, "_READY_v1"), "w").close()
+
+
 # Graph/curation family (VERDICT r02 next #7): these share the SimHash
 # pair/component artifact (operators.dedup.shared_dup_pairs), so the memo is
 # cleared before every run — each timing below INCLUDES the distributed
@@ -276,6 +344,25 @@ def main() -> None:
         finally:
             dedup._UNION_FIND_MAX_PAIRS = saved
             dedup._ARTIFACT_CACHE.clear()
+
+    # pair-regime sweep: synthesized vector counts where pair work DOMINATES
+    # (quadratic growth cannot hide under fixed costs — r06 "missing #1")
+    for name, (mod, base_n, big_n) in PAIR_CASES.items():
+        if only and name not in only:
+            continue
+        m = importlib.import_module(f"mysql_cdc_debezium_starrocks_spark.{mod}")
+        fn = getattr(m, name)
+        d1, dn = f"/tmp/pairreg_{base_n}", f"/tmp/pairreg_{big_n}"
+        _build_pair_fixture(spark, d1, base_n)
+        _build_pair_fixture(spark, dn, big_n)
+        t1 = _time(fn, spark, d1)
+        tn = _time(fn, spark, dn)
+        print(
+            f"| {name} [pair {base_n // 1000}k->{big_n // 1000}k,"
+            f" {big_n // base_n}x rows] | {t1:.2f} | {tn:.2f} |"
+            f" {tn / t1:.1f}x |",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
