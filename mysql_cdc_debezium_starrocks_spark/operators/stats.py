@@ -1779,25 +1779,35 @@ def stats_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     KL = sum_t c_st*((qln c_st - qln T_s) - (qln C_t - qln T)) / T_s with
     every log pre-quantized to 1e-6 nat, integer sums, truncating division.
 
-    Scale shape: one explode, one (source, term) partial agg; the term
-    margin and source margin both derive from that |sources|x|vocab| table
-    (never rescanning the corpus); the corpus total rides an un-ordered
-    global window over the |vocab|-row margin (the text_perplexity
-    pattern).  The scoring join is vocab-sized, AQE-broadcastable.
+    Scale shape: one explode, one (source, term) partial agg PERSISTED as
+    a session artifact (the dedup signature pattern) so the term margin,
+    source margin, and corpus total all derive from the bounded
+    |sources|x|vocab| table without rescanning the corpus; the corpus
+    total is a 1-row agg broadcast back with a crossJoin — no
+    unpartitioned window funneling the vocab through one task (r06
+    verdict #5, same fix as text_perplexity).  The scoring join is
+    vocab-sized, AQE-broadcastable.
     """
+    from .dedup import memoized_artifact
+
     d = load_spread(spark, sf_dir, "documents")
     terms = d.select("source", F.explode(words(F.col("text"))).alias("term"))
-    st = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
-    ct = (
-        st.groupBy("term")
-        .agg(F.sum("c").alias("ct"))
-        .withColumn("t_all", F.sum("ct").over(Window.partitionBy()))
+    st = memoized_artifact(
+        spark,
+        sf_dir,
+        "kl_source_term",
+        lambda: terms.groupBy("source", "term").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
     )
+    ct = st.groupBy("term").agg(F.sum("c").alias("ct"))
+    tall = st.agg(F.sum("c").alias("t_all"))
     ts = st.groupBy("source").agg(F.sum("c").alias("t_src"))
     q = lambda col: F.round(F.log(col.cast("double")) * 1e6).cast("long")
     scored = (
         st.join(ct, "term")
         .join(ts, "source")
+        .crossJoin(F.broadcast(tall))
         .select(
             "source",
             "c",

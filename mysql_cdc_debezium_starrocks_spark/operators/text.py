@@ -236,23 +236,29 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: exactly TWO scans of documents — Catalyst cannot share the
     diverging tf / vocab subplans (a naive three-branch formulation re-scans
-    for the 1-row token total as well; verified via .explain), so N is
-    computed INSIDE the vocab branch with an un-ordered global window over
-    the aggregated |vocab| rows (single pass, no sort, and the single
-    partition holds only the vocabulary, never the corpus).  The scoring
+    for the 1-row token total as well; verified via .explain), so the
+    aggregated vocab is PERSISTED as a session artifact (the dedup
+    signature pattern) and the token total is a 1-row agg over it,
+    broadcast back with a crossJoin — no unpartitioned window funneling
+    the whole vocabulary through one task (r06 verdict #5: at web scale a
+    10^8-term single partition is minutes of serial time).  The scoring
     join shuffles |distinct (doc,term)| rows, with AQE free to broadcast
     the vocab side when it is small.
     """
+    from .dedup import memoized_artifact
+
     d = load_spread(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    from pyspark.sql.window import Window
 
-    vocab = (
-        terms.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("n_tokens", F.sum("cnt").over(Window.partitionBy()))
+    counts = memoized_artifact(
+        spark,
+        sf_dir,
+        "unigram_vocab",
+        lambda: terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")),
     )
+    ntok = counts.agg(F.sum("cnt").alias("n_tokens"))
+    vocab = counts.crossJoin(F.broadcast(ntok))
     q1 = F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast("long")
     qn = F.round(F.log(F.col("n_tokens").cast("double")) * 1e6).cast("long")
     per_doc = (

@@ -429,3 +429,24 @@ def test_advisor_sweep_no_errors_across_registry(spark):
         if errors:
             bad[name] = [w["rule"] for w in errors]
     assert not bad, bad
+
+
+def test_vocab_margins_have_no_global_window(spark):
+    """The corpus totals in text_perplexity / stats_kl_by_source must ride
+    a 1-row agg over the persisted vocab artifact broadcast back with a
+    crossJoin — never an unpartitioned window, which funnels the entire
+    vocabulary through one task (r06 verdict #5; minutes of serial time at
+    a web-scale 10^8-term vocab)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        stats_kl_by_source,
+    )
+    from mysql_cdc_debezium_starrocks_spark.operators.text import (
+        text_perplexity,
+    )
+
+    for fn in (text_perplexity, stats_kl_by_source):
+        p = plan_of(fn(spark, SF_SMOKE))
+        assert "Window" not in p, (
+            f"{fn.__name__} plan has a window:\n{p[:1500]}"
+        )
+        assert not has_cartesian(p)
