@@ -128,6 +128,38 @@ PROBE_RUNS = 3
 TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
+# CDC-section drift anchor (r06 #3): the cdc_control_probe (a fixed
+# batch-1000 insert apply on fresh dirs) timed on the round-7 builder host
+# immediately after the anchor re-cut — the first epoch with CDC controls.
+# Like CONTROL_ANCHORS, this is a fixed historical constant: drift_abs =
+# median(probe timeline) / anchor says how fast THIS host+session runs the
+# CDC hot path relative to the anchor epoch.
+CDC_PROBE_ANCHOR = 1.007
+CDC_ANCHOR_EPOCH = (
+    "round-7 builder host, first CDC-controls epoch: median of 5 "
+    "warm probe runs on a quiet session (1.186/1.157/1.002/1.007/0.868)"
+)
+
+
+def _cdc_normalize(obj: dict, drift: float) -> dict:
+    """Host-drift-normalize a CDC result tree: rates (``*_per_sec``) are
+    multiplied by drift (a slow host under-reads throughput), times
+    (``seconds``, ``*_ms``) divided by it; counts/flags pass through."""
+    out: dict = {}
+    for k, v in obj.items():
+        if isinstance(v, dict):
+            out[k] = _cdc_normalize(v, drift)
+        elif isinstance(v, bool) or not isinstance(v, (int, float)):
+            out[k] = v
+        elif k.endswith("_per_sec"):
+            out[k] = round(v * drift, 1)
+        elif k == "seconds" or k.endswith("_ms"):
+            out[k] = round(v / drift, 3)
+        else:
+            out[k] = v
+    return out
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -265,18 +297,60 @@ def main() -> None:
             bench_join_mv,
             bench_update_throughput,
             bench_visible_latency,
+            cdc_control_probe,
         )
 
         root = _tmp.mkdtemp(prefix="bench_cdc_inline_")
         try:
-            cdc = {
-                "insert_throughput": bench_insert_throughput(spark, root, [1000, 5000]),
-                "visible_latency": bench_visible_latency(spark, root, iters=5),
-                "update_throughput": bench_update_throughput(spark, root),
-                "delete_propagation": bench_delete_propagation(spark, root),
-                "concurrent_mixed": bench_concurrent_mixed(spark, root, seconds=30),
-                "join_mv_maintenance": bench_join_mv(spark, root),
+            # drift controls (r06 #3): the fixed batch-1000 insert-apply
+            # probe interleaves between the CDC benches, mirroring the
+            # query section's probe timeline — so the reported numbers get
+            # a normalized twin and cross-round swings are attributable
+            probes: list[list] = []
+
+            def _cprobe(tag: str) -> None:
+                probes.append([tag, cdc_control_probe(spark, root, tag)])
+                print(f"cdc probe {tag}: {probes[-1][1]:.2f}s",
+                      file=sys.stderr, flush=True)
+
+            cdc = {}
+            _cprobe("t0")
+            cdc["insert_throughput"] = bench_insert_throughput(
+                spark, root, [1000, 5000]
+            )
+            _cprobe("after_insert")
+            cdc["visible_latency"] = bench_visible_latency(spark, root, iters=5)
+            _cprobe("after_latency")
+            cdc["update_throughput"] = bench_update_throughput(spark, root)
+            cdc["delete_propagation"] = bench_delete_propagation(spark, root)
+            _cprobe("after_update_delete")
+            cdc["concurrent_mixed"] = bench_concurrent_mixed(
+                spark, root, seconds=30
+            )
+            cdc["join_mv_maintenance"] = bench_join_mv(spark, root)
+            _cprobe("t_end")
+
+            cdc_drift = round(
+                _median([v for _, v in probes]) / CDC_PROBE_ANCHOR, 3
+            )
+            cdc["controls"] = {
+                "probe": "insert_apply_1000",
+                "anchor_seconds": CDC_PROBE_ANCHOR,
+                "anchor_epoch": CDC_ANCHOR_EPOCH,
+                "timeline": probes,
+                "drift_abs": cdc_drift,
+                "note": (
+                    "normalized = what this run would read at the anchor "
+                    "host speed: rates (*_per_sec) x drift, times "
+                    "(seconds, *_ms) / drift; compare normalized across "
+                    "rounds, raw only within one run"
+                ),
             }
+            cdc["normalized"] = _cdc_normalize(
+                {k: v for k, v in cdc.items()
+                 if k not in ("controls", "normalized")},
+                cdc_drift,
+            )
         finally:
             _sh.rmtree(root, ignore_errors=True)
     except Exception as ex:  # noqa: BLE001

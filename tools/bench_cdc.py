@@ -113,6 +113,31 @@ def _poll_count(spark, cfg):
         return None
 
 
+def cdc_control_probe(spark, root: str, tag: str) -> float:
+    """Fixed CDC drift probe (r06 advice #3): ONE batch-1000 insert apply
+    through the same parse+merge path the throughput benches time, on
+    fresh dirs each call.  bench.py interleaves this between the CDC
+    benches and normalizes their numbers by the probe timeline — the same
+    de-noising the query section got in r04 (controls.timeline), so a
+    round-over-round throughput/latency swing is attributable to host vs
+    code in one line instead of a forensic diff audit."""
+    d = os.path.join(root, f"probe_{tag}")
+    cfg = CdcLoadConfig(
+        name=f"bench_probe_{tag}",
+        source_dir=os.path.join(d, "ev"),
+        state_dir=os.path.join(d, "state"),
+        checkpoint_dir=os.path.join(d, "ckpt"),
+    )
+    _write_batch(cfg.source_dir, "p.json", [_event(i, i) for i in range(1000)])
+    t0 = time.perf_counter()
+    batch = spark.read.schema("`_seq` LONG, value STRING").json(cfg.source_dir)
+    merge_batch(spark, cfg, batch)
+    visible = read_state(spark, cfg).count()
+    dt = time.perf_counter() - t0
+    assert visible == 1000, f"probe saw {visible} rows"
+    return round(dt, 3)
+
+
 def bench_insert_throughput(spark, root: str, sizes: list[int]) -> dict:
     """Batch-apply path: events/s through parse+merge to visible state.
 
