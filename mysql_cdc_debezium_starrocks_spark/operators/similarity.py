@@ -229,9 +229,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus x centroid cosine scores (vec_id, v, norm, cent_id, ccos) —
     the map-only broadcast fold both the cell assignment and the probe
-    list derive from."""
+    list derive from.
+
+    The centroid modulus adapts to ``max(CENT_MOD, ceil(sqrt(n)))`` —
+    ~sqrt(n) cells of ~sqrt(n) vectors, assignment O(n*sqrt(n)) — the
+    SAME scaling dedup_semantic adopted when scale-sanity measured the
+    static 1/CENT_MOD sample at 12.5x wall for 10x data (round 7 closes
+    the gap for the shared index the whole ANN family searches).  The
+    count is a 1-row parquet agg and the oracles derive the identical
+    modulus from ``count(*)``, so both engines always pick the same
+    centroid set; fixture SFs (n <= 2000 -> sqrt <= 45) stay in the
+    driver-checked regime."""
+    import math
+
     e = _with_norm(load_spread(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") % CENT_MOD == CENT_RES).select(
+    n = load_spread(spark, sf_dir, "embeddings").count()
+    mod = max(CENT_MOD, math.ceil(math.sqrt(n)))
+    cents = e.filter(F.col("vec_id") % mod == CENT_RES).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
@@ -665,7 +679,7 @@ ORACLE = {
     "ann_ivf_topk": f"""
         WITH {_NORM_CTE},
         cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
-                  WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+                  WHERE vec_id % (SELECT greatest({CENT_MOD}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings) = {CENT_RES}),
         scored AS (
           SELECT e.vec_id, e.v, e.norm, c.cent_id,
                  {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
@@ -1129,7 +1143,7 @@ def _ivfpq_oracle() -> str:
     return f"""
     WITH {_NORM_CTE},
     ccents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
-               WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+               WHERE vec_id % (SELECT greatest({CENT_MOD}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings) = {CENT_RES}),
     cscored AS (
       SELECT e.vec_id, c.cent_id,
              {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
@@ -1248,7 +1262,7 @@ def _ivfpq_refine_oracle() -> str:
     short AS (
       SELECT qid, vec_id FROM (
         WITH ccents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
-                   WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+                   WHERE vec_id % (SELECT greatest({CENT_MOD}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings) = {CENT_RES}),
         cscored AS (
           SELECT e.vec_id, c.cent_id,
                  {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
@@ -1389,7 +1403,7 @@ ORACLE["eval_ann_recall"] = f"""
         FROM e JOIN q ON e.vec_id <> q.query_id) t
       WHERE rank <= {IVF_TOPK}),
     cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
-              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+              WHERE vec_id % (SELECT greatest({CENT_MOD}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings) = {CENT_RES}),
     csc AS (
       SELECT e.vec_id, e.v, e.norm, c.cent_id,
              {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
@@ -1525,7 +1539,7 @@ ORACLE["eval_retrieval_mrr"] = f"""
         FROM e JOIN q ON e.vec_id <> q.query_id) t
       WHERE rank <= {IVF_TOPK}),
     cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
-              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+              WHERE vec_id % (SELECT greatest({CENT_MOD}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings) = {CENT_RES}),
     csc AS (
       SELECT e.vec_id, e.v, e.norm, c.cent_id,
              {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
@@ -1738,7 +1752,7 @@ QUERIES["eval_ivf_balance"] = eval_ivf_balance
 ORACLE["eval_ivf_balance"] = f"""
     WITH {_NORM_CTE},
     cents AS (SELECT vec_id AS cent_id, v AS cv, norm AS cnorm FROM e
-              WHERE vec_id % {CENT_MOD} = {CENT_RES}),
+              WHERE vec_id % (SELECT greatest({CENT_MOD}, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings) = {CENT_RES}),
     scored AS (
       SELECT e.vec_id, c.cent_id,
              {_DOT_SQL.format(a='v', b='cv')} / (e.norm * c.cnorm) AS ccos
