@@ -2179,3 +2179,60 @@ ORACLE["ts_changepoint_cusum"] = f"""
     SELECT event_type, hr, cusum_milli
     FROM cus ORDER BY cusum_milli DESC, event_type, hr LIMIT {CUSUM_TOPK}
 """
+
+
+# --- token-budget stratified sampling (round 7) --------------------------------
+
+TOKEN_BUDGET = 800  # per-source token budget (fixture-scaled; a parameter
+# in production — the mixture spec's per-source token allocation)
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget stratified sampling: within each source, keep documents
+    in deterministic hash-priority order until the source's TOKEN budget is
+    exhausted — the allocation primitive a pretraining mixture actually
+    runs on (budgets are negotiated in tokens, not document counts; the
+    doc-count twins are ``sample_weighted_priority`` / ``mix_sample_apply``).
+    A doc is kept iff the running token total INCLUDING it fits the budget,
+    so the cut is deterministic and every engine agrees on the boundary doc.
+
+    Scale shape: one scan -> per-source window running sum ordered by the
+    portable hash priority (partitioned by source, never global) -> filter.
+    The shuffle carries (doc_id, source, tk, pri) — no text.  At 100 TB
+    this is the exact per-source-window idiom ``pack_concat_chunks`` and
+    the distributed-ranking samplers already use.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).alias("tk"),
+        phash32(F.col("doc_id"), "tb").alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("tk").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", F.col("tk").cast("long").alias("tk"),
+                "cum_tokens")
+    )
+
+
+QUERIES["sample_token_budget"] = sample_token_budget
+ORACLE["sample_token_budget"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_W})::BIGINT AS tk,
+             {phash32_sql("doc_id::VARCHAR", "tb")} AS pri
+      FROM documents),
+    run AS (
+      SELECT doc_id, source, tk,
+             sum(tk) OVER (PARTITION BY source ORDER BY pri, doc_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM toks)
+    SELECT doc_id, source, tk, cum_tokens
+    FROM run WHERE cum_tokens <= {TOKEN_BUDGET}
+"""

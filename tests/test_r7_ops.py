@@ -102,3 +102,45 @@ def test_power_iteration_rejects_zero_matrix():
     v = _int_power_iteration({(i, i): 1_000_000 for i in range(4)}, 4, 5)
     assert any(x != 0 for x in v)
     assert _l2_quantize(v)
+
+
+def test_sample_token_budget_boundary_semantics(spark):
+    """Per-source token-budget cut: kept docs are exactly the hash-priority
+    prefix whose running total (including the doc itself) fits the budget,
+    and every source with data keeps at least its first-priority doc."""
+    from collections import defaultdict
+
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        TOKEN_BUDGET,
+        sample_token_budget,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.source, r.tk, r.cum_tokens)
+        for r in sample_token_budget(spark, sf).collect()
+    }
+
+    import hashlib
+
+    def pri(doc_id):
+        return int(hashlib.md5(f"tb:{doc_id}".encode()).hexdigest()[:8], 16)
+
+    rows = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "doc_id", "source",
+        "size(filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)) AS tk",
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append((pri(r.doc_id), r.doc_id, r.tk))
+    want = set()
+    for src, docs in by_src.items():
+        cum = 0
+        for _p, did, tk in sorted(docs):
+            cum += tk
+            if cum > TOKEN_BUDGET:
+                break
+            want.add((did, src, tk, cum))
+    assert got == want
+    assert {s for _d, s, _t, _c in got} == set(by_src)  # every source kept >=1
+    assert len(got) < len(rows)  # the budget actually cut something

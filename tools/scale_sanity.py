@@ -136,6 +136,8 @@ CASES = {
     "ts_changepoint_cusum": ("operators.stats", ["events"]),
     "emb_cosine_pair_histogram": ("operators.similarity", ["embeddings"]),
     "emb_pca_project": ("operators.linalg", ["embeddings"]),
+    # round-7 additions
+    "sample_token_budget": ("operators.stats", ["documents"]),
 }
 
 # ---- pair-regime embeddings fixture (round 7) -------------------------------
@@ -296,11 +298,17 @@ def main() -> None:
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_spark("scale-sanity")
     out = f"/tmp/scale{factor}_{os.path.basename(os.path.normpath(sf_dir))}"
-    _build(spark, sf_dir, out, factor)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # the replicated fixture is only needed by CASES/GRAPH_CASES rows —
+    # a pair-regime-only invocation skips the (minutes-long) replica build
+    if (
+        any(not only or n in only for n in CASES)
+        or any(not only or n in only for n in GRAPH_CASES)
+    ):
+        _build(spark, sf_dir, out, factor)
 
     print(f"| query | 1x s | {factor}x s | ratio |")
     print("|---|---|---|---|")
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name, (mod, _tabs) in CASES.items():
         if only and name not in only:
             continue
