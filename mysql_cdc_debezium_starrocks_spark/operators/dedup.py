@@ -371,7 +371,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key (here the cluster label; in production a coarse quantizer
     or LSH bucket) turns O(n^2) into sum of per-block squares, and the
     equi-join on the block key shuffles instead of broadcasting a cartesian
-    product.  The unblocked approximate path is ``ann_lsh_topk``.
+    product.
+
+    **Quadratic BY CONTRACT when the block-key cardinality is fixed**
+    (r07 pair-regime measurement: 4x rows -> 15.1x wall at 12.5k -> 50k
+    vectors with the fixture's 10 labels — pure O(n^2/L), and the OUTPUT
+    itself can be Theta(n^2/L) when blocks are self-similar, so no plan
+    change can fix it without changing semantics).  At corpus scale the
+    blocking key must grow with n: that is exactly ``dedup_semantic``
+    (sqrt(n) IVF cells, measured 14.9x wall for 8x rows against its
+    documented n^1.5 bound) or the approximate ``ann_lsh_topk`` — this
+    operator is the exact small-block path.
     """
     e = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id",
