@@ -294,7 +294,20 @@ def cdc_monitor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..cdc.apply import parse_envelope
 
-    parsed = parse_envelope(synth_order_events_json(spark, sf_dir))
+    # The parsed wire-log projection is a session artifact (the dedup-
+    # signature pattern): FOUR branches below consume it (ops, the
+    # traffic total, and the ledger's probe + shifted side), and without
+    # the persist each branch re-runs the JSON parse scan (bench: 1.85x).
+    from .dedup import memoized_artifact
+
+    parsed = memoized_artifact(
+        spark,
+        sf_dir,
+        "monitor_parsed",
+        lambda: parse_envelope(
+            synth_order_events_json(spark, sf_dir)
+        ).select("order_key", "_seq", "__deleted"),
+    )
     w = Window.partitionBy("order_key").orderBy("_seq")
     nd_rank = F.sum(
         F.when(F.col("__deleted") != "true", 1).otherwise(0)
@@ -315,16 +328,16 @@ def cdc_monitor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an end iff s+1 is absent): distributed equi-joins on the seq key —
     # never a global-order window, which would single-reduce the whole log.
     seqs = parsed.select(F.col("_seq").cast("long").alias("s")).distinct()
-    succ = seqs.select((F.col("s") + F.lit(1)).alias("s"))
+    # ends alone determine everything: #intervals == #ends, and the FIRST
+    # island's end (the contiguous horizon) is min(end) — one anti-join,
+    # one aggregate, instead of a starts branch + an ends branch
     pred = seqs.select((F.col("s") - F.lit(1)).alias("s"))
-    n_int = seqs.join(succ, "s", "left_anti").agg(
-        F.count(F.lit(1)).cast("long").alias("n_intervals")
-    )
-    hor = seqs.join(pred, "s", "left_anti").agg(
-        F.min("s").cast("long").alias("contiguous_horizon")
-    )
     ledger = (
-        n_int.crossJoin(hor)
+        seqs.join(pred, "s", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.min("s").cast("long").alias("contiguous_horizon"),
+        )
         .select(
             "n_intervals",
             (F.col("n_intervals") - 1).cast("long").alias("n_gaps"),
@@ -374,12 +387,11 @@ ops AS (
   FROM lev),
 tot AS (SELECT count(*) AS t FROM ops),
 seqs AS (SELECT DISTINCT _seq AS s FROM ev),
+ends AS (SELECT s FROM seqs WHERE s + 1 NOT IN (SELECT s FROM seqs)),
 led AS (
-  SELECT (SELECT count(*) FROM seqs
-          WHERE s - 1 NOT IN (SELECT s FROM seqs))::BIGINT AS n_intervals,
-         (SELECT min(s) FROM seqs
-          WHERE s + 1 NOT IN (SELECT s FROM seqs))::BIGINT
-           AS contiguous_horizon)
+  SELECT count(*)::BIGINT AS n_intervals,
+         min(s)::BIGINT AS contiguous_horizon
+  FROM ends)
 SELECT op, count(*)::BIGINT AS n_events,
        count(DISTINCT order_key)::BIGINT AS n_keys,
        min(_seq)::BIGINT AS min_seq, max(_seq)::BIGINT AS max_seq,
