@@ -131,3 +131,40 @@ def test_refresh_drops_emptied_index_bucket(spark, tmp_path):
         r["order_key"]
         for r in lookup_by_index(spark, cfg, "status", target).collect()
     ) == [2]
+
+
+def test_refresh_chains_across_many_merges(spark, tmp_path):
+    """Refresh-after-refresh over 12 merge waves (inserts, updates that
+    move keys across index buckets, deletes): every intermediate refresh
+    keeps lookups exact, and the final index equals a full rebuild."""
+    cfg = _cfg(tmp_path, name="t_r7idx4")
+    _load(spark, cfg, SEED)
+    build_secondary_index(spark, cfg, "status")
+
+    statuses = ("pending", "shipped", "done", "billed")
+    seq = 300
+    for wave in range(12):
+        ops = [(100 + wave, statuses[wave % 4], "false")]       # insert
+        ops.append((100 + wave - 1, statuses[(wave + 1) % 4], "false")
+                   if wave > 0 else (1, statuses[wave % 4], "false"))
+        if wave % 3 == 2:
+            ops.append((100 + wave - 2, None, "true"))          # delete
+        _load(spark, cfg, _more(seq, ops), fname=f"w{wave}.json")
+        seq += len(ops)
+        assert refresh_secondary_index(spark, cfg, "status") > 0
+        st = statuses[wave % 4]
+        got = sorted(
+            r["order_key"]
+            for r in lookup_by_index(spark, cfg, "status", st).collect()
+        )
+        want = sorted(
+            r["order_key"]
+            for r in read_state(spark, cfg)
+            .filter(F.col("status") == st)
+            .collect()
+        )
+        assert got == want, f"wave {wave}"
+
+    after = _index_rows(spark, cfg)
+    build_secondary_index(spark, cfg, "status")
+    assert after == _index_rows(spark, cfg)
