@@ -54,6 +54,7 @@ DRIVER_PRIORITY = (
     "ann_range_search", "ann_ivfpq_refine", "eval_retrieval_mrr",
     "emb_dim_budget_recall", "emb_pca_project", "emb_top_eigenvector",
     "sample_token_budget",  # NEW this round: token-budget stratified sampling
+    "mix_budget_report",  # NEW: its budget-fill audit companion
     # --- (b) stalest first: last driver row r01 (staleness 6 entering r07) ---
     "agg_conditional_count", "agg_global_count", "case_bucketing",
     "distinct_count", "filter_in", "grouping_sets_union", "join_anti",
@@ -67,10 +68,10 @@ DRIVER_PRIORITY = (
     "text_token_count", "window_topn_per_group",
     # --- (b) r03 fill to 50, keeping every family prefix represented
     # (agg_stats ceded its slot to the new operator; staleness 4, next up) ---
-    "cdc_topk", "dedup_minhash_lsh", "events_sessionize",
+    "dedup_minhash_lsh", "events_sessionize",
     "sketch_kmv_distinct", "mm_binary_meta",
     # ^-- 50-slot window ends here --------------------------------------
-    "agg_stats",
+    "agg_stats", "cdc_topk",
     # beyond the fold: most-recently-driver-checked first (r06, r05, r04,
     # r03 leftovers), i.e. the stalest names sit nearest the fold for the
     # NEXT round's rotation

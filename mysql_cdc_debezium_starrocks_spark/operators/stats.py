@@ -2236,3 +2236,64 @@ ORACLE["sample_token_budget"] = f"""
     SELECT doc_id, source, tk, cum_tokens
     FROM run WHERE cum_tokens <= {TOKEN_BUDGET}
 """
+
+
+def mix_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-fill audit for the token-budget sampler: per source, the
+    corpus totals (docs, tokens), what survives the ``sample_token_budget``
+    cut (kept docs, kept tokens), and the integer-ppm budget fill — the
+    one-look report a mixture owner reads before committing an allocation
+    (a fill far below 1e6 means the source cannot supply its budget; the
+    doc-count twin of the share columns in ``mix_weights_by_source``).
+
+    Scale shape: the same single scan + per-source priority window as the
+    sampler (the kept flag is a window expression, not a join back against
+    the sampler's output), then one partial-agg'd groupBy to |sources|
+    rows.  Nothing global, no text on the shuffle.
+    """
+    d = load_spread(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.size(words(F.col("text"))).alias("tk"),
+        phash32(F.col("doc_id"), "tb").alias("pri"),
+        "doc_id",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (F.sum("tk").over(w) <= TOKEN_BUDGET).cast("int")
+    return (
+        toks.withColumn("k", kept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("tk").cast("long").alias("tokens"),
+            F.sum("k").cast("long").alias("kept_docs"),
+            F.sum(F.col("k") * F.col("tk")).cast("long").alias("kept_tokens"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(f"(kept_tokens * 1000000) div {TOKEN_BUDGET}").cast("long"),
+        )
+    )
+
+
+QUERIES["mix_budget_report"] = mix_budget_report
+ORACLE["mix_budget_report"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_W})::BIGINT AS tk,
+             {phash32_sql("doc_id::VARCHAR", "tb")} AS pri
+      FROM documents),
+    run AS (
+      SELECT source, tk,
+             CASE WHEN sum(tk) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                       <= {TOKEN_BUDGET} THEN 1 ELSE 0 END AS k
+      FROM toks)
+    SELECT source, count(*)::BIGINT AS docs, sum(tk)::BIGINT AS tokens,
+           sum(k)::BIGINT AS kept_docs, sum(k * tk)::BIGINT AS kept_tokens,
+           ((sum(k * tk) * 1000000) // {TOKEN_BUDGET})::BIGINT AS fill_ppm
+    FROM run GROUP BY source
+"""

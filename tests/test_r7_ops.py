@@ -163,3 +163,29 @@ def test_cdc_normalize_rates_and_times():
                           "seconds": 0.5}
     # identity drift is a no-op
     assert bench._cdc_normalize(raw, 1.0) == raw
+
+
+def test_budget_report_consistent_with_sampler(spark):
+    """The audit's kept_docs/kept_tokens must equal what the sampler
+    actually keeps, and fill never exceeds the budget."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        TOKEN_BUDGET,
+        mix_budget_report,
+        sample_token_budget,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rep = {r.source: r for r in mix_budget_report(spark, sf).collect()}
+    kept = sample_token_budget(spark, sf).collect()
+    by_src = {}
+    for r in kept:
+        d = by_src.setdefault(r.source, [0, 0])
+        d[0] += 1
+        d[1] += r.tk
+    for src, row in rep.items():
+        kd, kt = by_src.get(src, (0, 0))
+        assert row.kept_docs == kd and row.kept_tokens == kt, src
+        assert row.kept_tokens <= TOKEN_BUDGET
+        assert row.fill_ppm == (row.kept_tokens * 10**6) // TOKEN_BUDGET
+        assert row.kept_docs <= row.docs and row.kept_tokens <= row.tokens
+    assert set(rep) == set(by_src)

@@ -138,6 +138,7 @@ CASES = {
     "emb_pca_project": ("operators.linalg", ["embeddings"]),
     # round-7 additions
     "sample_token_budget": ("operators.stats", ["documents"]),
+    "mix_budget_report": ("operators.stats", ["documents"]),
 }
 
 # ---- pair-regime embeddings fixture (round 7) -------------------------------
