@@ -2187,6 +2187,71 @@ TOKEN_BUDGET = 800  # per-source token budget (fixture-scaled; a parameter
 # in production — the mixture spec's per-source token allocation)
 
 
+def _token_budget_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-source running token sum shared by
+    ``sample_token_budget`` / ``mix_budget_report`` — the repo's
+    range-partition + broadcast-offset ranking idiom (``ntile_quartiles``,
+    ``text_vocab_coverage``) applied to the budget cut.
+
+    Source cardinality in a pretraining mixture is single-digit-to-dozens,
+    so ``Window.partitionBy("source")`` would funnel a data-scale row set
+    through ONE task at 100x (the r07 verdict's lead finding).  Instead:
+    range-repartition the narrow (doc_id, source, tk, pri) frame on
+    (source, pri, doc_id) — so each source's priority order is split
+    ACROSS partitions in contiguous runs — take per-(partition, source)
+    token sums (one partial agg to a |sources| x P frame), broadcast the
+    per-source cumulative offsets back, and finish with a LOCAL running
+    sum whose window is keyed by (pid, source): max task = n/P rows, never
+    n/|sources|.  The two windows that remain are (a) that bounded local
+    one and (b) a P-rows-per-source offset scan over the tiny agg frame.
+    Exactness: range partitioning sends equal keys to one partition and
+    orders (source, pri, doc_id) lexicographically across partitions, so
+    offset + local prefix == the global per-source prefix sum.
+
+    The ranked frame is artifact-memoized: the offset and running-sum
+    branches MUST observe the same (sampled) range boundaries, and both
+    public queries share one build.
+    """
+    from .dedup import memoized_artifact
+
+    def build():
+        d = load_spread(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id",
+            "source",
+            F.size(words(F.col("text"))).alias("tk"),
+            phash32(F.col("doc_id"), "tb").alias("pri"),
+        )
+        return toks.repartitionByRange(
+            32, "source", "pri", "doc_id"
+        ).withColumn("pid", F.spark_partition_id())
+
+    ranked = memoized_artifact(spark, sf_dir, "token_budget_ranked", build)
+    psums = ranked.groupBy("pid", "source").agg(
+        F.sum("tk").cast("long").alias("psum")
+    )
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psums.select(
+        "pid",
+        "source",
+        F.coalesce(F.sum("psum").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    wrun = (
+        Window.partitionBy("pid", "source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.withColumn("loc", F.sum("tk").over(wrun).cast("long"))
+        .join(F.broadcast(offsets), ["pid", "source"])
+        .withColumn("cum_tokens", (F.col("off") + F.col("loc")).cast("long"))
+    )
+
+
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget stratified sampling: within each source, keep documents
     in deterministic hash-priority order until the source's TOKEN budget is
@@ -2196,27 +2261,15 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     A doc is kept iff the running token total INCLUDING it fits the budget,
     so the cut is deterministic and every engine agrees on the boundary doc.
 
-    Scale shape: one scan -> per-source window running sum ordered by the
-    portable hash priority (partitioned by source, never global) -> filter.
-    The shuffle carries (doc_id, source, tk, pri) — no text.  At 100 TB
-    this is the exact per-source-window idiom ``pack_concat_chunks`` and
-    the distributed-ranking samplers already use.
+    Scale shape: one scan -> :func:`_token_budget_cum`'s distributed
+    per-source prefix sum (range-repartition + per-bucket sums + broadcast
+    offsets + (pid, source)-local window — NO per-source single-task
+    window) -> filter.  The shuffle carries (doc_id, source, tk, pri) —
+    no text.
     """
-    d = load_spread(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.size(words(F.col("text"))).alias("tk"),
-        phash32(F.col("doc_id"), "tb").alias("pri"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("pri", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    cum = _token_budget_cum(spark, sf_dir)
     return (
-        toks.withColumn("cum_tokens", F.sum("tk").over(w).cast("long"))
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "source", F.col("tk").cast("long").alias("tk"),
                 "cum_tokens")
     )
@@ -2246,26 +2299,17 @@ def mix_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a fill far below 1e6 means the source cannot supply its budget; the
     doc-count twin of the share columns in ``mix_weights_by_source``).
 
-    Scale shape: the same single scan + per-source priority window as the
-    sampler (the kept flag is a window expression, not a join back against
-    the sampler's output), then one partial-agg'd groupBy to |sources|
-    rows.  Nothing global, no text on the shuffle.
+    Scale shape: shares :func:`_token_budget_cum`'s memoized distributed
+    prefix sum with the sampler (one artifact build covers both queries;
+    the kept flag is a comparison on the already-computed cumulative, not
+    a join back against the sampler's output), then one partial-agg'd
+    groupBy to |sources| rows.  Nothing global, no per-source single-task
+    window, no text on the shuffle.
     """
-    d = load_spread(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        F.size(words(F.col("text"))).alias("tk"),
-        phash32(F.col("doc_id"), "tb").alias("pri"),
-        "doc_id",
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("pri", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    kept = (F.sum("tk").over(w) <= TOKEN_BUDGET).cast("int")
+    cum = _token_budget_cum(spark, sf_dir)
+    kept = (F.col("cum_tokens") <= TOKEN_BUDGET).cast("int")
     return (
-        toks.withColumn("k", kept)
+        cum.withColumn("k", kept)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("docs"),

@@ -450,3 +450,36 @@ def test_vocab_margins_have_no_global_window(spark):
             f"{fn.__name__} plan has a window:\n{p[:1500]}"
         )
         assert not has_cartesian(p)
+
+
+def test_token_budget_window_is_sub_partitioned(spark):
+    """The token-budget prefix sum must never run a per-source-only window
+    over the document-scale frame (r07 verdict #1: with single-digit
+    source cardinality that is a data-scale ONE-task sort at 100x).  The
+    rewrite splits each source's priority order across range partitions
+    and keys the running-sum window by (pid, source); the only
+    source-only window left rides the bounded |sources| x P psums agg,
+    whose ORDER column is pid.  Gate: every windowspecdefinition that
+    orders by the document priority (pri) must also partition by pid, and
+    the per-source bucket offsets must come back via a broadcast join."""
+    import re
+
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        mix_budget_report,
+        sample_token_budget,
+    )
+
+    for fn in (sample_token_budget, mix_budget_report):
+        p = plan_of(fn(spark, SF_SMOKE))
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+        assert specs, f"{fn.__name__}: expected window specs in plan"
+        for s in specs:
+            if "pri#" in s:
+                assert "pid#" in s, (
+                    f"{fn.__name__}: doc-scale window not sub-partitioned "
+                    f"by pid: {s}"
+                )
+        assert broadcasts(p) >= 1, (
+            f"{fn.__name__}: bucket offsets must broadcast back"
+        )
+        assert not has_cartesian(p)
