@@ -137,14 +137,25 @@ TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 CDC_PROBE_ANCHOR = 1.007
 CDC_ANCHOR_EPOCH = (
     "round-7 builder host, first CDC-controls epoch: median of 5 "
-    "warm probe runs on a quiet session (1.186/1.157/1.002/1.007/0.868)"
+    "warm probe runs on a quiet session (1.186/1.157/1.002/1.007/0.868). "
+    "Re-cut plan (r07 verdict #7, the r06 query-anchor pattern): once "
+    "BENCH_r07..r09 give 3 committed controls.timeline sets, replace this "
+    "single-round epoch with the pooled median across those rounds' probe "
+    "timelines and record the per-round provenance here"
 )
 
 
 def _cdc_normalize(obj: dict, drift: float) -> dict:
     """Host-drift-normalize a CDC result tree: rates (``*_per_sec``) are
-    multiplied by drift (a slow host under-reads throughput), times
-    (``seconds``, ``*_ms``) divided by it; counts/flags pass through."""
+    multiplied by drift (a slow host under-reads throughput), WORK times
+    (the exact key ``seconds`` — always time-to-complete-N-events here —
+    and ``*_ms``) divided by it; counts/flags pass through.  Fixed-duration
+    fields (``window_seconds``, ``drain_seconds`` in concurrent_mixed)
+    deliberately do NOT match the work-time rule (r07 advice #1): the
+    write window is a fixed wall-clock duration (at anchor speed it would
+    simply fit more ops — already captured by the scaled rates), and the
+    drain is dominated by the 1 s trigger cadence, not host speed; scaling
+    either would report a duration that never existed."""
     out: dict = {}
     for k, v in obj.items():
         if isinstance(v, dict):

@@ -227,6 +227,25 @@ def refresh_secondary_index(
                 r[_IBUCKET]
                 for r in replacement.select(_IBUCKET).distinct().collect()
             }
+            # drop the emptied buckets BEFORE the overwrite commit (r07
+            # advice #4): a bucket with an empty replacement holds ONLY
+            # rows of changed pk buckets (any surviving row would have
+            # made the replacement non-empty), so removing it early can
+            # only turn a wrong-valued verify=False hit into a miss —
+            # the safe direction under the miss-never-lie contract —
+            # whereas dropping after the commit left a window where a
+            # crash or concurrent unverified reader saw stale rows the
+            # next refresh would no longer re-diff.  replacement is fully
+            # materialized (persisted + collected) before the drop; if an
+            # executor loss forces a recompute over the now-missing dirs,
+            # the WRITE fails — meta is still old, so the retry re-diffs
+            # the same buckets and heals (fail-safe, never wrong-valued)
+            for ib in affected:
+                if ib not in nonempty:
+                    shutil.rmtree(
+                        os.path.join(idx_path, f"{_IBUCKET}={ib}"),
+                        ignore_errors=True,
+                    )
             (
                 replacement.repartition(F.col(_IBUCKET))
                 .write.mode("overwrite")
@@ -235,12 +254,6 @@ def refresh_secondary_index(
                 .parquet(idx_path)
             )
             replacement.unpersist()
-            for ib in affected:
-                if ib not in nonempty:
-                    shutil.rmtree(
-                        os.path.join(idx_path, f"{_IBUCKET}={ib}"),
-                        ignore_errors=True,
-                    )
     finally:
         fresh.unpersist()
     meta["state_fp"] = new_fp

@@ -134,7 +134,9 @@ def cdc_control_probe(spark, root: str, tag: str) -> float:
     merge_batch(spark, cfg, batch)
     visible = read_state(spark, cfg).count()
     dt = time.perf_counter() - t0
-    assert visible == 1000, f"probe saw {visible} rows"
+    if visible != 1000:  # not assert: stripped under -O, and a broken
+        # probe silently feeding the drift normalization is the worst case
+        raise RuntimeError(f"CDC control probe saw {visible} rows, want 1000")
     return round(dt, 3)
 
 
