@@ -84,6 +84,15 @@ class CdcLoadConfig:
     # grace window can meet a swept tombstone, exactly like any LSM engine
     # whose compaction horizon an out-of-SLA producer overruns.
     gc_reorder_grace_batches: int | None = None
+    # Secondary-index maintenance (round 8, r07 verdict #4): columns to
+    # keep hash-bucketed secondary indexes over, refreshed INCREMENTALLY
+    # (secondary_index.refresh_secondary_index: cost follows the batch's
+    # changed pk buckets, not the table) every N streaming batches — the
+    # compact_every-style cadence hook.  First touch builds the index;
+    # between refreshes lookups keep the miss-never-lie contract (a
+    # lagging index can only miss rows merged since, never lie).
+    index_cols: tuple | None = None
+    index_refresh_every: int | None = None
 
 
 _BUCKET_COL = "_bucket"
@@ -562,6 +571,24 @@ def start_cdc_load(spark: SparkSession, cfg: CdcLoadConfig):
             _write_gc_horizon(
                 cfg, batch_id, stats["min_seq"], stats["max_seq"]
             )
+        ie = cfg.index_refresh_every
+        if cfg.index_cols and ie and batch_id % ie == ie - 1:
+            # serialized with merges/gc by foreachBatch, like the sweep:
+            # an index refresh must never race the state overwrite it
+            # fingerprints.  Incremental — re-projects only the pk buckets
+            # whose files changed since the last build/refresh.
+            from .secondary_index import (
+                _index_dir,
+                build_secondary_index,
+                refresh_secondary_index,
+            )
+
+            for icol in cfg.index_cols:
+                meta = os.path.join(_index_dir(cfg, icol), "_meta.json")
+                if os.path.exists(meta):
+                    refresh_secondary_index(spark, cfg, icol)
+                else:
+                    build_secondary_index(spark, cfg, icol)
 
     writer = (
         events.writeStream.queryName(cfg.name)

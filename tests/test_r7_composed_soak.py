@@ -11,7 +11,11 @@ exercises.  Asserts, per maintainer:
    fold-timing independence are covered in one pass (fold-vs-uncompacted
    equality is already pinned per maintainer by the solo soaks);
 3. the CDC materializer's state matches its solo twin and the secondary
-   index built from the composed state answers exactly like a full scan.
+   index over the composed state answers exactly like a full scan — built
+   once early, then maintained by INCREMENTAL refresh on the compaction
+   cadence (round 8: the refresh_secondary_index maintainer hook replaces
+   the per-check full rebuild; lookups re-checked mid-soak at every
+   refresh and after the final tail refresh).
 
 All ingests of a batch run CONCURRENTLY in a thread pool — genuinely
 concurrent maintainers over one stream (the deployment shape), and the
@@ -168,6 +172,7 @@ def test_all_maintainers_composed_100_batch_soak(spark, tmp_path):
     from mysql_cdc_debezium_starrocks_spark.streaming.secondary_index import (
         build_secondary_index,
         lookup_by_index,
+        refresh_secondary_index,
     )
     from mysql_cdc_debezium_starrocks_spark.streaming.theta_stats import (
         compact_theta,
@@ -258,6 +263,29 @@ def test_all_maintainers_composed_100_batch_soak(spark, tmp_path):
                 for _in, compact, off in solo_steps:
                     if i % CADENCE == (off + CADENCE // 2) % CADENCE:
                         compact()
+            # secondary-index leg (round 8, r07 verdict #4): build once
+            # early, then INCREMENTAL refresh on the same compaction
+            # cadence — the maintainer hook's shape (cost follows the
+            # batch's changed pk buckets).  Serialized with merges: runs
+            # after the pool joins, like the folds above.
+            if i == CADENCE:
+                build_secondary_index(spark, cfg_c, "status")
+            elif i > CADENCE and i % CADENCE == 8:
+                nch = refresh_secondary_index(spark, cfg_c, "status")
+                assert nch > 0  # every wave touches pk buckets
+                got_w = sorted(
+                    r["order_key"]
+                    for r in lookup_by_index(
+                        spark, cfg_c, "status", "updated"
+                    ).collect()
+                )
+                want_w = sorted(
+                    r["order_key"]
+                    for r in read_state(spark, cfg_c)
+                    .filter(F.col("status") == "updated")
+                    .collect()
+                )
+                assert got_w == want_w and got_w
 
     # 1. bounded dirs in both runs (the uncompacted-accretion control is the
     # per-maintainer solo soaks' job; here both runs fold, on shifted offsets)
@@ -313,7 +341,11 @@ def test_all_maintainers_composed_100_batch_soak(spark, tmp_path):
     st_s = read_state(spark, cfg_s).select(
         "order_key", "status", "total_price")
     assert rows(st_c) == rows(st_s) and st_c.count() > 0
-    build_secondary_index(spark, cfg_c, "status")
+    # final incremental refresh catches the tail waves since the last
+    # cadence hit; lookups must equal the full scan, exactly as after a
+    # fresh build (refresh == rebuild is pinned row-identical by
+    # test_r7_secondary_index_refresh.py)
+    refresh_secondary_index(spark, cfg_c, "status")
     got = sorted(
         r["order_key"]
         for r in lookup_by_index(spark, cfg_c, "status", "updated").collect()
