@@ -187,6 +187,32 @@ class CorpusPipeline:
         self.steps.append("sample_mixture")
         return self
 
+    def budget_sample(self, tokens: int | None = None) -> "CorpusPipeline":
+        """Token-budget sampling step (round 8, r07 verdict #6): keep the
+        docs the per-source token-budget cut keeps — within each source,
+        hash-priority order until the running token total exceeds the
+        budget (mixture budgets are negotiated in TOKENS; the doc-count
+        twins are ``sample_mixture`` / ``weighted_sample``).  Equality
+        with the standalone oracle-backed ``sample_token_budget`` is
+        pinned by test_pipeline.py.
+
+        Rides ``_token_budget_cum``'s distributed per-source prefix sum
+        (range-partition + broadcast bucket offsets — never a per-source
+        single-task window), which is budget-independent and memoized, so
+        a custom ``tokens`` re-cuts the same artifact.  A doc_id semi-join
+        into the running frame, composing like ``sample_mixture``."""
+        from .operators.stats import TOKEN_BUDGET, _token_budget_cum
+
+        b = TOKEN_BUDGET if tokens is None else int(tokens)
+        kept = (
+            _token_budget_cum(self.spark, self.sf_dir)
+            .filter(F.col("cum_tokens") <= b)
+            .select("doc_id")
+        )
+        self._df = self._df.join(kept, "doc_id", "left_semi")
+        self.steps.append(f"budget_sample@{b}")
+        return self
+
     def weighted_sample(self, k: int = 20) -> "CorpusPipeline":
         """Exact weighted sampling WITHOUT replacement over the RUNNING
         frame (Efraimidis–Spirakis priorities on the portable hash —

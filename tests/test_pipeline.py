@@ -370,3 +370,35 @@ def test_full_funnel_end_to_end_sf01(spark, tmp_path):
     assert shard_dirs <= {0, 1, 2, 3}
     for r in back.select("doc_id", "_shard").collect():
         assert r["_shard"] == r["doc_id"] % 4
+
+
+def test_budget_sample_step_matches_standalone_op(spark):
+    """Unfiltered budget_sample() keeps exactly the oracle-backed
+    sample_token_budget doc set; a custom budget re-cuts the memoized
+    prefix-sum artifact monotonically (smaller budget -> subset); composed
+    after quality it keeps the intersection (semi-join, commutes)."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        sample_token_budget,
+    )
+
+    want = {r.doc_id for r in sample_token_budget(spark, SF).collect()}
+    p = CorpusPipeline(spark, SF).budget_sample()
+    got = {r.doc_id for r in p.df.select("doc_id").collect()}
+    assert got == want and got
+    assert p.steps == ["budget_sample@800"]
+
+    smaller = {
+        r.doc_id
+        for r in CorpusPipeline(spark, SF)
+        .budget_sample(tokens=300)
+        .df.select("doc_id")
+        .collect()
+    }
+    assert smaller < want  # strictly fewer docs fit a smaller budget
+
+    q_kept = {
+        r.doc_id
+        for r in CorpusPipeline(spark, SF).quality().df.select("doc_id").collect()
+    }
+    both = CorpusPipeline(spark, SF).quality().budget_sample()
+    assert {r.doc_id for r in both.df.select("doc_id").collect()} == want & q_kept
