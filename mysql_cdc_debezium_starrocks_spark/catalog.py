@@ -93,3 +93,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def cached_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized fixture-table row count per (session, dataset, table).
+
+    Several operators derive adaptive sizing from the corpus cardinality
+    (IVF centroid modulus, pair-histogram bucket count, the pHash
+    PR-gate's evaluation span) and must agree bit-for-bit with oracles
+    that derive the same number from ``count(*)``.  The fixture tables
+    are immutable within a session, so ONE 1-row parquet count per key
+    suffices instead of an eager scan on every invocation (r07 advice)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = load(spark, sf_dir, name).count()
+        _COUNT_CACHE[key] = n
+    return n

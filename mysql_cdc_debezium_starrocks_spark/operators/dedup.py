@@ -309,7 +309,23 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Served from the session-scoped shared artifact (see
     :func:`shared_dup_pairs`); the band-join pass below runs once per
-    (session, dataset) and every curation consumer reuses it."""
+    (session, dataset) and every curation consumer reuses it.
+
+    Band-saturation regime (round-8 pair harness, 200k synthesized docs
+    with corpus-scaled vocabulary): 1.1x wall for 8x rows — LINEAR; the
+    chance-collision term (~4 n^2 / 2^16 candidate pairs across the four
+    32k-bucket bands) stays below the linear fingerprint cost until
+    n ~ 10^7 docs, where it reaches corpus scale (~6e9 candidates at
+    n=10^7).  That floor is inherent to exact-recall banding: radius-r
+    pigeonhole needs r+1 bands, so band width is fixed at
+    SIMHASH_BITS/(r+1) — widening the fingerprint scales the Hamming
+    radius with it and leaves the per-band width constant.  Past ~10^7
+    the standard remedies trade recall for volume: the frequent-bucket
+    cap (skip band buckets larger than ~corpus_dup_family_max, the
+    Manku-et-al. guard) or a coarse exact-recall-lossy secondary key.
+    Within this repo's contract the operator stays exact; the regime and
+    its knobs are the documented scale boundary (the
+    ``dedup_embedding_cosine`` precedent)."""
     df = _artifact_get(spark, sf_dir, "pairs")
     if df is None:
         df = _simhash_pairs_uncached(spark, sf_dir).persist()

@@ -24,29 +24,18 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load, load_spread
+from ..catalog import load_spread
 from ..functions import phash32, phash32_sql
 
 
-_COUNT_CACHE: dict[tuple, int] = {}
-
-
 def _embeddings_count(spark: SparkSession, sf_dir: str) -> int:
-    """Memoized embeddings row count per (session, dataset) — r07 advice:
-    the ANN family re-derives the adaptive modulus / bucket count per
-    query and per timed bench run, adding a redundant scan job each time.
-    The fixture tables are immutable within a session, so ONE 1-row
-    parquet count per (applicationId, dataset) suffices (plain ``load``:
-    the count needs no scan spread).  Keyed like dedup's artifact cache.
-    """
-    import os
+    """Memoized embeddings row count (r07 advice: the ANN family
+    re-derived its adaptive modulus / bucket count with an eager scan on
+    every invocation and every timed bench run) — see
+    ``catalog.cached_count``."""
+    from ..catalog import cached_count
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    n = _COUNT_CACHE.get(key)
-    if n is None:
-        n = load(spark, sf_dir, "embeddings").count()
-        _COUNT_CACHE[key] = n
-    return n
+    return cached_count(spark, sf_dir, "embeddings")
 
 TOPK = 10
 QUERY_MOD = 100  # vec_id % 100 == 0 -> query set
