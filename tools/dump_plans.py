@@ -274,6 +274,16 @@ HEADLINE = [
         "(event_type, hr) sort — the recursion as two stock windows; "
         "TakeOrderedAndProject top-k, no global sort.",
     ),
+    (
+        "sample_token_budget",
+        "Distributed per-source prefix sum (round 8): range-repartition on "
+        "(source, pri, doc_id) splits each source's priority order across "
+        "partitions, per-(pid, source) token sums broadcast back as "
+        "cumulative offsets, and the only doc-scale window is keyed by "
+        "(pid, source) — max task n/P rows, never a one-task per-source "
+        "sort.  The source-only window in the plan rides the bounded "
+        "|sources| x P psums agg.",
+    ),
 ]
 
 
