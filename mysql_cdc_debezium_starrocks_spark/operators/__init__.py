@@ -41,10 +41,10 @@ def _fixture_dir() -> str:
 #                family in the window (the smoke test enforces this).
 #   Entering r08 the staleness tail was: 35 names last checked r03
 #   (staleness 4), 36 at r04.  This window clears the ENTIRE r03 cohort
-#   plus 5 r04 names and the stalest ml_/window_/q1x family reps
+#   plus 4 r04 names (2 as changed code) and the stalest ml_/window_/q1x family reps
 #   (ml_logreg_weights r05, window_range_rolling_revenue r06,
 #   q14_promo_revenue r04), so after r08 the max staleness across all 209
-#   registry names stays <= 4 rounds (the 31 remaining r04 names, first in
+#   registry names stays <= 4 rounds (the ~30 remaining r04 names, first in
 #   line for r09).
 # Expected outcome: every name below the fold holds a driver row from
 # r04-r07; COVERAGE.md states the staleness bound.
@@ -52,7 +52,7 @@ DRIVER_PRIORITY = (
     # --- (a) changed this round: always driver-re-verified in-window ---
     "sample_token_budget", "mix_budget_report", "emb_cosine_pair_histogram",
     "dedup_semantic", "ann_ivf_topk", "ann_ivfpq_search", "ann_ivfpq_refine",
-    "eval_ivf_balance",
+    "eval_ivf_balance", "pack_concat_chunks", "eval_pack_efficiency",
     # --- (b) stalest first: the ENTIRE r03 cohort (staleness 4) ---
     "agg_stats", "basket_part_pairs", "cdc_asof_snapshot", "cdc_counts",
     "cdc_scd2", "cdc_topk", "dedup_components", "dedup_exact_stats",
@@ -67,16 +67,15 @@ DRIVER_PRIORITY = (
     "text_tfidf_topk", "text_url_dedup", "ts_ewma",
     # --- (b) fills: q1x/ml_/window_ family reps + stalest r04 names ---
     "q14_promo_revenue", "ml_logreg_weights", "window_range_rolling_revenue",
-    "ann_kmeans_assign", "corpus_curate", "corpus_dedup_funnel",
-    "dedup_pagerank",
+    "ann_kmeans_assign", "corpus_curate",
     # ^-- 50-slot window ends here --------------------------------------
     # beyond the fold: stalest nearest the fold (r04 leftovers, then r05,
     # r06, r07 cohorts) so the NEXT round's rotation reads top-down
-    "dq_fk_orphans", "emb_pq_codes", "emb_prune_diversity",
-    "eval_kmeans_silhouette", "eval_mix_convergence", "eval_pack_efficiency",
-    "eval_phash_pr", "events_attribution", "events_dau_wau",
+    "corpus_dedup_funnel", "dedup_pagerank", "dq_fk_orphans",
+    "emb_pq_codes", "emb_prune_diversity",
+    "eval_kmeans_silhouette", "eval_mix_convergence", "eval_phash_pr", "events_attribution", "events_dau_wau",
     "join_fuzzy_parts", "mm_image_phash", "mm_phash_components",
-    "mm_phash_dupes", "pack_concat_chunks", "q15_top_supplier",
+    "mm_phash_dupes", "q15_top_supplier",
     "q16_supplier_part_count", "q17_small_quantity_revenue",
     "q18_large_volume_customer", "q19_discounted_revenue",
     "q20_part_promotion", "q21_waiting_supplier",

@@ -92,25 +92,89 @@ ORACLE: dict[str, str] = {}  # stateful greedy loop — rows-only check
 
 PACK_BUDGET = 512  # tokens per packed training sequence
 
+# Range buckets for the distributed per-source prefix sum below — the same
+# bounded-constant class as DSIR_BUCKETS: the bucket-offsets side frame is
+# <= PACK_RANGE_BUCKETS x |sources| rows (broadcastable), and the largest
+# local task is ~n/PACK_RANGE_BUCKETS docs.
+PACK_RANGE_BUCKETS = 4096
+
+
+def _dist_running_off(toks: DataFrame) -> DataFrame:
+    """Add ``off`` — each doc's per-source EXCLUSIVE running token sum in
+    doc_id order — without a per-source single-task window (round 8, the
+    r07 verdict's packing "watch": ``Window.partitionBy("source")`` with
+    single-digit source cardinality funnels a data-scale row set through
+    one task at 100x; the sampler's ``_token_budget_cum`` fix, applied to
+    the packing family).
+
+    Unlike the sampler (fixed corpus -> memoized range-partitioned
+    artifact), this core also serves ``CorpusPipeline.pack()``'s arbitrary
+    running frame, where persisting an artifact per invocation would
+    strand cache — so the bucketing is DETERMINISTIC instead of sampled:
+    bucket = (doc_id - min) div width with width derived from the id range
+    (a 1-row agg broadcast lazily), order-preserving by construction, and
+    identical on every recomputation (a repartitionByRange here would
+    re-sample its boundaries between the offsets branch and the local-sum
+    branch).  Shape: per-(bucket, source) partial sums -> per-source
+    cumulative bucket offsets over the bounded side frame -> broadcast
+    back -> (bucket, source)-local exclusive window.  Assumes ids spread
+    across their [min, max] range (true for the fixture's dense ids and
+    any sequence-assigned ingest id); pathological clustering degrades
+    toward fewer effective buckets, never wrong results."""
+    bounds = toks.agg(
+        F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx")
+    )
+    t = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        F.expr(
+            "(doc_id - _mn) div"
+            f" greatest(1, (_mx - _mn + 1) div {PACK_RANGE_BUCKETS})"
+        ).cast("long"),
+    )
+    psums = t.groupBy("_bkt", "source").agg(
+        F.sum("n_tokens").cast("long").alias("_ps")
+    )
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = psums.select(
+        "_bkt",
+        "source",
+        F.coalesce(F.sum("_ps").over(woff), F.lit(0)).cast("long").alias("_boff"),
+    )
+    wloc = (
+        Window.partitionBy("_bkt", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.join(F.broadcast(offs), ["_bkt", "source"])
+        .withColumn(
+            "off",
+            (
+                F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+                + F.col("_boff")
+            ).cast("long"),
+        )
+        .drop("_mn", "_mx", "_bkt", "_boff")
+    )
+
 
 def concat_pack_df(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Concat-then-chunk packing over an arbitrary (doc_id, source, text)
     frame — the reusable core behind :func:`pack_concat_chunks` (fixed
     corpus + PACK_BUDGET, oracle-checked) and ``CorpusPipeline.pack()``
     (the running curated frame + a caller-chosen budget).  Same plan shape:
-    one source-partitioned running-sum window, map-side bin arithmetic."""
+    one distributed per-source running sum (:func:`_dist_running_off` —
+    never a one-task-per-source window), map-side bin arithmetic."""
     toks = docs.select(
         "doc_id",
         "source",
         F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    placed = toks.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
-    ).select(
+    placed = _dist_running_off(toks).select(
         "source",
         "n_tokens",
         F.expr(f"off div {int(budget)}").cast("long").alias("bin"),
@@ -183,9 +247,9 @@ def eval_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     wastes nothing by construction (bins fill edge to edge), so overhang
     loss IS the policy delta.
 
-    Scale shape: the same single running-sum window as
-    ``pack_concat_chunks``; loss arithmetic is map-side; the report is
-    |sources| rows.
+    Scale shape: the same distributed running sum as
+    ``pack_concat_chunks`` (:func:`_dist_running_off`); loss arithmetic is
+    map-side; the report is |sources| rows.
     """
     d = load_spread(spark, sf_dir, "documents")
     toks = d.select(
@@ -193,12 +257,7 @@ def eval_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    placed = toks.select(
-        "source",
-        "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
-    ).select(
+    placed = _dist_running_off(toks).select(
         "source",
         "n_tokens",
         (

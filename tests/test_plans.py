@@ -483,3 +483,35 @@ def test_token_budget_window_is_sub_partitioned(spark):
             f"{fn.__name__}: bucket offsets must broadcast back"
         )
         assert not has_cartesian(p)
+
+
+def test_packing_window_is_sub_partitioned(spark):
+    """The concat-pack family's per-source running sum must never be a
+    source-only window over the document-scale frame (the same r07-verdict
+    shape the token-budget sampler shed; packing was the longer-standing
+    watch).  The rewrite buckets deterministically on the id range and
+    keys the doc-scale window by (_bkt, source); the only source-only
+    window left rides the bounded bucket-sums side frame, ordered by _bkt.
+    Gate: every windowspecdefinition that orders by doc_id must also
+    partition by _bkt, and the bucket offsets must come back broadcast."""
+    import re
+
+    from mysql_cdc_debezium_starrocks_spark.operators.packing import (
+        eval_pack_efficiency,
+        pack_concat_chunks,
+    )
+
+    for fn in (pack_concat_chunks, eval_pack_efficiency):
+        p = plan_of(fn(spark, SF_SMOKE))
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+        assert specs, f"{fn.__name__}: expected window specs in plan"
+        for s in specs:
+            if "doc_id#" in s:
+                assert "_bkt#" in s, (
+                    f"{fn.__name__}: doc-scale window not sub-partitioned "
+                    f"by _bkt: {s}"
+                )
+        assert broadcasts(p) >= 1, (
+            f"{fn.__name__}: bucket offsets must broadcast back"
+        )
+        assert not has_cartesian(p)
