@@ -53,6 +53,7 @@ DRIVER_PRIORITY = (
     "sample_token_budget", "mix_budget_report", "emb_cosine_pair_histogram",
     "dedup_semantic", "ann_ivf_topk", "ann_ivfpq_search", "ann_ivfpq_refine",
     "eval_ivf_balance", "pack_concat_chunks", "eval_pack_efficiency",
+    "stats_doc_len_profile",
     # --- (b) stalest first: the ENTIRE r03 cohort (staleness 4) ---
     "agg_stats", "basket_part_pairs", "cdc_asof_snapshot", "cdc_counts",
     "cdc_scd2", "cdc_topk", "dedup_components", "dedup_exact_stats",
@@ -67,11 +68,11 @@ DRIVER_PRIORITY = (
     "text_tfidf_topk", "text_url_dedup", "ts_ewma",
     # --- (b) fills: q1x/ml_/window_ family reps + stalest r04 names ---
     "q14_promo_revenue", "ml_logreg_weights", "window_range_rolling_revenue",
-    "ann_kmeans_assign", "corpus_curate",
+    "ann_kmeans_assign",
     # ^-- 50-slot window ends here --------------------------------------
     # beyond the fold: stalest nearest the fold (r04 leftovers, then r05,
     # r06, r07 cohorts) so the NEXT round's rotation reads top-down
-    "corpus_dedup_funnel", "dedup_pagerank", "dq_fk_orphans",
+    "corpus_curate", "corpus_dedup_funnel", "dedup_pagerank", "dq_fk_orphans",
     "emb_pq_codes", "emb_prune_diversity",
     "eval_kmeans_silhouette", "eval_mix_convergence", "eval_phash_pr", "events_attribution", "events_dau_wau",
     "join_fuzzy_parts", "mm_image_phash", "mm_phash_components",
@@ -95,7 +96,7 @@ DRIVER_PRIORITY = (
     "mix_dsir_weights", "mix_temperature_sampling", "mm_audio_energy",
     "mm_frame_sample", "q12_late_shipments", "q13_order_distribution",
     "set_intersect_except", "sketch_theta_containment",
-    "sketch_theta_intersect", "stats_doc_len_profile", "text_bm25_topk",
+    "sketch_theta_intersect", "text_bm25_topk",
     "text_decontaminate", "text_inverted_index", "text_ngram_coverage",
     "text_pii_redact", "timeseries_gapfill", "cdc_apply",
     "dedup_exact_groups", "dedup_ngram_jaccard", "emb_norm_stats",

@@ -1648,40 +1648,52 @@ def stats_doc_len_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     to disagree on) and p95 is the value AT rank ceil(0.95 n) of the
     ascending sort — a selected element, so tie order cannot change it.
 
-    Scale shape: one rank window + the count, both partitioned by source —
-    a balanced shuffle key; per-source state during the sort is O(1) per
-    row.  (An exact percentile per LOW-cardinality key would hot-spot its
-    partitions; that variant belongs to ``hist_quantile_bins``'s mergeable
-    sketch — same division of labor as ts_anomaly_mad documents.)
+    Scale shape (round 8): order statistics are SELECTED FROM THE LENGTH
+    HISTOGRAM, not ranked over raw docs — the value at rank r is the
+    smallest length whose per-source cumulative count reaches r.  One
+    partial-agg'd groupBy(source, tok) builds the histogram (bounded by
+    |sources| x |distinct lengths| — lengths are bounded by the longest
+    document, not the corpus), a histogram-scale per-source cumulative
+    window ranks it (the ``hist_quantile_bins`` / KS idiom), and a
+    broadcast of the |sources|-row totals supplies the target ranks.  The
+    previous form ranked the RAW docs per source — with low-cardinality
+    sources that is a data-scale hot partition at 100x, the same shape
+    the token-budget sampler shed this round.
     """
     d = load_spread(spark, sf_dir, "documents")
     t = d.select(
         "source",
-        "doc_id",
         F.size(words(F.col("text"))).cast("long").alias("tok"),
     )
-    wp = Window.partitionBy("source")
-    m = t.select(
-        "source",
-        "tok",
-        F.row_number().over(wp.orderBy("tok", "doc_id")).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+    hist = t.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    lo, hi = F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
+    totals = hist.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("tok")).cast("long").alias("tot"),
+        F.max("tok").alias("mx"),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # histogram-scale: |distinct lengths| rows per source, never the docs
+    cum = hist.withColumn("cum", F.sum("c").over(wcum).cast("long"))
+    j = cum.join(F.broadcast(totals), "source")
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
     p95_rank = F.expr("(19 * n + 19) div 20")  # = ceil(0.95 n)
+    at = lambda r: F.min(  # noqa: E731 — value at rank r from the cumulative
+        F.when(F.col("cum") >= r, F.col("tok"))
+    )
     return (
-        m.groupBy("source")
+        j.groupBy("source")
         .agg(
             F.max("n").alias("n_docs"),
-            F.sum("tok").alias("total_tokens"),
-            (
-                F.sum(F.when(F.col("rn") == lo, F.col("tok")))
-                + F.sum(F.when(F.col("rn") == hi, F.col("tok")))
-            ).cast("long").alias("med2"),
-            F.sum(F.when(F.col("rn") == p95_rank, F.col("tok")))
-            .cast("long")
-            .alias("p95_tokens"),
-            F.max("tok").alias("max_tokens"),
+            F.max("tot").alias("total_tokens"),
+            (at(lo) + at(hi)).cast("long").alias("med2"),
+            at(p95_rank).cast("long").alias("p95_tokens"),
+            F.max("mx").alias("max_tokens"),
         )
     )
 

@@ -515,3 +515,21 @@ def test_packing_window_is_sub_partitioned(spark):
             f"{fn.__name__}: bucket offsets must broadcast back"
         )
         assert not has_cartesian(p)
+
+
+def test_doc_len_profile_ranks_histogram_not_docs(spark):
+    """stats_doc_len_profile must select its order statistics from the
+    per-source LENGTH HISTOGRAM cumulative, never rank the raw docs
+    (row_number over a low-cardinality source partition = a data-scale
+    hot partition at 100x).  Gate: no row_number in the plan, the window
+    input is an aggregated frame (>= 2 hash aggregates below), and the
+    per-source totals come back broadcast."""
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        stats_doc_len_profile,
+    )
+
+    p = plan_of(stats_doc_len_profile(spark, SF_SMOKE))
+    assert "row_number" not in p, "raw-doc ranking reintroduced"
+    assert p.count("HashAggregate") >= 2, "histogram pre-agg missing"
+    assert broadcasts(p) >= 1, "per-source totals must broadcast"
+    assert not has_cartesian(p)

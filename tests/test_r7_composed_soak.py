@@ -169,6 +169,11 @@ def test_all_maintainers_composed_100_batch_soak(spark, tmp_path):
         dup_image_pairs,
         ingest_phash_batch,
     )
+    from mysql_cdc_debezium_starrocks_spark.streaming.budget_ingest import (
+        budget_report,
+        compact_budget_ingest,
+        ingest_budget_batch,
+    )
     from mysql_cdc_debezium_starrocks_spark.streaming.secondary_index import (
         build_secondary_index,
         lookup_by_index,
@@ -238,6 +243,11 @@ def test_all_maintainers_composed_100_batch_soak(spark, tmp_path):
                 spark, os.path.join(r, "theta"), d, "doc_id", i, k=32),
              lambda r=root: compact_theta(
                  spark, os.path.join(r, "theta"), keep_last=KEEP_LAST), 7),
+            # round 8: the streaming token-budget admission maintainer
+            (lambda d, v, h, c, a, o, i, r=root: ingest_budget_batch(
+                spark, os.path.join(r, "budget"), d, i),
+             lambda r=root: compact_budget_ingest(
+                 spark, os.path.join(r, "budget"), keep_last=KEEP_LAST), 9),
         ]
 
     from concurrent.futures import ThreadPoolExecutor
@@ -292,7 +302,8 @@ def test_all_maintainers_composed_100_batch_soak(spark, tmp_path):
     bound = KEEP_LAST + CADENCE
     for sub in ("dedup/sigs", "dedup/pairs", "ann/index", "mix/counts",
                 "mix/kept", "phash/sigs", "phash/pairs", "hll/regs",
-                "cusum/scores", "aggmv/contrib", "theta/theta"):
+                "cusum/scores", "aggmv/contrib", "theta/theta",
+                "budget/counts", "budget/kept"):
         n_c = len(numbered_ids(os.path.join(comp, sub)))
         n_s = len(numbered_ids(os.path.join(solo, sub)))
         assert n_c <= bound, f"{sub}: {n_c} live dirs > {bound}"
@@ -318,6 +329,8 @@ def test_all_maintainers_composed_100_batch_soak(spark, tmp_path):
         == rows(ann_index_query(spark, os.path.join(solo, "ann"), q0, k=3))
     assert rows(ledger(spark, os.path.join(comp, "mix"))) == rows(
         ledger(spark, os.path.join(solo, "mix")))
+    assert rows(budget_report(spark, os.path.join(comp, "budget"))) == rows(
+        budget_report(spark, os.path.join(solo, "budget")))
     assert rows(kept_docs(spark, os.path.join(comp, "mix"))) == rows(
         kept_docs(spark, os.path.join(solo, "mix")))
     pc = rows(dup_image_pairs(spark, os.path.join(comp, "phash")))
