@@ -53,7 +53,7 @@ DRIVER_PRIORITY = (
     "sample_token_budget", "mix_budget_report", "emb_cosine_pair_histogram",
     "dedup_semantic", "ann_ivf_topk", "ann_ivfpq_search", "ann_ivfpq_refine",
     "eval_ivf_balance", "pack_concat_chunks", "eval_pack_efficiency",
-    "stats_doc_len_profile",
+    "stats_doc_len_profile", "ts_anomaly_zscore",
     # --- (b) stalest first: the ENTIRE r03 cohort (staleness 4) ---
     "agg_stats", "basket_part_pairs", "cdc_asof_snapshot", "cdc_counts",
     "cdc_scd2", "cdc_topk", "dedup_components", "dedup_exact_stats",
@@ -68,11 +68,11 @@ DRIVER_PRIORITY = (
     "text_tfidf_topk", "text_url_dedup", "ts_ewma",
     # --- (b) fills: q1x/ml_/window_ family reps + stalest r04 names ---
     "q14_promo_revenue", "ml_logreg_weights", "window_range_rolling_revenue",
-    "ann_kmeans_assign",
     # ^-- 50-slot window ends here --------------------------------------
     # beyond the fold: stalest nearest the fold (r04 leftovers, then r05,
     # r06, r07 cohorts) so the NEXT round's rotation reads top-down
-    "corpus_curate", "corpus_dedup_funnel", "dedup_pagerank", "dq_fk_orphans",
+    "ann_kmeans_assign", "corpus_curate", "corpus_dedup_funnel",
+    "dedup_pagerank", "dq_fk_orphans",
     "emb_pq_codes", "emb_prune_diversity",
     "eval_kmeans_silhouette", "eval_mix_convergence", "eval_phash_pr", "events_attribution", "events_dau_wau",
     "join_fuzzy_parts", "mm_image_phash", "mm_phash_components",
@@ -111,7 +111,7 @@ DRIVER_PRIORITY = (
     "sketch_approx_distinct", "sketch_hll_portable", "stats_corr_price_qty",
     "stats_key_skew", "text_bigram_topk", "text_chunk", "text_fingerprint",
     "text_normalize", "text_repetition", "text_vocab_growth", "topk_orders",
-    "ts_anomaly_mad", "ts_anomaly_zscore", "ts_changepoint_cusum",
+    "ts_anomaly_mad", "ts_changepoint_cusum",
     "union_priorities", "window_running_sum", "year_histogram",
     "agg_conditional_count", "agg_global_count", "agg_top1_per_group_argmax",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_pq_search",

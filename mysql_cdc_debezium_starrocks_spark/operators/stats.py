@@ -222,35 +222,95 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return year_keys(1995).intersect(year_keys(1996)).subtract(year_keys(2001))
 
 
+ZS_RANGE_BUCKETS = 4096  # time-range buckets for the distributed rank
+ZS_TRAIL = 20            # trailing-window length (rows, excluding self)
+
+
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection: per event_type, each event's value
     against the trailing 20 events (excluding itself); |z| > 2.5 flags.
 
     Mean/std are derived from EXACT decimal frame sums (the same
     sufficient-statistics trick as ``stats_corr_price_qty``), so the rolling
-    window is bit-identical across engines — native sliding stddev
+    stats are bit-identical across engines — native sliding stddev
     accumulates doubles in engine-specific order (Spark rescans the frame,
     DuckDB uses segment trees) and would not hash-match.
 
-    Scale: one shuffle on event_type, then a sorted sliding frame per
-    partition — the streaming-history shape; heavy key skew would switch
-    this to a (event_type, day) bucketed window.
+    Scale shape (round 8): the previous form was ONE sorted sliding frame
+    per event_type — with a handful of types, a data-scale hot partition
+    at 100x (the same shape the token-budget sampler and doc-len profile
+    shed this round).  Now fully distributed and EXACT:
+
+    1. per-type global row rank via deterministic time-range bucketing
+       (bucket = (ms - min) div width over ZS_RANGE_BUCKETS buckets — the
+       ``packing._dist_running_off`` idiom: per-(bucket, type) counts,
+       broadcast per-type cumulative offsets, (bucket, type)-local
+       row_number; deterministic, so the two rank derivations below agree
+       on recomputation);
+    2. each row EXPLODES its (v, v*v) into the ZS_TRAIL ranks it trails
+       (r+1 .. r+20) and a partial-agg'd groupBy on the BALANCED
+       (type, rank) key rebuilds every row's trailing sums exactly —
+       decimal addition is order-independent, so the sums are
+       bit-identical to the sliding frame's;
+    3. join the sums back on (type, rank).
+
+    Cost: 20x narrow intermediate rows with map-side combine, against a
+    per-type single-task sort of the corpus — the standard scale-out for
+    small fixed trailing windows.
     """
     e = load(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(18,6)")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-20, -1)
-    )
-    s = e.select(
+    t = e.select(
         "event_id",
         "event_type",
         "ts",
         "value",
-        F.sum(v).over(w).alias("sx"),
-        F.sum(v * v).over(w).alias("sxx"),
-        F.count(v).over(w).alias("n"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("_ms"),
+    )
+    bounds = t.agg(F.min("_ms").alias("_mn"), F.max("_ms").alias("_mx"))
+    tb = t.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt",
+        F.expr(
+            "(_ms - _mn) div"
+            f" greatest(1, (_mx - _mn + 1) div {ZS_RANGE_BUCKETS})"
+        ).cast("long"),
+    )
+    pc = tb.groupBy("_bkt", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_pc")
+    )
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded: ZS_RANGE_BUCKETS rows per type
+    offs = pc.select(
+        "_bkt",
+        "event_type",
+        F.coalesce(F.sum("_pc").over(woff), F.lit(0)).cast("long").alias("_off"),
+    )
+    wloc = Window.partitionBy("_bkt", "event_type").orderBy("ts", "event_id")
+    ranked = (
+        tb.join(F.broadcast(offs), ["_bkt", "event_type"])
+        .withColumn(
+            "r", (F.col("_off") + F.row_number().over(wloc)).cast("long")
+        )
+        .drop("_ms", "_mn", "_mx", "_bkt", "_off")
+    )
+    contrib = ranked.select(
+        "event_type",
+        v.alias("_v"),
+        (v * v).alias("_vv"),
+        F.explode(
+            F.sequence(F.col("r") + 1, F.col("r") + ZS_TRAIL)
+        ).alias("r"),
+    )
+    sums = contrib.groupBy("event_type", "r").agg(
+        F.sum("_v").alias("sx"),
+        F.sum("_vv").alias("sxx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    s = ranked.join(sums, ["event_type", "r"]).select(
+        "event_id", "event_type", "ts", "value", "sx", "sxx", "n"
     )
     n = F.col("n").cast("double")
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")

@@ -533,3 +533,26 @@ def test_doc_len_profile_ranks_histogram_not_docs(spark):
     assert p.count("HashAggregate") >= 2, "histogram pre-agg missing"
     assert broadcasts(p) >= 1, "per-source totals must broadcast"
     assert not has_cartesian(p)
+
+
+def test_zscore_window_is_sub_partitioned(spark):
+    """ts_anomaly_zscore must never sort a data-scale frame per
+    event_type (low-cardinality hot partition).  The distributed form
+    ranks within deterministic time-range buckets and rebuilds trailing
+    sums via the exploded contribution groupBy.  Gate: every
+    windowspecdefinition that orders by ts must also partition by _bkt;
+    offsets/bounds come back broadcast; no cartesian."""
+    import re
+
+    from mysql_cdc_debezium_starrocks_spark.operators.stats import (
+        ts_anomaly_zscore,
+    )
+
+    p = plan_of(ts_anomaly_zscore(spark, SF_SMOKE))
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", p)
+    assert specs, "expected window specs in plan"
+    for s in specs:
+        if "ts#" in s:
+            assert "_bkt#" in s, f"doc-scale window not sub-partitioned: {s}"
+    assert broadcasts(p) >= 1
+    assert not has_cartesian(p)
