@@ -134,6 +134,8 @@ CASES = {
     # round-6 additions: every new operator gets a row BEFORE it ships
     "mix_upsample_repeat": ("operators.stats", ["documents"]),
     "ts_changepoint_cusum": ("operators.stats", ["events"]),
+    # round-8 rewrites: the de-hot-partitioned rolling z-score
+    "ts_anomaly_zscore": ("operators.stats", ["events"]),
     "emb_cosine_pair_histogram": ("operators.similarity", ["embeddings"]),
     "emb_pca_project": ("operators.linalg", ["embeddings"]),
     # round-7 additions
