@@ -284,6 +284,23 @@ HEADLINE = [
         "sort.  The source-only window in the plan rides the bounded "
         "|sources| x P psums agg.",
     ),
+    (
+        "stats_doc_len_profile",
+        "Histogram-selected order statistics (round 8): exact per-source "
+        "median/p95 read off the length-histogram cumulative (value at "
+        "rank r = smallest length whose cumulative count reaches r) — the "
+        "window runs over |distinct lengths| rows per source, never a "
+        "row_number over the raw docs (a low-cardinality hot partition).",
+    ),
+    (
+        "ts_anomaly_zscore",
+        "Distributed trailing frame (round 8): deterministic time-range "
+        "bucketing derives each row's per-type global rank (bucket counts "
+        "+ broadcast offsets + bucket-local row_number), then each row "
+        "explodes its (v, v^2) to the 20 ranks it trails and a map-side-"
+        "combined groupBy on the balanced (type, rank) key rebuilds every "
+        "sliding frame exactly — no per-type corpus-scale sort.",
+    ),
 ]
 
 
