@@ -319,8 +319,19 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # var > 0 guard on BOTH engines: a (near-)constant trailing window can
     # round the exact-zero variance slightly negative in double — Spark's
     # sqrt would yield NaN (silently filtered) while DuckDB's sqrt ERRORS,
-    # failing the whole query instead of dropping the row
-    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
+    # failing the whole query instead of dropping the row.
+    # z saturates at +/-1e7 (round 8): a near-zero-variance window — the
+    # shape heavily duplicated content produces, surfaced by the 30x
+    # replica whose copies share ts/value — yields z in the 1e8+ range,
+    # which overflows the DECIMAL(12,4) output contract and ANSI-errors
+    # the whole query instead of flagging the row.  Any |z| that large is
+    # "infinitely anomalous" for every downstream purpose; the clamp is
+    # mirrored in the oracle so both engines saturate identically.
+    z_raw = (F.col("value") - mean) / F.sqrt(var)
+    z = F.when(
+        var > 0,
+        F.least(F.greatest(z_raw, F.lit(-1e7)), F.lit(1e7)),
+    )
     return (
         s.filter(F.col("n") >= 10)
         .withColumn("z", F.round(z, 4).cast("decimal(12,4)"))
@@ -866,12 +877,17 @@ ORACLE["ts_anomaly_zscore"] = """
       FROM s
       WHERE n >= 10)
     -- v > 0 mirrors the Spark guard: DuckDB's sqrt ERRORS on the slightly
-    -- negative double a constant window can produce; Spark yields NaN
+    -- negative double a constant window can produce; Spark yields NaN.
+    -- least/greatest mirrors the Spark-side +/-1e7 z saturation: a
+    -- near-zero-variance window (duplicated content) would otherwise
+    -- overflow DECIMAL(12,4)
     SELECT event_id, event_type, ts, value,
-           CAST(round((value - m) / sqrt(v), 4) AS DECIMAL(12,4)) AS z
+           CAST(round(least(greatest((value - m) / sqrt(v), -1e7), 1e7), 4)
+                AS DECIMAL(12,4)) AS z
     FROM t
     WHERE v > 0
-      AND abs(CAST(round((value - m) / sqrt(v), 4) AS DECIMAL(12,4))) > 2.5
+      AND abs(CAST(round(least(greatest((value - m) / sqrt(v), -1e7), 1e7), 4)
+                   AS DECIMAL(12,4))) > 2.5
 """
 
 ORACLE["hist_quantile_bins"] = f"""
