@@ -129,3 +129,45 @@ def test_budget_ingest_monotone_closure_and_replay(spark, tmp_path):
         (r.doc_id, r.source, r.tk)
         for r in admitted_docs(spark, state).collect()
     } == got
+
+
+def test_start_budget_ingest_streaming_drain(spark, tmp_path):
+    """The readStream wiring: two parquet drops drained availableNow must
+    leave the same admissions as driving ingest_budget_batch directly with
+    the same split (file order pins batch order via one file per drop)."""
+    from mysql_cdc_debezium_starrocks_spark.streaming.budget_ingest import (
+        start_budget_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    parts = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    src = str(tmp_path / "src")
+    state_s = str(tmp_path / "stream")
+    state_b = str(tmp_path / "batch")
+
+    parts[0].coalesce(1).write.parquet(src)
+    q = start_budget_ingest(
+        spark, src, state_s, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    parts[1].coalesce(1).write.mode("append").parquet(src)
+    q = start_budget_ingest(
+        spark, src, state_s, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    for i, part in enumerate(parts):
+        ingest_budget_batch(spark, state_b, part, batch_id=i)
+
+    def adm(state):
+        return {
+            (r.doc_id, r.source, r.tk)
+            for r in admitted_docs(spark, state).collect()
+        }
+
+    assert adm(state_s) == adm(state_b) and adm(state_s)
+    assert rows(budget_report(spark, state_s)) == rows(
+        budget_report(spark, state_b)
+    )
