@@ -479,12 +479,16 @@ _UNION_FIND_MAX_PAIRS = 2_000_000
 
 _ARTIFACT_CACHE: dict[tuple, DataFrame] = {}
 # (app, sf_dir, kind) entries before LRU eviction: must hold every live kind
-# for ONE dataset at once (round 4: 3 dedup + 7 ANN + 2 BPE + 2 pHash +
-# ntile/vocab ranking frames = 16 live kinds) or the bench's alphabetical
-# interleaving thrashes the cache; all kinds are bounded (pair/top-k/code/
-# probe/vocab tables — the one corpus-scale entry, ivf_index, is the
-# ingested index layout the family exists to share)
-_ARTIFACT_CACHE_MAX = 24
+# for ONE dataset at once or the bench's alphabetical interleaving thrashes
+# the cache.  Round 8 audit: the kind census reached 25 (3 dedup + 7 ANN +
+# 2 BPE + 2 pHash + ranking/vocab/stats frames + round-7/8 additions ending
+# with token_budget_ranked), one OVER the previous cap of 24 — observed as
+# a mid-bench rebuild swinging text_bpe_merges 0.12 -> 1.0 s with zero code
+# change to it.  32 = census + headroom for a few future kinds; re-audit
+# when adding kinds (grep memoized_artifact/_artifact_put).  All kinds are
+# bounded (pair/top-k/code/probe/vocab tables — the one corpus-scale entry,
+# ivf_index, is the ingested index layout the family exists to share).
+_ARTIFACT_CACHE_MAX = 32
 
 
 def _artifact_key(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
