@@ -54,6 +54,39 @@ def _live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_orders(synth_order_events_json(spark, sf_dir))
 
 
+def _parsed_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized ("cdc_parsed_log") parsed wire log — the "write the
+    parsed log once, scan it many" layout every log-reading query shares
+    (as-of, diff, SCD2, monitor; r08).  Also retires cdc_asof_snapshot's
+    per-invocation bare ``.persist()``, which stranded one cached copy per
+    call (the exact leak memoized_artifact exists to prevent)."""
+    from .dedup import memoized_artifact
+
+    from ..cdc.apply import parse_envelope
+
+    return memoized_artifact(
+        spark,
+        sf_dir,
+        "cdc_parsed_log",
+        lambda: parse_envelope(synth_order_events_json(spark, sf_dir)),
+    )
+
+
+def _live_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized ("cdc_live") materialized live table for the
+    verification queries that READ it (top-k, counts) — the reference's own
+    load-once-query-many split (its test-pipeline.sh verification SQL hits
+    the StarRocks table Routine Load materialized, not the wire).  ONE memo
+    site building via the same :func:`_live` the full-path ``cdc_apply``
+    runs, so the two can never diverge; ``cdc_apply`` itself stays the
+    un-memoized wire-path measurement."""
+    from .dedup import memoized_artifact
+
+    return memoized_artifact(
+        spark, sf_dir, "cdc_live", lambda: _live(spark, sf_dir)
+    )
+
+
 def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full materialized live table after applying the CDC log."""
     return _live(spark, sf_dir)
@@ -61,13 +94,13 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README.md:91-92 verification query: newest 5 rows by key."""
-    return _live(spark, sf_dir).orderBy(F.col("order_key").desc()).limit(5)
+    return _live_shared(spark, sf_dir).orderBy(F.col("order_key").desc()).limit(5)
 
 
 def cdc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """test-pipeline.sh:38-40 COUNT verification, grouped by status."""
     return (
-        _live(spark, sf_dir)
+        _live_shared(spark, sf_dir)
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -86,9 +119,7 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ..cdc.apply import parse_envelope
-
-    parsed = parse_envelope(synth_order_events_json(spark, sf_dir))
+    parsed = _parsed_log(spark, sf_dir)
     w = Window.partitionBy("order_key").orderBy("_seq")
     hist = parsed.withColumn("version", F.row_number().over(w)).withColumn(
         "valid_to_seq", F.lead("_seq").over(w)
@@ -114,13 +145,13 @@ def cdc_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern behind Delta/Iceberg time travel, driven from the CDC log the
     reference already retains in Kafka but cannot query).
     """
-    from ..cdc.apply import apply_cdc_log, parse_envelope
+    from ..cdc.apply import apply_cdc_log
     from ..cdc.schemas import TS_WIRE_FORMAT
 
-    # persist: the cutoff aggregate AND the replay both consume the parsed
-    # log; without a cache each would re-run the full JSON parse (at scale:
-    # "write the parsed log once, scan it twice")
-    parsed = parse_envelope(synth_order_events_json(spark, sf_dir)).persist()
+    # the cutoff aggregate AND the replay both consume the parsed log; the
+    # session artifact (_parsed_log) caches it ONCE per dataset — the
+    # previous per-invocation bare .persist() stranded a copy per call
+    parsed = _parsed_log(spark, sf_dir)
     cut = parsed.agg(
         F.floor(F.max("_seq") * 0.6).cast("long").alias("cut")
     )
@@ -165,9 +196,7 @@ def cdc_diff_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one partial-aggregatable reduction, vs two full replays + a self-join
     for the naive two-snapshot diff.
     """
-    from ..cdc.apply import parse_envelope
-
-    parsed = parse_envelope(synth_order_events_json(spark, sf_dir))
+    parsed = _parsed_log(spark, sf_dir)
     cuts = parsed.agg(
         F.floor(F.max("_seq") * 0.4).cast("long").alias("cut1"),
         F.floor(F.max("_seq") * 0.8).cast("long").alias("cut2"),
@@ -292,21 +321,14 @@ def cdc_monitor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ..cdc.apply import parse_envelope
-
-    # The parsed wire-log projection is a session artifact (the dedup-
-    # signature pattern): FOUR branches below consume it (ops, the
-    # traffic total, and the ledger's probe + shifted side), and without
-    # the persist each branch re-runs the JSON parse scan (bench: 1.85x).
-    from .dedup import memoized_artifact
-
-    parsed = memoized_artifact(
-        spark,
-        sf_dir,
-        "monitor_parsed",
-        lambda: parse_envelope(
-            synth_order_events_json(spark, sf_dir)
-        ).select("order_key", "_seq", "__deleted"),
+    # The parsed wire log is a session artifact: FOUR branches below
+    # consume it (ops, the traffic total, and the ledger's probe + shifted
+    # side), and without the cache each branch re-runs the JSON parse scan
+    # (bench: 1.85x).  r08: rides the family-wide _parsed_log artifact
+    # (one build serves monitor + as-of + diff + SCD2); the cached
+    # relation column-prunes, so this 3-column read stays cheap.
+    parsed = _parsed_log(spark, sf_dir).select(
+        "order_key", "_seq", "__deleted"
     )
     w = Window.partitionBy("order_key").orderBy("_seq")
     nd_rank = F.sum(

@@ -282,8 +282,10 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-doc score is an exact int64 sum; argmax ties break to the
     lexicographically smaller lang on both engines.
 
-    Scale shape: training is two partial-aggregatable groupBys over the
-    exploded token stream ((lang, term) counts + per-lang totals); scoring
+    Scale shape: ONE partial-aggregatable groupBy over the exploded token
+    stream (the doc-term frequencies, carrying lang); the (lang, term)
+    counts and per-lang totals aggregate that count table, never the raw
+    tokens, so the corpus is tokenized exactly once (r08); scoring
     joins the doc term-frequency table to the model on ``term`` — the model
     side is vocab-bounded, AQE broadcasts it when small.  The per-doc
     argmax is a doc_id-partitioned window (WindowGroupLimit prunes to one
@@ -296,15 +298,20 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qlog = lambda c: F.round(F.log(c.cast("double")) * NB_QS).cast("long")
 
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # ONE (lang, term) count pass feeds everything model-side: the smoothed
-    # log-counts, the per-lang token totals (sum of c — no second corpus
-    # explode), and the vocab size (distinct terms of the count table, a
-    # vocab-scale aggregate).  The corpus token stream is scanned twice
-    # total (tf + ltc); Catalyst cannot share diverging explode subplans.
+    # ONE corpus tokenization feeds everything (r08: tf and the (lang,
+    # term) counts previously each re-ran the words() split — Catalyst
+    # cannot share diverging explode subplans, so the corpus was tokenized
+    # twice).  tf carries the doc's lang through its groupBy (functionally
+    # dependent on doc_id, so the key cardinality is unchanged) and the
+    # model-side (lang, term) counts aggregate tf instead of re-scanning
+    # the token stream; the per-lang totals and the vocab size then come
+    # from the count table as before.
     from pyspark.sql.window import Window
 
-    ltc = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = terms.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    ltc = tf.groupBy("lang", "term").agg(F.sum("tf").alias("c"))
     lt = ltc.select("lang", "term", qlog(F.col("c") + 1).alias("qc"))
     tl = (
         ltc.groupBy("lang")
@@ -327,12 +334,17 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "cand")
         .agg(F.sum(F.col("tf") * F.col("qc")).alias("s_hit"))
     )
-    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tok"))
+    # ds keeps the true lang alongside the token total, so the confusion
+    # matrix needs no join back to the corpus (r08: the final
+    # d.join(pred, "doc_id") re-scanned documents and shuffled it by
+    # doc_id purely to re-attach a column tf already carried)
+    ds = tf.groupBy("doc_id", "lang").agg(F.sum("tf").alias("n_tok"))
     sc = (
         ds.crossJoin(F.broadcast(lc.withColumnRenamed("lang", "cand")))
         .join(hit, ["doc_id", "cand"], "left")
         .select(
             "doc_id",
+            "lang",
             "cand",
             (
                 F.coalesce(F.col("s_hit"), F.lit(0))
@@ -347,12 +359,10 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = (
         sc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand").alias("pred_lang"))
+        .select("lang", F.col("cand").alias("pred_lang"))
     )
-    return (
-        d.join(pred, "doc_id")
-        .groupBy("lang", "pred_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
 
 

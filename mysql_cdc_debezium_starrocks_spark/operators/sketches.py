@@ -398,14 +398,26 @@ def sketch_theta_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "side",
         "fk",
     )
-    dfk = fk.select("key").distinct()
-    exact = (
-        dfk.join(pk.select("key"), "key", "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_orphans"))
-        .crossJoin(F.broadcast(dfk.agg(F.count(F.lit(1)).alias("n_fk"))))
-        .crossJoin(
-            F.broadcast(pk.select("key").distinct().agg(F.count(F.lit(1)).alias("n_pk")))
+    # exact side in ONE keyed pass (r08): distinct-FK count, distinct-PK
+    # count and orphan count all derive from a per-key presence fold over
+    # the same union the sketch side consumes — replacing a distinct +
+    # left-anti join + second distinct (three key-scale shuffles) with a
+    # single partial-agg'd groupBy(key).
+    presence = (
+        fk.unionByName(pk)
+        .groupBy("key")
+        .agg(
+            F.max(F.when(F.col("side") == "fk", 1).otherwise(0)).alias("has_fk"),
+            F.max(F.when(F.col("side") == "pk", 1).otherwise(0)).alias("has_pk"),
         )
+    )
+    exact = presence.agg(
+        F.sum("has_fk").cast("long").alias("n_fk"),
+        F.sum("has_pk").cast("long").alias("n_pk"),
+        F.sum(
+            F.when((F.col("has_fk") == 1) & (F.col("has_pk") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_orphans"),
     )
     return exact.crossJoin(F.broadcast(est)).select(
         "n_fk",

@@ -248,13 +248,17 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
        row_number; deterministic, so the two rank derivations below agree
        on recomputation);
     2. each row EXPLODES its (v, v*v) into the ZS_TRAIL ranks it trails
-       (r+1 .. r+20) and a partial-agg'd groupBy on the BALANCED
+       (r+1 .. r+20) PLUS one self record (rank r, carrying the row
+       payload), and a single partial-agg'd groupBy on the BALANCED
        (type, rank) key rebuilds every row's trailing sums exactly —
        decimal addition is order-independent, so the sums are
-       bit-identical to the sliding frame's;
-    3. join the sums back on (type, rank).
+       bit-identical to the sliding frame's — and re-attaches the payload
+       (max of the one non-null struct per group).  An earlier join-back
+       form computed the whole ranked subtree TWICE (once per join side)
+       and paid a second shuffle + sort; folding the payload into the
+       same groupBy halves the pipeline (r08: 2.6 s -> measured below).
 
-    Cost: 20x narrow intermediate rows with map-side combine, against a
+    Cost: 21x narrow intermediate rows with map-side combine, against a
     per-type single-task sort of the corpus — the standard scale-out for
     small fixed trailing windows.
     """
@@ -296,21 +300,38 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_ms", "_mn", "_mx", "_bkt", "_off")
     )
-    contrib = ranked.select(
+    ex = ranked.select(
         "event_type",
+        F.col("r").alias("r0"),
         v.alias("_v"),
         (v * v).alias("_vv"),
-        F.explode(
-            F.sequence(F.col("r") + 1, F.col("r") + ZS_TRAIL)
-        ).alias("r"),
+        "event_id",
+        "ts",
+        "value",
+        F.explode(F.sequence(F.col("r"), F.col("r") + ZS_TRAIL)).alias("rr"),
     )
-    sums = contrib.groupBy("event_type", "r").agg(
-        F.sum("_v").alias("sx"),
-        F.sum("_vv").alias("sxx"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    s = ranked.join(sums, ["event_type", "r"]).select(
-        "event_id", "event_type", "ts", "value", "sx", "sxx", "n"
+    is_self = F.col("rr") == F.col("r0")
+    # exactly one self record per (type, rank) — ranks are unique within a
+    # type — so max() just picks each payload column's single non-null
+    # value.  Kept as SEPARATE fixed-width maxes, NOT max(struct(...)):
+    # a struct aggregation buffer is not mutable-fixed-width, which demotes
+    # the whole aggregate from HashAggregate to a sort-based fallback over
+    # the 21x exploded stream (measured 2x slower than the join it
+    # replaced).
+    s = (
+        ex.groupBy("event_type", "rr")
+        .agg(
+            F.sum(F.when(~is_self, F.col("_v"))).alias("sx"),
+            F.sum(F.when(~is_self, F.col("_vv"))).alias("sxx"),
+            F.count(F.when(~is_self, F.lit(1))).cast("long").alias("n"),
+            F.max(F.when(is_self, F.col("event_id"))).alias("event_id"),
+            F.max(F.when(is_self, F.col("ts"))).alias("ts"),
+            F.max(F.when(is_self, F.col("value"))).alias("value"),
+            F.max(F.when(is_self, F.lit(1))).alias("_has_self"),
+        )
+        # groups past the last rank receive contributions but no self row
+        .filter(F.col("_has_self") == 1)
+        .select("event_id", "event_type", "ts", "value", "sx", "sxx", "n")
     )
     n = F.col("n").cast("double")
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
@@ -1988,10 +2009,18 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", (phash32(F.col("g"), "dsir") % DSIR_BUCKETS).alias("b")
     )
+    # per-(doc, source, bucket) gram counts FIRST (r08): the bucket model
+    # and the scoring join both consumed the raw gram stream, so the
+    # explode + hash ran twice; both now read this one partial-agg'd
+    # frame, whose exchange is identical on the two consumers and is
+    # reused (one explode, one shuffle of the gram stream).
+    gb = grams.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     is_t = F.col("source") == DSIR_TARGET
-    bt = grams.groupBy("b").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
+    bt = gb.groupBy("b").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(F.col("c"))).alias("cr"),
     )
     w = Window.partitionBy()
     q = lambda col: F.round(F.log(col.cast("double")) * 1e6).cast("long")
@@ -2003,9 +2032,9 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lr"),
     )
     return (
-        grams.join(F.broadcast(lr), "b")
+        gb.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
-        .agg(F.sum("lr").alias("w_micro"))
+        .agg(F.sum(F.col("c") * F.col("lr")).alias("w_micro"))
     )
 
 

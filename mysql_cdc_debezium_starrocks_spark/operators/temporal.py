@@ -553,11 +553,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``max_overlap_days``: for intervals sorted by (start, id), the best
       partner for row i among earlier starters maximizes min(e_i, e_j),
       so min(e_i, running-max-of-prefix-e) - s_i + 1 is an achievable
-      pair overlap and its per-part max is THE max (running max over the
-      same sort as the event sweep).
+      pair overlap and its per-part max is THE max — and the running max
+      rides the SAME window sort as the event sweep (restricted to start
+      events), so it costs no extra shuffle (r08: previously a second
+      sorted window over the interval frame).
 
-    Scale shape: three shuffles on ``l_partkey`` (event window, day
-    rollup, interval window) + final joins of per-part 1-row aggregates —
+    Scale shape: two shuffles on ``l_partkey`` (the shared event window,
+    the day rollup) + one final join of per-part 1-row aggregates —
     O(n log n) regardless of per-part density.  100x replica: 2.7x wall
     (vs 256x for the pair join it replaces).  (Reference analog: none —
     its SQL never joins on time; this serves the CDC-materialized
@@ -574,15 +576,24 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.alias("e"),
     )
 
-    # n_pairs: event sweep.  typ 0 = start, 1 = end; ordering (val, typ)
-    # puts ends AFTER starts on date ties, so ends_before counts only
-    # e_j < s_i (strict — equal-date end still overlaps a closed start).
+    # n_pairs + max_overlap_days: ONE event sweep.  typ 0 = start, 1 = end;
+    # ordering (val, typ) puts ends AFTER starts on date ties, so
+    # ends_before counts only e_j < s_i (strict — equal-date end still
+    # overlaps a closed start).  The max branch rides the SAME window sort
+    # (r08: it previously re-sorted the interval frame in a second window):
+    # at a start row, the preceding typ==0 rows are exactly the
+    # earlier-starting intervals of the (s, ok, ln) interval order, so the
+    # running max of their end dates is the best-partner candidate end;
+    # end events carry a NULL end date and never contribute.
     ev = iv.select(
-        "l_partkey", F.col("s").alias("val"), F.lit(0).alias("typ"), "ok", "ln"
+        "l_partkey", F.col("s").alias("val"), F.lit(0).alias("typ"),
+        "ok", "ln", F.col("s").alias("ss"), F.col("e").alias("en"),
     ).unionByName(
         iv.select(
             "l_partkey", F.col("e").alias("val"), F.lit(1).alias("typ"),
             "ok", "ln",
+            F.lit(None).cast("date").alias("ss"),
+            F.lit(None).cast("date").alias("en"),
         )
     )
     wev = (
@@ -594,21 +605,32 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "l_partkey",
             "typ",
+            "ss",
+            "en",
             F.coalesce(
                 F.sum(F.when(F.col("typ") == 0, 1)).over(wev), F.lit(0)
             ).alias("starts_before"),
             F.coalesce(
                 F.sum(F.when(F.col("typ") == 1, 1)).over(wev), F.lit(0)
             ).alias("ends_before"),
+            F.max(F.when(F.col("typ") == 0, F.col("en"))).over(wev)
+            .alias("cand_e"),
         )
         .filter(F.col("typ") == 0)
         .select(
             "l_partkey",
             (F.col("starts_before") - F.col("ends_before")).alias("live"),
+            # an achievable pair overlap: min(own end, best earlier end)
+            # back to own start; NULL when no earlier interval reaches s
+            F.when(
+                F.col("cand_e") >= F.col("ss"),
+                F.datediff(F.least("en", "cand_e"), F.col("ss")) + 1,
+            ).alias("ov"),
         )
     )
-    npairs = live.groupBy("l_partkey").agg(
-        F.sum("live").cast("long").alias("n_pairs")
+    npairs_mx = live.groupBy("l_partkey").agg(
+        F.sum("live").cast("long").alias("n_pairs"),
+        F.max("ov").cast("int").alias("max_overlap_days"),
     )
 
     # sum_overlap_days: per-day coverage c -> sum C(c, 2)
@@ -626,27 +648,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # max_overlap_days: min(e, running max of earlier e) - s + 1
-    wmax = (
-        Window.partitionBy("l_partkey")
-        .orderBy("s", "ok", "ln")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    mx = (
-        iv.withColumn("cand_e", F.max("e").over(wmax))
-        .filter(F.col("cand_e") >= F.col("s"))
-        .select(
-            "l_partkey",
-            (F.datediff(F.least("e", "cand_e"), F.col("s")) + 1).alias("ov"),
-        )
-        .groupBy("l_partkey")
-        .agg(F.max("ov").cast("int").alias("max_overlap_days"))
-    )
-
     return (
-        npairs.filter(F.col("n_pairs") > 0)
+        npairs_mx.filter(F.col("n_pairs") > 0)
         .join(sums, "l_partkey")
-        .join(mx, "l_partkey")
         .select("l_partkey", "n_pairs", "sum_overlap_days", "max_overlap_days")
     )
 

@@ -1800,19 +1800,30 @@ def eval_bpe_compression_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the expensive pass is the one word-frequency groupBy the
     learner already makes; every per-round aggregate runs on the
     |vocab|-row state table (corpus-weighted via cnt — the corpus itself
-    is scanned exactly once).  The BPE_ROUNDS+1 single-row aggregates
-    union into one plan.
+    is scanned exactly once).  The per-round states union into ONE
+    (rank, cnt, s) frame, session-memoized ("bpe_states_all", r08 — the
+    _bpe_artifacts pattern: the sweep re-ran the whole unrolled merge
+    chain per invocation; the frame is (BPE_ROUNDS+1) x |vocab| rows,
+    vocab-bounded), and the sweep is one partial-agg'd groupBy(rank).
     """
-    _, _, states = _bpe_state(spark, sf_dir)
-    rows = None
-    for r, st in enumerate(states):
-        n_sym = F.size(F.split(F.trim(F.col("s")), " "))
-        agg = st.agg(
-            F.lit(r).cast("long").alias("rank"),
-            F.sum("cnt").cast("long").alias("total_words"),
-            F.sum(F.col("cnt") * n_sym).cast("long").alias("total_bpe_tokens"),
-        )
-        rows = agg if rows is None else rows.unionByName(agg)
+    from .dedup import memoized_artifact
+
+    def build() -> DataFrame:
+        _, _, states = _bpe_state(spark, sf_dir)
+        out = None
+        for r, st in enumerate(states):
+            stt = st.select(
+                F.lit(r).cast("long").alias("rank"), "cnt", "s"
+            )
+            out = stt if out is None else out.unionByName(stt)
+        return out
+
+    sts = memoized_artifact(spark, sf_dir, "bpe_states_all", build)
+    n_sym = F.size(F.split(F.trim(F.col("s")), " "))
+    rows = sts.groupBy("rank").agg(
+        F.sum("cnt").cast("long").alias("total_words"),
+        F.sum(F.col("cnt") * n_sym).cast("long").alias("total_bpe_tokens"),
+    )
     return rows.select(
         "rank",
         "total_words",
