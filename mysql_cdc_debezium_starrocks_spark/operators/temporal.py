@@ -436,33 +436,34 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wp).alias("n"),
     ).filter(F.col("n") >= MAD_MIN_N)
     lo, hi = F.expr("(n + 1) div 2"), F.expr("(n + 2) div 2")
-    med = m.groupBy("user_id").agg(
-        F.max("n").alias("n_events"),
-        (
-            F.sum(F.when(F.col("rn") == lo, F.col("qv")))
-            + F.sum(F.when(F.col("rn") == hi, F.col("qv")))
-        ).alias("med2"),
+    # med2/mad4 are per-user scalars: attach them as WHOLE-PARTITION window
+    # sums over the sorts the ranking windows already pay for, instead of
+    # the previous groupBy + join-back per median (two joins and two
+    # aggregate subtrees removed; the partitioning is established once and
+    # reused by every window — guide §2.4 "window functions partitioned by
+    # the same key as a preceding aggregation").
+    med2 = (
+        F.sum(F.when(F.col("rn") == lo, F.col("qv"))).over(wp)
+        + F.sum(F.when(F.col("rn") == hi, F.col("qv"))).over(wp)
     )
-    d = m.join(med, "user_id").select(
+    d = m.select(
         "user_id",
-        "n_events",
-        "med2",
+        F.col("n").alias("n_events"),
+        med2.alias("med2"),
         "qv",
-        F.abs(F.lit(2) * F.col("qv") - F.col("med2")).alias("dev2"),
+        F.abs(F.lit(2) * F.col("qv") - med2).alias("dev2"),
         F.col("rn").alias("vrn"),
         "n",
     )
     d2 = d.withColumn(
         "rn", F.row_number().over(wp.orderBy("dev2", "vrn"))
     )
-    mad = d2.groupBy("user_id").agg(
-        (
-            F.sum(F.when(F.col("rn") == lo, F.col("dev2")))
-            + F.sum(F.when(F.col("rn") == hi, F.col("dev2")))
-        ).alias("mad4"),
+    mad4 = (
+        F.sum(F.when(F.col("rn") == lo, F.col("dev2"))).over(wp)
+        + F.sum(F.when(F.col("rn") == hi, F.col("dev2"))).over(wp)
     )
     return (
-        d2.join(mad, "user_id")
+        d2.withColumn("mad4", mad4)
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),

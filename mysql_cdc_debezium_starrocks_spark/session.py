@@ -37,6 +37,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §3.1/§9: let the planner pick shuffled-hash join when its
+        # size conditions are met (skips the sort-merge sort; the build
+        # side must fit a partition's execution memory — keep shuffle
+        # partitions sized per §2.2 on a real cluster).  AQE additionally
+        # rewrites SMJ -> SHJ at runtime when every post-shuffle partition
+        # is under the local-map threshold.  Both env-overridable so a
+        # deployment (or an A/B) can restore the spill-safest defaults.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_SHJ_LOCALMAP", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
