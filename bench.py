@@ -76,6 +76,26 @@ HEADLINE = [
     "group_count",
 ]
 
+# Always printed alongside HEADLINE (r08 verdict #5): the driver's
+# 8-vs-32-core scaling block ratios the queries on the stdout line, and the
+# HEADLINE set is overhead-bound at sf0.1 (sub-second; ratios ≈1 measure
+# scheduling, not operator scalability).  These are the registry's
+# data-bound heavy plans — NOT artifact-cache reads, whose timed runs
+# measure persisted-cache hits (the artifact BUILD cost scales with cores
+# and is reported per kind in BENCH_FULL.json's "artifacts" map) — so their
+# 8-vs-32 ratios are interpretable.
+SCALE_PROBES = [
+    "dq_fk_orphans",
+    "ts_anomaly_zscore",
+    "ml_naive_bayes",
+    "join_interval_overlap",
+    "mix_dsir_weights",
+    "stats_column_profile",
+    "dedup_cross_source_matrix",
+    "basket_part_pairs",
+    "text_hash_embed",
+]
+
 # Absolute drift anchors (VERDICT r04 #5: cross-round comparisons kept
 # needing control-query forensics).  The controls are plain aggregate/join
 # operators untouched since round 2/3.  Every run computes drift_abs =
@@ -129,19 +149,29 @@ TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
 # CDC-section drift anchor (r06 #3): the cdc_control_probe (a fixed
-# batch-1000 insert apply on fresh dirs) timed on the round-7 builder host
-# immediately after the anchor re-cut — the first epoch with CDC controls.
-# Like CONTROL_ANCHORS, this is a fixed historical constant: drift_abs =
-# median(probe timeline) / anchor says how fast THIS host+session runs the
-# CDC hot path relative to the anchor epoch.
-CDC_PROBE_ANCHOR = 1.007
+# batch-1000 insert apply on fresh dirs).  Like CONTROL_ANCHORS, this is a
+# fixed historical constant: drift_abs = median(probe timeline) / anchor
+# says how fast THIS host+session runs the CDC hot path relative to the
+# anchor epoch.
+#
+# Re-cut r09 (the r07-verdict #7 plan, executed per r08 verdict #8): the
+# pooled median over the three committed controls.timeline sets —
+#   BENCH_FULL.json @ 41ff332 (r07 end):   2.022/0.798/0.774/0.613/0.808
+#   BENCH_FULL.json @ ac95fee (r08 end):   1.279/1.289/0.926/0.843/0.874
+#   BENCH_r08.json (r08 driver host run):  1.533/0.767/0.679/0.729/0.838
+# 15 pooled probe values -> median 0.838.  The original single-round epoch
+# (round-7 builder host, median of 5 warm probe runs = 1.007) was ~20%
+# slower than the pooled steady state, so every run since looked "faster
+# than anchor" (drift < 1) and normalized CDC rates read ~20% PESSIMISTIC.
+# To compare across the re-cut: old-normalized rates x (1.007/0.838) =
+# new-normalized rates (times/latencies x 0.838/1.007).
+CDC_PROBE_ANCHOR = 0.838
 CDC_ANCHOR_EPOCH = (
-    "round-7 builder host, first CDC-controls epoch: median of 5 "
-    "warm probe runs on a quiet session (1.186/1.157/1.002/1.007/0.868). "
-    "Re-cut plan (r07 verdict #7, the r06 query-anchor pattern): once "
-    "BENCH_r07..r09 give 3 committed controls.timeline sets, replace this "
-    "single-round epoch with the pooled median across those rounds' probe "
-    "timelines and record the per-round provenance here"
+    "pooled median of the 3 committed probe timelines (r07-end "
+    "BENCH_FULL@41ff332, r08-end BENCH_FULL@ac95fee, driver BENCH_r08) — "
+    "15 values, median 0.838; re-cut r09, supersedes the single-round "
+    "r07-host epoch (1.007; old-normalized rates x 1.007/0.838 compare to "
+    "new-normalized)"
 )
 
 
@@ -428,6 +458,19 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         print(f"vs_prev diff skipped: {ex}", file=sys.stderr, flush=True)
 
+    # artifact build cost per kind (r08 verdict #7): artifact consumers'
+    # per-query numbers measure persisted-cache reads; the build itself is
+    # charged to whichever query ran first — this map makes that cost
+    # visible and diffable round-over-round
+    try:
+        from mysql_cdc_debezium_starrocks_spark.operators.dedup import (
+            ARTIFACT_BUILD_SECONDS,
+        )
+
+        artifacts = {k[2]: v for k, v in sorted(ARTIFACT_BUILD_SECONDS.items())}
+    except Exception:  # noqa: BLE001
+        artifacts = None
+
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -439,6 +482,7 @@ def main() -> None:
             round(total / controls["drift_abs"], 3) if controls else None
         ),
         "sf": sf,
+        "artifacts": artifacts,
         "cdc": cdc,
         "vs_prev": vs_prev,
     }
@@ -449,11 +493,35 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         print(f"BENCH_FULL.json write skipped: {ex}", file=sys.stderr, flush=True)
 
-    # compact stdout line: headline queries + slowest 10, full map in the file
+    # compact stdout line: headline queries + slowest 10, full map in the
+    # file.  The CDC block prints as THREE headline scalars + drift (r08
+    # verdict #2: the inline multi-KB cdc tree pushed the line past the
+    # driver's ~2 KB stdout capture window in r07, truncating the JSON
+    # mid-line and destroying the round's per-query map; the complete tree
+    # lives in BENCH_FULL.json).
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
-    shown = {n: timings[n] for n in HEADLINE if n in timings} | slowest
+    shown = (
+        {n: timings[n] for n in HEADLINE if n in timings}
+        | {n: timings[n] for n in SCALE_PROBES if n in timings}
+        | slowest
+    )
+    cdc_line = None
+    if cdc:
+        try:
+            cdc_line = {
+                "insert_eps_1000": cdc["insert_throughput"]["1000"][
+                    "events_per_sec"
+                ],
+                "insert_eps_1000_norm": cdc["normalized"]["insert_throughput"][
+                    "1000"
+                ]["events_per_sec"],
+                "visible_p95_ms": cdc["visible_latency"]["p95_ms"],
+                "drift_abs": cdc["controls"]["drift_abs"],
+            }
+        except Exception:  # noqa: BLE001
+            cdc_line = {"err": "see BENCH_FULL.json"}
     line = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -465,7 +533,7 @@ def main() -> None:
         "total_normalized": (
             round(total / controls["drift_abs"], 3) if controls else None
         ),
-        "cdc": cdc,
+        "cdc": cdc_line,
         "vs_prev": vs_prev
         and {
             "prev_total": vs_prev["prev_total"],
@@ -479,6 +547,11 @@ def main() -> None:
     }
     out = json.dumps(line)
     if len(out) > 1900:  # never overflow the 2 KB stdout capture window
+        line["queries"] = {n: timings[n] for n in HEADLINE if n in timings} | {
+            n: timings[n] for n in SCALE_PROBES if n in timings
+        }
+        out = json.dumps(line)
+    if len(out) > 1900:
         line["queries"] = {n: timings[n] for n in HEADLINE if n in timings}
         out = json.dumps(line)
     print(out)

@@ -37,6 +37,10 @@ def main() -> None:
         return bench._median(vals)
 
     out = {}
+    # warm the session before the first probe (r08 advice): p0 taken cold
+    # absorbs JVM/codegen warm-up and overstates drift, deflating every
+    # normalized timing; bench.py warms before probing, mirror that
+    bench._exec(queries[bench.PROBE_QUERY], spark, staged)
     p0 = probe()
     for n in names:
         spark.sparkContext.setJobDescription(f"minibench warm {n}")
