@@ -47,59 +47,84 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, rows whose FK is null, rows whose FK has no parent (orphans),
     distinct orphaned key count, and the orphan rate in integer ppm.
 
-    All relationships sharing a child table audit in ONE scan of it — the
-    three lineitem FKs chain three parent left-joins onto a single pass
-    and one aggregate row carries all the counters (inline-exploded to the
-    per-relationship rows).  The multi-count-distinct plans as one Expand
-    after the scan, so local CPU is comparable to per-relationship passes,
-    but the fact table is READ once instead of three times — at 100 TB the
-    audit is I/O-bound and that is the whole cost.
+    All relationships sharing a child table audit in ONE scan of it.  The
+    r08 shape chained three parent left-joins onto the fact stream and ran
+    a multi-count-distinct aggregate, which plans as an Expand that
+    re-emits every fact row 4x (guide §2.3: the r08 verdict's named target
+    — the most expensive untouched query).  Now the scan explodes each row
+    into narrow ``(relationship, key)`` pairs and a FIRST-LEVEL
+    ``groupBy(rel, key)`` collapses the stream to per-key counts before
+    anything else happens (guide §2.3 "aggregate before you shuffle"); the
+    parent anti-membership join then probes DISTINCT KEYS, not fact rows,
+    and the distinct-orphan-key count becomes a plain ``count(*)`` over
+    key groups — no distinct-aggregate machinery, no Expand.
+
+    At 100 TB this shape is strictly stronger: the old plan broadcast each
+    parent's full distinct key set against every fact row (infeasible for
+    a large parent — orders' PK set blows the 8 GB broadcast cap, forcing
+    a shuffle of the whole fact stream), while here the post-aggregation
+    join moves only (key, count) pairs, and the fact table is still read
+    exactly once.
     """
     by_child: dict[str, list] = {}
     for rel, child_t, fk, parent_t, pk in _FK_RELS:
         by_child.setdefault(child_t, []).append((rel, fk, parent_t, pk))
     outs = []
     for child_t, rels in by_child.items():
-        df = load(spark, sf_dir, child_t).select(
-            *sorted({fk for _, fk, _, _ in rels})
-        )
-        for i, (_rel, fk, parent_t, pk) in enumerate(rels):
-            parent = (
-                load(spark, sf_dir, parent_t)
-                .select(F.col(pk).alias(f"_pk{i}"))
-                .distinct()
+        child = load(spark, sf_dir, child_t)
+        if len(rels) > 1:
+            kv = child.select(
+                F.posexplode(
+                    F.array(*[F.col(fk).cast("long") for _, fk, _, _ in rels])
+                ).alias("_rid", "_key")
             )
-            df = df.join(parent, F.col(fk) == F.col(f"_pk{i}"), "left")
-        aggs = [F.count(F.lit(1)).alias("_n_child")]
-        for i, (_rel, fk, _pt, _pk) in enumerate(rels):
-            orphan = F.col(fk).isNotNull() & F.col(f"_pk{i}").isNull()
-            aggs += [
-                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
-                .cast("long").alias(f"_null{i}"),
-                F.sum(F.when(orphan, 1).otherwise(0))
-                .cast("long").alias(f"_orph{i}"),
-                F.count_distinct(F.when(orphan, F.col(fk))).cast("long")
-                .alias(f"_okeys{i}"),
-            ]
-        row = df.agg(*aggs)
+        else:
+            kv = child.select(
+                F.lit(0).alias("_rid"),
+                F.col(rels[0][1]).cast("long").alias("_key"),
+            )
+        g = kv.groupBy("_rid", "_key").agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt")
+        )
+        parents = [
+            load(spark, sf_dir, p_tab)
+            .select(
+                F.lit(i).alias("_rid"), F.col(p_pk).cast("long").alias("_key")
+            )
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+            for i, (_rel, _fk, p_tab, p_pk) in enumerate(rels)
+        ]
+        p = parents[0]
+        for q in parents[1:]:
+            p = p.unionAll(q)
+        j = g.join(p, ["_rid", "_key"], "left")
+        orphan = F.col("_key").isNotNull() & F.col("_hit").isNull()
+        agg = j.groupBy("_rid").agg(
+            F.sum("_cnt").cast("long").alias("n_child"),
+            F.sum(F.when(F.col("_key").isNull(), F.col("_cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+            F.sum(F.when(orphan, F.col("_cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_orphan"),
+            F.count(F.when(orphan, F.lit(1))).cast("long").alias("n_orphan_keys"),
+        )
+        rel_label = F.col("_rid").cast("string")
+        for i, (rel, *_rest) in enumerate(rels):
+            rel_label = F.when(F.col("_rid") == i, F.lit(rel)).otherwise(
+                rel_label
+            )
         outs.append(
-            row.select(
-                F.inline(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(rel).alias("rel"),
-                                F.col("_n_child").alias("n_child"),
-                                F.col(f"_null{i}").alias("n_null_fk"),
-                                F.col(f"_orph{i}").alias("n_orphan"),
-                                F.col(f"_okeys{i}").alias("n_orphan_keys"),
-                                F.expr(f"_orph{i} * 1000000 div _n_child")
-                                .cast("long").alias("orphan_ppm"),
-                            )
-                            for i, (rel, *_rest) in enumerate(rels)
-                        ]
-                    )
-                )
+            agg.select(
+                rel_label.alias("rel"),
+                "n_child",
+                "n_null_fk",
+                "n_orphan",
+                "n_orphan_keys",
+                F.expr("n_orphan * 1000000 div n_child")
+                .cast("long")
+                .alias("orphan_ppm"),
             )
         )
     out = outs[0]
