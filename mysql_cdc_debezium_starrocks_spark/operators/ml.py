@@ -293,25 +293,31 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|^2-bounded confusion matrix.
     """
     d = load_spread(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    terms = d.select(
-        "doc_id", "lang", F.explode(words(F.col("text"))).alias("term")
+    from .text import doc_tokens
+
+    terms = doc_tokens(spark, sf_dir).select(
+        "doc_id", "lang", F.col("word").alias("term")
     )
     qlog = lambda c: F.round(F.log(c.cast("double")) * NB_QS).cast("long")
 
-    # ONE corpus tokenization feeds everything (r08: tf and the (lang,
-    # term) counts previously each re-ran the words() split — Catalyst
-    # cannot share diverging explode subplans, so the corpus was tokenized
-    # twice).  tf carries the doc's lang through its groupBy (functionally
-    # dependent on doc_id, so the key cardinality is unchanged) and the
-    # model-side (lang, term) counts aggregate tf instead of re-scanning
-    # the token stream; the per-lang totals and the vocab size then come
-    # from the count table as before.
+    # Tokens ride the shared "doc_tokens" artifact (r09).  The r08 shape
+    # derived the (lang, term) model counts FROM the tf table to save a
+    # second tokenization — but that routes the model aggregation through
+    # tf's doc-term-scale shuffle, where aggregating the token stream
+    # directly collapses map-side to |langs| x |vocab| rows before its
+    # exchange (guide §2.3: the r08-verdict-flagged regression; the
+    # 32-core A/B read flat-to-worse).  With the tokenization now a cached
+    # read, both branches scan the artifact and each takes its cheapest
+    # aggregation path; tf still carries lang (functionally dependent on
+    # doc_id) so the confusion matrix needs no join back to documents.
     from pyspark.sql.window import Window
 
     tf = terms.groupBy("doc_id", "lang", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    ltc = tf.groupBy("lang", "term").agg(F.sum("tf").alias("c"))
+    ltc = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
     lt = ltc.select("lang", "term", qlog(F.col("c") + 1).alias("qc"))
     tl = (
         ltc.groupBy("lang")

@@ -1039,9 +1039,12 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(doc_id * {VOCAB_CHECKPOINTS}) div (mx + 1)"),
         F.lit(VOCAB_CHECKPOINTS - 1),
     ).cast("int")
+    from .text import doc_tokens
+
     tok = (
-        d.join(F.broadcast(mx))
-        .select(ck.alias("ck"), F.explode(words(F.col("text"))).alias("word"))
+        doc_tokens(spark, sf_dir)
+        .join(F.broadcast(mx))
+        .select(ck.alias("ck"), "word")
     )
     toks_per = tok.groupBy("ck").agg(F.count(F.lit(1)).cast("long").alias("toks"))
     new_per = (
@@ -1205,10 +1208,11 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an exploded 5-element checkpoint array.  All-integer.
     """
     from .dedup import memoized_artifact
+    from .text import doc_tokens
 
-    d = load_spread(spark, sf_dir, "documents")
     wc = (
-        d.select(F.explode(words(F.col("text"))).alias("word"))
+        doc_tokens(spark, sf_dir)
+        .select("word")
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -1618,8 +1622,11 @@ def stats_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-shuffle profile as text_tfidf; nothing data-scale crosses the
     driver.
     """
-    d = load_spread(spark, sf_dir, "documents")
-    terms = d.select("source", F.explode(words(F.col("text"))).alias("term"))
+    from .text import doc_tokens
+
+    terms = doc_tokens(spark, sf_dir).select(
+        "source", F.col("word").alias("term")
+    )
     qlog = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")
     st = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
     tot = st.groupBy("source").agg(
@@ -1898,9 +1905,11 @@ def stats_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized, AQE-broadcastable.
     """
     from .dedup import memoized_artifact
+    from .text import doc_tokens
 
-    d = load_spread(spark, sf_dir, "documents")
-    terms = d.select("source", F.explode(words(F.col("text"))).alias("term"))
+    terms = doc_tokens(spark, sf_dir).select(
+        "source", F.col("word").alias("term")
+    )
     st = memoized_artifact(
         spark,
         sf_dir,
@@ -2009,18 +2018,22 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "source", (phash32(F.col("g"), "dsir") % DSIR_BUCKETS).alias("b")
     )
-    # per-(doc, source, bucket) gram counts FIRST (r08): the bucket model
-    # and the scoring join both consumed the raw gram stream, so the
-    # explode + hash ran twice; both now read this one partial-agg'd
-    # frame, whose exchange is identical on the two consumers and is
-    # reused (one explode, one shuffle of the gram stream).
-    gb = grams.groupBy("doc_id", "source", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # Two passes over the gram stream, zero full-stream shuffles (r09:
+    # REVERTS the r08 per-(doc, source, bucket) pre-count — that saved the
+    # second explode+hash but routed the bucket model through a shuffle of
+    # the whole gram stream, because (doc, bucket) pairs barely repeat and
+    # the "pre-aggregation" collapsed nothing.  Here both consumers
+    # collapse map-side BEFORE their exchanges (guide §2.3): the bucket
+    # model to <=DSIR_BUCKETS rows per partition, the scoring join to one
+    # (doc, source) row per doc per partition.  The r08 verdict flagged
+    # the rewrite (plan gained exchanges, no reuse appeared, driver 8-core
+    # read 1.39->1.86) and the 32-core matched-drift A/B confirmed the
+    # two-pass form faster; the duplicated explode+md5 is map-side CPU
+    # that scales out, a full-stream shuffle does not (§2.2).
     is_t = F.col("source") == DSIR_TARGET
-    bt = gb.groupBy("b").agg(
-        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("ct"),
-        F.sum(F.when(is_t, 0).otherwise(F.col("c"))).alias("cr"),
+    bt = grams.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr"),
     )
     w = Window.partitionBy()
     q = lambda col: F.round(F.log(col.cast("double")) * 1e6).cast("long")
@@ -2032,9 +2045,9 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lr"),
     )
     return (
-        gb.join(F.broadcast(lr), "b")
+        grams.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
-        .agg(F.sum(F.col("c") * F.col("lr")).alias("w_micro"))
+        .agg(F.sum("lr").alias("w_micro"))
     )
 
 

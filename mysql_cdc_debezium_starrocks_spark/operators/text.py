@@ -46,6 +46,33 @@ LANG_PROFILES = {
 STOPWORDS = sorted({w for p in LANG_PROFILES.values() for w in p})
 
 
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus token stream ``(doc_id, lang, source, word)`` —
+    ``explode(words(text))`` over ``documents`` — session-memoized
+    ("doc_tokens", the shared_dup_pairs pattern; r08 verdict #9).
+
+    The whole bag-of-words family (tf-idf, hash-embed, per-source
+    term stats, naive Bayes, the BPE word-frequency base) re-ran the
+    same scan + regex split + explode per query; production pipelines
+    materialize the tokenized view once and every stage reads it.  Rows
+    where ``words(text)`` is empty are absent, exactly as each consumer's
+    own ``explode`` behaved; consumers needing doc-level totals that must
+    include token-less docs keep their own ``documents`` aggregate.
+    """
+    from .dedup import memoized_artifact
+
+    def build() -> DataFrame:
+        d = load_spread(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(words(F.col("text"))).alias("word"),
+        )
+
+    return memoized_artifact(spark, sf_dir, "doc_tokens", build)
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality stats: token counts, word-length, stopword ratio,
     uniqueness ratio, and a composite quality score.
@@ -192,10 +219,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the tf aggregation shuffles (doc_id, term) pairs — partial
     map-side combine collapses repeated terms per doc per split, and the df
-    side reduces to |vocab| rows before the broadcast join back.
+    side reduces to |vocab| rows before the broadcast join back.  Tokens
+    ride the shared "doc_tokens" artifact (r09) — one corpus tokenization
+    serves the whole bag-of-words family.
     """
     d = load_spread(spark, sf_dir, "documents")
-    terms = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    terms = doc_tokens(spark, sf_dir).select(
+        "doc_id", F.col("word").alias("term")
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -247,8 +278,9 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import memoized_artifact
 
-    d = load_spread(spark, sf_dir, "documents")
-    terms = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    terms = doc_tokens(spark, sf_dir).select(
+        "doc_id", F.col("word").alias("term")
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
 
     counts = memoized_artifact(
@@ -571,9 +603,9 @@ def _bpe_state(spark: SparkSession, sf_dir: str):
     rewrite is bit-identical.  No driver loop: the rounds compose lazily
     into one plan.
     """
-    d = load_spread(spark, sf_dir, "documents")
     wf = (
-        d.select(F.explode(words(F.col("text"))).alias("w"))
+        doc_tokens(spark, sf_dir)
+        .select(F.col("word").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.length("w") > 0)
@@ -702,10 +734,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = state.select(
         "w", F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_sym")
     )
-    d = load_spread(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("w")).filter(
-        F.length("w") > 0
-    )
+    tok = doc_tokens(spark, sf_dir).select(
+        "doc_id", F.col("word").alias("w")
+    ).filter(F.length("w") > 0)
     return (
         tok.join(F.broadcast(vocab), "w")
         .groupBy("doc_id")
@@ -1010,10 +1041,9 @@ def text_domain_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~10^6 x 10^6-token corpora; past that swap the lift to DECIMAL(38,0)
     (both engines exact).
     """
-    d = load_spread(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(words(F.col("text"))).alias("w")).filter(
-        F.length("w") > 0
-    )
+    tok = doc_tokens(spark, sf_dir).select(
+        "source", F.col("word").alias("w")
+    ).filter(F.length("w") > 0)
     sw = tok.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("long").alias("tf_sw")
     )
@@ -1248,8 +1278,7 @@ def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined emission is hash-exact cross-engine (same idiom as
     ``emb_quantize_int8``).
     """
-    d = load_spread(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    tok = doc_tokens(spark, sf_dir).select("doc_id", "word")
     h = phash32(F.col("word"), "fe")
     per = (
         tok.select(
