@@ -55,7 +55,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == executor: size the heap to the task slots
+        # plus the session artifact cache (guide §5).  8g for 32 concurrent
+        # tasks left ~250 MB execution memory each BEFORE the ~26 persisted
+        # artifact kinds a warm session holds; once the full census was
+        # cached, storage squeezed execution and the shuffle-heavy dedup
+        # band joins degraded ~2x (r09 memtest: dedup_cross_source_matrix
+        # 1.9 vs 1.0 normalized fresh-session, recovered at 16g).  On a
+        # real cluster this is ordinary executor sizing (0.5 GB/core was
+        # the outlier, not the fix); env-overridable for small hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
